@@ -1,0 +1,41 @@
+"""From-scratch extraction algorithms (reference capability family
+``extractors/extractors.py``, re-derived from the published algorithms —
+no code copied).
+
+Registry: any callable registered here is a pure ``html -> plaintext``
+function; the extraction stage (stages/extract.py) wraps it with the
+reference's never-fail-the-job semantics (error -> empty output + error
+note, reference ``extract.py:106-119``).
+"""
+from __future__ import annotations
+
+from collections.abc import Callable
+
+_REGISTRY: dict[str, Callable[[str], str]] = {}
+
+
+def register_extractor(name: str):
+    def deco(fn):
+        _REGISTRY[name] = fn
+        return fn
+
+    return deco
+
+
+def get_extractor(name: str) -> Callable[[str], str]:
+    _ensure_loaded()
+    return _REGISTRY[name]
+
+
+def list_extractors() -> list[str]:
+    """Reference analogue: ``extractors.py:212-221`` (globals() scan)."""
+    _ensure_loaded()
+    return sorted(_REGISTRY)
+
+
+def _ensure_loaded():
+    # import for registration side effects
+    from . import baselines, bte, density, ensemble, justext, readability, tagclean  # noqa: F401
+
+
+_ensure_loaded()

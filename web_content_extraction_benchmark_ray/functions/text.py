@@ -1,0 +1,61 @@
+"""Scalar text functions shared across the engine.
+
+Behavioral parity targets (cited, not copied):
+- whitespace tokenizer / word tokenizer: reference ``util.py:44-70``
+- common HTML entity substitution:       reference ``extractors/bte.py:76-81``
+- whitespace squeezes:                   reference ``extractors.py:37-38``
+- SHA-256 content identity:              reference ``dataset_readers.py:74-95``
+"""
+from __future__ import annotations
+
+import hashlib
+import re
+
+_WS_RE = re.compile(r"\s+", flags=re.UNICODE | re.MULTILINE)
+_WORD_RE = re.compile(r"\w+", flags=re.UNICODE)
+
+
+def tokenize_ws(text: str) -> list[str]:
+    """Whitespace tokenization; empty/blank input -> [] (util.py:44-57)."""
+    text = text.strip()
+    if not text:
+        return []
+    return _WS_RE.split(text)
+
+
+def tokenize_words(text: str) -> list[str]:
+    """Unicode word tokens, non-word chars skipped (util.py:60-70)."""
+    return _WORD_RE.findall(text)
+
+
+def squeeze_ws(text: str) -> str:
+    """Collapse all whitespace runs to single spaces and strip."""
+    return _WS_RE.sub(" ", text).strip()
+
+
+_ENTITIES = [
+    (re.compile(r"&quot;"), '"'),
+    (re.compile(r"&nbsp;"), " "),
+    (re.compile(r"&#39;"), "'"),
+]
+
+
+def sub_common_entities(text: str) -> str:
+    """The three entities the reference substitutes (bte.py:76-81)."""
+    for pat, rep in _ENTITIES:
+        text = pat.sub(rep, text)
+    return text
+
+
+def sha256_hex(data: bytes | str) -> str:
+    """Content-hash identity for documents (dataset_readers.py:74-95)."""
+    if isinstance(data, str):
+        data = data.encode("utf-8")
+    return hashlib.sha256(data).hexdigest()
+
+
+def md5_hex(data: bytes | str) -> str:
+    """md5 hex digest — used where the DuckDB oracle needs ``md5()`` parity."""
+    if isinstance(data, str):
+        data = data.encode("utf-8")
+    return hashlib.md5(data).hexdigest()

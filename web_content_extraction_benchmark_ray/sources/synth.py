@@ -1,0 +1,107 @@
+"""Deterministic spans-table synthesis (the engine's test/bench input).
+
+Builds the authoritative input shape from BASELINE.json's input_hint —
+``(doc_id: string, spans: list<struct<kind, text, media_ref, offset>>)`` —
+out of the driver's flat ``documents.parquet`` (doc_id, text, ...), fully
+deterministically (seeded by doc_id; no wall-clock, no external data).
+
+Each source document becomes one boilerplate-laden HTML page
+(sources/pagegen.py) chunked into 1..8 out-of-order 'html' spans scattered
+across rows, plus 'media' spans for every 10th doc.  ``heavy_tail=True``
+additionally inflates ~1% of docs ~50× (deeply repeated content) to
+exercise the skew/heavy-lane path (SURVEY.md §7.7).
+
+The result is cached under /tmp (atomic rename) and written as multiple
+row groups so Ray's parquet reader parallelizes the scan.
+"""
+from __future__ import annotations
+
+import hashlib
+import os
+import zlib
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from . import pagegen
+
+CACHE_DIR = "/tmp/wceb_cache"
+HEAVY_EVERY = 97  # doc_id % 97 == 0 -> pathological tail (~1%)
+HEAVY_REPEAT = 50
+
+
+def effective_text(doc_id: int, text: str, heavy_tail: bool) -> str:
+    if heavy_tail and int(doc_id) % HEAVY_EVERY == 0:
+        return " ".join([text] * HEAVY_REPEAT)
+    return text
+
+
+def _shuffle_key(doc_id, offset) -> str:
+    return hashlib.md5(f"{doc_id}:{offset}".encode()).hexdigest()
+
+
+def build_spans_table(
+    sf_dir: str, heavy_tail: bool = False, force: bool = False
+) -> str:
+    """Synthesize (or reuse) the spans parquet for ``sf_dir``; returns its
+    path.  Deterministic: same sf_dir + flags -> byte-identical table."""
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|heavy={heavy_tail}|v3".encode()
+    ).hexdigest()[:12]
+    out = os.path.join(CACHE_DIR, f"spans-{tag}.parquet")
+    if os.path.exists(out) and not force:
+        return out
+    os.makedirs(CACHE_DIR, exist_ok=True)
+
+    src = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    rows = []
+    for doc_id, text in zip(
+        src.column("doc_id").to_pylist(), src.column("text").to_pylist()
+    ):
+        html = pagegen.render_page(doc_id, effective_text(doc_id, text, heavy_tail))
+        for span in pagegen.split_into_spans(doc_id, html):
+            rows.append(
+                (
+                    _shuffle_key(doc_id, span["offset"]),
+                    str(doc_id),
+                    span["kind"],
+                    span["text"],
+                    span["media_ref"],
+                    span["offset"],
+                )
+            )
+    # scatter spans of the same doc across the file: sort by md5 shuffle key
+    rows.sort(key=lambda r: r[0])
+    from ..schema import SPAN_STRUCT
+
+    table = pa.table(
+        {
+            "doc_id": pa.array([r[1] for r in rows], pa.string()),
+            "spans": pa.array(
+                [
+                    [
+                        {
+                            "kind": r[2],
+                            "text": r[3],
+                            "media_ref": r[4],
+                            "offset": r[5],
+                        }
+                    ]
+                    for r in rows
+                ],
+                pa.list_(SPAN_STRUCT),
+            ),
+        }
+    )
+    tmp = out + f".tmp.{os.getpid()}"
+    pq.write_table(table, tmp, row_group_size=max(1000, len(rows) // 32))
+    os.replace(tmp, out)
+    return out
+
+
+def bucket_of(doc_id: str, num_buckets: int) -> int:
+    """Deterministic partitioning key: crc32 over the doc id (process-salt
+    free, unlike Python ``hash``)."""
+    return zlib.crc32(doc_id.encode()) % num_buckets

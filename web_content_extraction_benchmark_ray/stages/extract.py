@@ -1,0 +1,88 @@
+"""Extraction stage: assembled documents -> per-(doc, model) extractions.
+
+An actor-pool ``map_batches`` stage (callable class: extractor lookup,
+stoplists and compiled regexes bound once per actor in ``__init__``,
+mirroring the reference's per-process singletons — SURVEY.md §7.4).
+
+Reference semantics preserved (extract.py:106-119): a per-document
+extractor error never fails the job — it yields an empty answer plus an
+``error`` note.
+
+Output spans follow FIXTURES.md §3: one ``kind='text'`` span per extracted
+content block (newline-separated blocks of the plaintext), then one
+``kind='media'`` span per media ref (deterministic layout-parse text), with
+a dense 0-based ``order``.
+"""
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..functions.extractors import get_extractor
+from ..functions.media import parse_media
+from ..schema import EXTRACTIONS, OUT_SPAN_STRUCT
+
+DEFAULT_MODELS = ("bte", "justext", "density")
+
+
+def spans_from(plaintext: str, media_refs) -> list[dict]:
+    spans = [
+        {"kind": "text", "text": block, "media_ref": "", "offset": 0}
+        for block in plaintext.split("\n")
+        if block
+    ]
+    for ref in media_refs or []:
+        spans.append(
+            {"kind": "media", "text": parse_media(ref), "media_ref": ref}
+        )
+    return [
+        {
+            "kind": s["kind"],
+            "text": s["text"],
+            "media_ref": s["media_ref"],
+            "order": i,
+        }
+        for i, s in enumerate(spans)
+    ]
+
+
+class ExtractStage:
+    def __init__(self, models=DEFAULT_MODELS):
+        # entries are registry names or explicit (name, callable) pairs —
+        # names resolve in the worker process, callables ship by value
+        self.models = [
+            (m, get_extractor(m)) if isinstance(m, str) else (m[0], m[1])
+            for m in models
+        ]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        htmls = batch.column("html").to_pylist()
+        media = (
+            batch.column("media_refs").to_pylist()
+            if "media_refs" in batch.column_names
+            else [[] for _ in doc_ids]
+        )
+        out_id, out_model, out_text, out_spans, out_err = [], [], [], [], []
+        for doc_id, html, refs in zip(doc_ids, htmls, media):
+            for name, fn in self.models:
+                try:
+                    plaintext = fn(html) or ""
+                    err = ""
+                except Exception as exc:  # never fail the job for one doc
+                    plaintext = ""
+                    err = f"{type(exc).__name__}: {exc}"[:500]
+                out_id.append(doc_id)
+                out_model.append(name)
+                out_text.append(plaintext)
+                out_spans.append(spans_from(plaintext, refs))
+                out_err.append(err)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.string()),
+                "model": pa.array(out_model, pa.string()),
+                "plaintext": pa.array(out_text, pa.large_string()),
+                "spans": pa.array(out_spans, pa.list_(OUT_SPAN_STRUCT)),
+                "error": pa.array(out_err, pa.string()),
+            },
+            schema=EXTRACTIONS,
+        )

@@ -1,0 +1,120 @@
+"""Span reassembly — the engine's one mandatory shuffle.
+
+Documents arrive chunked: a doc's spans are scattered across rows and out
+of offset order (SURVEY.md §1.4).  Order-sensitive extraction needs the
+whole document, so this stage performs the groupby-``doc_id`` →
+sort-by-``offset`` reassembly:
+
+1. ``explode_spans``: zero-copy flatten of the ``spans`` list column into
+   flat span rows (pyarrow kernels only).
+2. ``add_bucket``: deterministic crc32 partitioning key ``bucket =
+   crc32(doc_id) % num_buckets``.  Grouping by a bounded int key instead of
+   the raw doc_id keeps the shuffle's group count fixed at 10^12-doc scale
+   (two-level grouping: buckets between workers, doc_id within a bucket) —
+   the "ONE partitioning key" of the design.  ``num_buckets`` is sized
+   ~4-16× the cluster's cores so hash balancing keeps the long tail short;
+   pathological docs are bounded by per-doc work, not per-bucket row
+   count.
+3. ``assemble_group``: within one bucket, sort by (doc_id, offset) and
+   concatenate 'html' span payloads; 'media' spans contribute their refs in
+   offset order.  The in-group sort is the only ordering guarantee the
+   pipeline relies on — block arrival order never matters (SURVEY.md §7.7,
+   property-tested in tests/test_pipeline.py).
+"""
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..schema import ASSEMBLED
+
+DEFAULT_NUM_BUCKETS = 64
+
+
+def explode_spans(batch: pa.Table) -> pa.Table:
+    spans = batch.column("spans")
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    flat = pc.list_flatten(spans)
+    parents = pc.list_parent_indices(spans)
+    doc_id = pc.take(batch.column("doc_id"), parents)
+    return pa.table(
+        {
+            "doc_id": doc_id,
+            "kind": flat.field("kind"),
+            "text": flat.field("text"),
+            "media_ref": flat.field("media_ref"),
+            "offset": flat.field("offset"),
+        }
+    )
+
+
+class AddBucket:
+    """Adds the crc32 partition bucket.  A callable class so the bucket
+    count is bound once (actor-pool friendly), though it is cheap enough to
+    run as stateless tasks too."""
+
+    def __init__(self, num_buckets: int = DEFAULT_NUM_BUCKETS):
+        self.num_buckets = num_buckets
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        crc = zlib.crc32
+        n = self.num_buckets
+        buckets = np.fromiter(
+            (crc(s.encode()) % n for s in ids), dtype=np.int32, count=len(ids)
+        )
+        return batch.append_column("bucket", pa.array(buckets, pa.int32()))
+
+
+def assemble_group(group: pa.Table) -> pa.Table:
+    """Reassemble every document in one bucket.  Runs once per bucket as a
+    ``groupby('bucket').map_groups`` task."""
+    g = group.sort_by([("doc_id", "ascending"), ("offset", "ascending")])
+    doc_ids = g.column("doc_id").to_pylist()
+    kinds = g.column("kind").to_pylist()
+    texts = g.column("text").to_pylist()
+    refs = g.column("media_ref").to_pylist()
+
+    out_ids: list[str] = []
+    out_html: list[str] = []
+    out_refs: list[list[str]] = []
+    i = 0
+    n = len(doc_ids)
+    while i < n:
+        j = i
+        parts: list[str] = []
+        media: list[str] = []
+        while j < n and doc_ids[j] == doc_ids[i]:
+            if kinds[j] == "html":
+                parts.append(texts[j])
+            elif kinds[j] == "media":
+                media.append(refs[j])
+            j += 1
+        out_ids.append(doc_ids[i])
+        out_html.append("".join(parts))
+        out_refs.append(media)
+        i = j
+    html_arr = pa.array(out_html, pa.large_string())
+    return pa.table(
+        {
+            "doc_id": pa.array(out_ids, pa.string()),
+            "html": html_arr,
+            "media_refs": pa.array(out_refs, pa.list_(pa.string())),
+            "n_bytes": pc.cast(pc.binary_length(html_arr), pa.int64()),
+        },
+        schema=ASSEMBLED,
+    )
+
+
+def reassemble(ds, num_buckets: int = DEFAULT_NUM_BUCKETS):
+    """Dataset -> Dataset of assembled documents (the reassembly shuffle)."""
+    ds = ds.map_batches(explode_spans, batch_format="pyarrow")
+    ds = ds.map_batches(
+        AddBucket, fn_constructor_kwargs={"num_buckets": num_buckets},
+        batch_format="pyarrow", concurrency=(1, 4),
+    )
+    return ds.groupby("bucket").map_groups(assemble_group, batch_format="pyarrow")
