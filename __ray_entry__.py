@@ -1,16 +1,16 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``: flagship extraction pipeline at sf0.001 (spans synthesis ->
+  reassembly shuffle -> multi-model extraction), returns a lazy Dataset.
+- ``queries()``: one callable per implemented operator/pipeline
+  (SURVEY.md §2); each takes ``sf_dir`` and returns a Dataset / DataFrame /
+  Arrow table whose column names match the oracle SQL exactly.
+- ``oracle_sql()``: DuckDB-runnable ANSI SQL per query where the operator
+  is SQL-expressible (the classifier-provable page template makes even the
+  extraction pipelines SQL-checkable — see pipelines/oracles.py).
 """
 
 from __future__ import annotations
@@ -20,25 +20,29 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001."""
+    from web_content_extraction_benchmark_ray.pipelines.queries import (
+        extraction_query,
+    )
+
+    return extraction_query("bte")("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from web_content_extraction_benchmark_ray.pipelines.queries import (
+        extraction_queries,
+    )
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[str], Any]] = {}
+    out.update(extraction_queries())
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from web_content_extraction_benchmark_ray.pipelines.oracles import (
+        extraction_oracle_sql,
+    )
+
+    out: dict[str, str] = {}
+    out.update(extraction_oracle_sql())
+    return out

@@ -1,0 +1,80 @@
+"""Driver-facing query callables (the ``queries()`` surface of
+``__ray_entry__.py``).
+
+Each callable takes ``sf_dir`` and returns a lazy ``ray.data.Dataset``
+whose columns exactly match the corresponding oracle SQL
+(pipelines/oracles.py) — the driver hash-compares values.
+
+Ray is initialised by the caller; nothing here calls ``ray.init``.
+"""
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..functions.media import parse_media
+from ..sources.synth import build_spans_table
+from ..stages.reassemble import reassemble
+from .extraction import extraction_pipeline
+
+QUERY_NUM_BUCKETS = 32
+
+
+def extraction_query(model: str):
+    def run(sf_dir: str):
+        path = build_spans_table(sf_dir)
+        ds = extraction_pipeline(
+            path, models=(model,), num_buckets=QUERY_NUM_BUCKETS
+        )
+
+        def finalize(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                    "model": batch["model"],
+                    "plaintext": pc.cast(batch["plaintext"], pa.string()),
+                }
+            )
+
+        return ds.map_batches(finalize, batch_format="pyarrow")
+
+    run.__name__ = f"extract_{model}"
+    return run
+
+
+def media_spans(sf_dir: str):
+    """The media-span path end-to-end: reassembly collects 'media' spans in
+    offset order; the layout-parse stage emits deterministic text."""
+    path = build_spans_table(sf_dir)
+    ds = ray.data.read_parquet(path)
+    assembled = reassemble(ds, num_buckets=QUERY_NUM_BUCKETS)
+
+    def emit(batch: pa.Table) -> pa.Table:
+        doc_ids, refs_col = (
+            batch.column("doc_id").to_pylist(),
+            batch.column("media_refs").to_pylist(),
+        )
+        out_id, out_ref, out_text = [], [], []
+        for did, refs in zip(doc_ids, refs_col):
+            for ref in refs or []:
+                out_id.append(int(did))
+                out_ref.append(ref)
+                out_text.append(parse_media(ref))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "media_ref": pa.array(out_ref, pa.string()),
+                "media_text": pa.array(out_text, pa.string()),
+            }
+        )
+
+    return assembled.map_batches(emit, batch_format="pyarrow")
+
+
+def extraction_queries() -> dict:
+    from ..functions.extractors import list_extractors
+
+    q = {f"extract_{m}": extraction_query(m) for m in list_extractors()}
+    q["media_spans"] = media_spans
+    return q
