@@ -30,19 +30,25 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from web_content_extraction_benchmark_ray.pipelines.queries import (
+        eval_queries,
         extraction_queries,
     )
 
     out: dict[str, Callable[[str], Any]] = {}
     out.update(extraction_queries())
+    out.update(eval_queries())
     return out
 
 
 def oracle_sql() -> dict[str, str]:
     from web_content_extraction_benchmark_ray.pipelines.oracles import (
+        complexity_oracle_sql,
+        eval_oracle_sql,
         extraction_oracle_sql,
     )
 
     out: dict[str, str] = {}
     out.update(extraction_oracle_sql())
+    out.update(eval_oracle_sql())
+    out.update(complexity_oracle_sql())
     return out

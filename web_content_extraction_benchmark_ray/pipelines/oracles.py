@@ -13,12 +13,29 @@ drift apart.
 """
 from __future__ import annotations
 
+from ..functions.text import tokenize_words, tokenize_ws
 from ..sources import pagegen as pg
 
 _NAV = " ".join(pg.NAV_ITEMS)
 _ASIDE = " ".join(pg.ASIDE_ITEMS)
 _REPLY = " ".join(pg.REPLY_ITEMS)
 _FOOT = " ".join(pg.FOOTER_LINKS) + " " + pg.FOOTER_TAIL_TEXT
+
+# Token-count constants of the template, derived from the same pagegen
+# constants the renderer uses (so SQL and Python cannot drift):
+_BODY_BP = " ".join(
+    [pg.H1_TEXT] + pg.NAV_ITEMS + pg.ASIDE_ITEMS + pg.REPLY_ITEMS
+    + pg.FOOTER_LINKS + [pg.FOOTER_TAIL_TEXT]
+)
+GLUE_WS = len(tokenize_ws(pg.PAR_PREFIX)) + len(tokenize_ws(pg.PAR_SUFFIX))
+GLUE_WORDS = len(tokenize_words(pg.PAR_PREFIX)) + len(tokenize_words(pg.PAR_SUFFIX))
+BP_WS_BODY = len(tokenize_ws(_BODY_BP))  # boilerplate ws tokens in <body>
+BP_WS_PAGE = BP_WS_BODY + 3  # + title "Synthetic page <id>"
+BP_WORDS_BODY = len(tokenize_words(_BODY_BP))  # \w+ tokens in <body>
+# fixed tag census of the template body (verified against rendered pages in
+# tests/test_oracle_constants.py): total tags = TAGS_CONST + n_paragraphs
+TAGS_CONST = 31
+TAG_COUNTS = {"h1": 1, "a": 13, "ul": 8, "div": 2}  # 'ul' counts <li>
 
 
 def _q(s: str) -> str:
@@ -93,4 +110,118 @@ def extraction_oracle_sql() -> dict[str, str]:
         "'[media pdf://' || CAST(doc_id AS VARCHAR) || '/0 layout]' AS media_text "
         "FROM documents WHERE doc_id % 10 = 0"
     )
+    return sqls
+
+
+# ---------------------------------------------------------------------------
+# Evaluation / complexity / feature oracles.
+#
+# Independent predictions from the provable template: the truth is the main
+# paragraphs, so per-doc token counts are pure functions of the word count:
+#   nw    = ws-token count of text
+#   npars = ceil(nw / CHUNK_WORDS)
+#   m     = nw + GLUE_WS * npars           (truth token count)
+# bte output tokens == truth tokens -> rouge/levenshtein = 1.0 exactly;
+# whole_text output = truth + BP_WS_PAGE boilerplate tokens, with the truth
+# a contiguous-in-order subset -> rec = 1, prec = m / (m + BP_WS_PAGE),
+# levenshtein ratio = 2m / (2m + BP_WS_PAGE).
+
+_BASE_CTE = f"""
+WITH base AS (
+  SELECT doc_id, lang,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS nw,
+         CAST(ceil(len(regexp_split_to_array(trim(text), '\\s+')) / {float(pg.CHUNK_WORDS)}) AS BIGINT) AS npars
+  FROM documents
+),
+counts AS (
+  SELECT doc_id, lang, nw, npars, nw + {GLUE_WS} * npars AS m FROM base
+)"""
+
+_R6 = "floor({} * 1000000 + 0.5) / 1000000"
+
+
+def eval_oracle_sql() -> dict[str, str]:
+    bp = BP_WS_PAGE
+    sqls = {}
+    sqls["eval_rouge"] = _BASE_CTE + f"""
+SELECT doc_id, model, lang AS dataset, prec, rec, f1 FROM (
+  SELECT doc_id, lang, 'bte' AS model, 1.0 AS prec, 1.0 AS rec, 1.0 AS f1 FROM counts
+  UNION ALL
+  SELECT doc_id, lang, 'whole_text' AS model,
+         CAST(m AS DOUBLE) / (m + {bp}) AS prec,
+         1.0 AS rec,
+         2 * (CAST(m AS DOUBLE) / (m + {bp})) * 1.0 / ((CAST(m AS DOUBLE) / (m + {bp})) + 1.0) AS f1
+  FROM counts
+)"""
+    sqls["eval_levenshtein"] = _BASE_CTE + f"""
+SELECT doc_id, model, lang AS dataset, dist FROM (
+  SELECT doc_id, lang, 'bte' AS model, 1.0 AS dist FROM counts
+  UNION ALL
+  SELECT doc_id, lang, 'whole_text' AS model,
+         2.0 * m / (2 * m + {bp}) AS dist FROM counts
+)"""
+    rouge_f1 = (
+        f"(SELECT doc_id, lang AS dataset, 'bte' AS model, 1.0 AS f1 FROM counts "
+        f"UNION ALL "
+        f"SELECT doc_id, lang AS dataset, 'whole_text' AS model, "
+        f"2 * (CAST(m AS DOUBLE) / (m + {bp})) * 1.0 / ((CAST(m AS DOUBLE) / (m + {bp})) + 1.0) AS f1 "
+        f"FROM counts)"
+    )
+    sqls["eval_agg_by_dataset"] = _BASE_CTE + f"""
+SELECT model, dataset,
+       {_R6.format('avg(f1)')} AS mean_score,
+       {_R6.format('quantile_cont(f1, 0.5)')} AS median_score,
+       count(*) AS n
+FROM {rouge_f1} s GROUP BY model, dataset"""
+    sqls["eval_agg_micro"] = _BASE_CTE + f"""
+SELECT model,
+       {_R6.format('avg(f1)')} AS mean_score,
+       {_R6.format('quantile_cont(f1, 0.5)')} AS median_score,
+       count(*) AS n
+FROM {rouge_f1} s GROUP BY model"""
+    sqls["eval_agg_macro"] = _BASE_CTE + f"""
+SELECT model, {_R6.format('avg(mean_score)')} AS macro_mean FROM (
+  SELECT model, dataset, {_R6.format('avg(f1)')} AS mean_score
+  FROM {rouge_f1} s GROUP BY model, dataset
+) GROUP BY model"""
+    sqls["eval_quantiles"] = _BASE_CTE + f"""
+SELECT model, q, value FROM (
+  SELECT model, 0.25 AS q, {_R6.format('quantile_cont(f1, 0.25)')} AS value
+  FROM {rouge_f1} s GROUP BY model
+  UNION ALL
+  SELECT model, 0.75 AS q, {_R6.format('quantile_cont(f1, 0.75)')} AS value
+  FROM {rouge_f1} s GROUP BY model
+)"""
+    return sqls
+
+
+def complexity_oracle_sql() -> dict[str, str]:
+    t = f"(nw + {GLUE_WORDS} * npars)"  # truth \w+ tokens
+    s = f"({t} + {BP_WORDS_BODY})"  # src body \w+ tokens
+    compl = f"1.0 - least(1.0, greatest(0.0, CAST({t} AS DOUBLE) / {s}))"
+    sqls = {}
+    sqls["complexity"] = _BASE_CTE + f"""
+SELECT doc_id, lang AS dataset, {compl} AS complexity FROM counts"""
+    qlist = "[0.25, 0.33, 0.5, 0.66, 0.75]"
+    sqls["complexity_quantiles"] = _BASE_CTE + f""",
+c AS (SELECT {compl} AS complexity FROM counts),
+ql AS (SELECT quantile_cont(complexity, {qlist}) AS v FROM c)
+SELECT {qlist}[u.i] AS q, {_R6.format('v[u.i]')} AS value
+FROM ql, UNNEST(generate_series(1, 5)) AS u(i)"""
+    n_tags = f"({TAGS_CONST} + npars)"
+    feat_cols = []
+    for f in ("h1", "h2", "h3", "h4", "h5", "h6", "p", "ul", "table", "a",
+              "div", "br", "strong", "em"):
+        if f == "p":
+            expr = f"CAST(npars + 1 AS DOUBLE) / {n_tags}"
+        elif f in TAG_COUNTS:
+            expr = f"CAST({TAG_COUNTS[f]} AS DOUBLE) / {n_tags}"
+        else:
+            expr = "0.0"
+        feat_cols.append(f"{expr} AS {f}")
+    feat_cols.append(
+        f"CAST({n_tags} AS DOUBLE) / ({t} + {BP_WORDS_BODY}) AS html_to_non_html"
+    )
+    sqls["html_features"] = _BASE_CTE + f"""
+SELECT doc_id, {', '.join(feat_cols)} FROM counts"""
     return sqls

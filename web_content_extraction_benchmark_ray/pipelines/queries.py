@@ -78,3 +78,120 @@ def extraction_queries() -> dict:
     q = {f"extract_{m}": extraction_query(m) for m in list_extractors()}
     q["media_spans"] = media_spans
     return q
+
+
+# ---------------------------------------------------------------------------
+# Evaluation / complexity / feature queries
+
+_SCORES_CACHE: dict[str, str] = {}
+
+
+def _scores_parquet(sf_dir: str) -> str:
+    """Score once per sf_dir, cache as parquet under /tmp (several queries
+    consume the same scores table)."""
+    import os
+
+    if sf_dir not in _SCORES_CACHE:
+        from .evalpipe import scores_pipeline
+
+        out = f"/tmp/wceb_cache/scores-{abs(hash(os.path.abspath(sf_dir)))}"
+        if not os.path.isdir(out) or not os.listdir(out):
+            scores_pipeline(sf_dir).write_parquet(out)
+        _SCORES_CACHE[sf_dir] = out
+    return _SCORES_CACHE[sf_dir]
+
+
+def _scores_ds(sf_dir: str):
+    return ray.data.read_parquet(_scores_parquet(sf_dir))
+
+
+def eval_rouge(sf_dir: str):
+    ds = _scores_ds(sf_dir)
+
+    def proj(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["scorer"], "rouge"))
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "model": t["model"],
+                "dataset": t["dataset"],
+                "prec": t["prec"],
+                "rec": t["rec"],
+                "f1": t["f1"],
+            }
+        )
+
+    return ds.map_batches(proj, batch_format="pyarrow")
+
+
+def eval_levenshtein(sf_dir: str):
+    ds = _scores_ds(sf_dir)
+
+    def proj(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["scorer"], "levenshtein"))
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "model": t["model"],
+                "dataset": t["dataset"],
+                "dist": t["dist"],
+            }
+        )
+
+    return ds.map_batches(proj, batch_format="pyarrow")
+
+
+def eval_agg_by_dataset(sf_dir: str):
+    from .evalpipe import agg_scores_by_dataset
+
+    return agg_scores_by_dataset(_scores_ds(sf_dir))
+
+
+def eval_agg_micro(sf_dir: str):
+    from .evalpipe import agg_scores_micro
+
+    return agg_scores_micro(_scores_ds(sf_dir))
+
+
+def eval_agg_macro(sf_dir: str):
+    from .evalpipe import agg_scores_macro
+
+    return agg_scores_macro(_scores_ds(sf_dir))
+
+
+def eval_quantiles(sf_dir: str):
+    from .evalpipe import agg_quantiles
+
+    return agg_quantiles(_scores_ds(sf_dir))
+
+
+def complexity(sf_dir: str):
+    from .complexity import complexity_pipeline
+
+    return complexity_pipeline(sf_dir)
+
+
+def complexity_quantiles(sf_dir: str):
+    from .complexity import complexity_quantiles as cq
+
+    return cq(sf_dir)
+
+
+def html_features(sf_dir: str):
+    from .complexity import features_pipeline
+
+    return features_pipeline(sf_dir)
+
+
+def eval_queries() -> dict:
+    return {
+        "eval_rouge": eval_rouge,
+        "eval_levenshtein": eval_levenshtein,
+        "eval_agg_by_dataset": eval_agg_by_dataset,
+        "eval_agg_micro": eval_agg_micro,
+        "eval_agg_macro": eval_agg_macro,
+        "eval_quantiles": eval_quantiles,
+        "complexity": complexity,
+        "complexity_quantiles": complexity_quantiles,
+        "html_features": html_features,
+    }
