@@ -1,0 +1,177 @@
+#!/usr/bin/env python
+"""Benchmark harness for the Ray-Data extraction engine.
+
+Runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) in a fresh local Ray session and prints ONE JSON
+line: ``{"metric": ..., "value": total_sec, "unit": "sec", "queries":
+{name: sec, ...}, "sf": ..., "num_cpus": N, ...}``.
+
+``--scaling`` evidences the north rule's two-cluster-size criterion inside
+this single-node sandbox: the SAME headline job runs in two fresh
+processes at ``num_cpus=8`` and ``num_cpus=32`` on identical input, and the
+report includes docs/sec at both plus scaling efficiency
+``(thr_4N / thr_N) / 4`` (target >= 0.8).  Results are recorded in
+BASELINE.md.
+
+Only this script (and the pytest fixture / CLI) own a Ray session;
+the library and ``__ray_entry__.py`` never call ``ray.init``.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+DEFAULT_SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32") or "32")
+
+HEADLINE_MODELS = ("bte", "justext", "density", "readability", "tagclean")
+
+
+def _consume(ds) -> int:
+    """Execute a lazy Dataset fully and return its row count."""
+    n = 0
+    for batch in ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        n += batch.num_rows
+    return n
+
+
+def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local", num_cpus=num_cpus, include_dashboard=False,
+            logging_level="ERROR",
+        )
+    import pyarrow.parquet as pq
+
+    from web_content_extraction_benchmark_ray.pipelines.extraction import (
+        extraction_pipeline,
+    )
+    from web_content_extraction_benchmark_ray.sources.synth import (
+        build_spans_table,
+    )
+
+    n_docs = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")
+    ).metadata.num_rows
+    # synthesize (cached) OUTSIDE the timed region — it is test input, not
+    # pipeline work
+    spans_path = build_spans_table(sf_dir)
+
+    timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
+
+    def timed(name, thunk):
+        t0 = time.perf_counter()
+        counts[name] = thunk()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # headline: reassembly shuffle + 5-model extraction over every doc
+    timed(
+        "extract_multi",
+        lambda: _consume(
+            extraction_pipeline(
+                spans_path, models=HEADLINE_MODELS, batch_size=32
+            )
+        ),
+    )
+
+    if not headline_only:
+        from web_content_extraction_benchmark_ray.pipelines import queries as q
+
+        timed("eval_scores", lambda: _consume(q.eval_rouge(sf_dir)))
+        timed("eval_agg", lambda: _consume(q.eval_agg_by_dataset(sf_dir)))
+        timed("complexity", lambda: _consume(q.complexity(sf_dir)))
+        timed("html_features", lambda: _consume(q.html_features(sf_dir)))
+        try:
+            from web_content_extraction_benchmark_ray.pipelines import dataops as d
+
+            timed("dedup_exact", lambda: _consume(d.dedup_exact(sf_dir)))
+            timed("dedup_minhash", lambda: _consume(d.dedup_minhash_pairs(sf_dir)))
+            timed("knn_cosine", lambda: _consume(d.knn_cosine(sf_dir)))
+            timed("text_quality", lambda: _consume(d.text_quality(sf_dir)))
+        except ImportError:
+            pass
+
+    extract_sec = timings["extract_multi"]
+    docs_per_sec = round(n_docs / extract_sec, 2) if extract_sec else 0.0
+    total = round(sum(timings.values()), 3)
+    return {
+        "metric": "wceb_ray_pipelines_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "n_docs": n_docs,
+        "docs_per_sec_extract": docs_per_sec,
+        "rows": counts,
+    }
+
+
+def run_scaling(sf_dir: str, lo: int, hi: int) -> dict:
+    """Same headline job at two parallelism levels in FRESH processes."""
+    results = {}
+    for cpus in (lo, hi):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--single",
+             "--headline-only", "--num-cpus", str(cpus), "--sf-dir", sf_dir],
+            capture_output=True, text=True, timeout=3600,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        last = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
+        if not last:
+            raise RuntimeError(
+                f"scaling run at num_cpus={cpus} produced no JSON; "
+                f"stderr tail: {proc.stderr[-2000:]}"
+            )
+        results[cpus] = json.loads(last[-1])
+    thr_lo = results[lo]["docs_per_sec_extract"]
+    thr_hi = results[hi]["docs_per_sec_extract"]
+    eff = round((thr_hi / thr_lo) / (hi / lo), 3) if thr_lo else 0.0
+    return {
+        "metric": "scaling_efficiency",
+        "value": eff,
+        "unit": "ratio",
+        "queries": {
+            f"extract_multi@{lo}cpus": results[lo]["queries"]["extract_multi"],
+            f"extract_multi@{hi}cpus": results[hi]["queries"]["extract_multi"],
+        },
+        "sf": sf_dir,
+        "num_cpus": hi,
+        "docs_per_sec": {str(lo): thr_lo, str(hi): thr_hi},
+        "target": 0.8,
+        "pass": eff >= 0.8,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    ap.add_argument("--num-cpus", type=int, default=DEFAULT_CPUS)
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--scaling-cpus", default="8,32")
+    ap.add_argument("--headline-only", action="store_true")
+    ap.add_argument("--single", action="store_true",
+                    help="internal: one fresh-session bench run")
+    args = ap.parse_args()
+
+    if args.scaling:
+        lo, hi = (int(x) for x in args.scaling_cpus.split(","))
+        out = run_scaling(args.sf_dir, lo, hi)
+    else:
+        out = run_bench(args.sf_dir, args.num_cpus,
+                        headline_only=args.headline_only)
+        import ray
+
+        ray.shutdown()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
