@@ -34,9 +34,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         extraction_queries,
     )
 
+    from web_content_extraction_benchmark_ray.pipelines.dataops import (
+        dataops_queries,
+    )
+
     out: dict[str, Callable[[str], Any]] = {}
     out.update(extraction_queries())
     out.update(eval_queries())
+    out.update(dataops_queries())
     return out
 
 
@@ -47,8 +52,13 @@ def oracle_sql() -> dict[str, str]:
         extraction_oracle_sql,
     )
 
+    from web_content_extraction_benchmark_ray.pipelines.dataops_oracles import (
+        dataops_oracle_sql,
+    )
+
     out: dict[str, str] = {}
     out.update(extraction_oracle_sql())
     out.update(eval_oracle_sql())
     out.update(complexity_oracle_sql())
+    out.update(dataops_oracle_sql())
     return out

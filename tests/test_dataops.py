@@ -1,0 +1,264 @@
+"""Training-data operator tests: hashing primitive parity with DuckDB,
+algorithm properties (hypothesis), and Ray e2e behavior of the dedup /
+similarity-search / text-analysis pipelines on controlled inputs."""
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from web_content_extraction_benchmark_ray.functions.hashing import (
+    MERSENNE_P,
+    MINHASH_K,
+    band_keys,
+    est_jaccard,
+    fingerprint_digest,
+    hash60,
+    minhash_signature,
+    shingles,
+    simhash60,
+    simhash_hex,
+    winnow_fingerprints,
+)
+from web_content_extraction_benchmark_ray.functions.textstats import (
+    LANGS,
+    lang_id,
+    quality_features,
+    token_counts,
+)
+
+texts = st.text(
+    alphabet=st.sampled_from(list("abcdef ")), min_size=0, max_size=120
+)
+
+
+# ------------------------------------------------------------ SQL hash parity
+@given(st.text(alphabet=st.characters(codec="utf-8"), max_size=40))
+@settings(max_examples=60, deadline=None)
+def test_hash60_matches_duckdb(s):
+    con = duckdb.connect()
+    got = con.execute(
+        "select ('0x' || substr(md5(?), 1, 15))::BIGINT", [s]
+    ).fetchone()[0]
+    assert got == hash60(s)
+
+
+# ----------------------------------------------------------- minhash/jaccard
+def test_minhash_identical_texts_identical_signature():
+    a = minhash_signature("the quick brown fox jumps over the lazy dog")
+    b = minhash_signature("the quick  brown fox jumps over the lazy dog")
+    assert np.array_equal(a, b)  # ws-tokenized: extra space is irrelevant
+    assert band_keys(a) == band_keys(b)
+    assert est_jaccard(a, b) == 1.0
+
+
+def test_minhash_near_dup_high_overlap():
+    base = " ".join(f"w{i}" for i in range(60))
+    near = " ".join(f"w{i}" for i in range(59))  # drop last word
+    est = est_jaccard(minhash_signature(base), minhash_signature(near))
+    assert est >= 0.5  # true jaccard ~0.966
+
+
+def test_minhash_disjoint_low_overlap():
+    a = minhash_signature(" ".join(f"a{i}" for i in range(50)))
+    b = minhash_signature(" ".join(f"b{i}" for i in range(50)))
+    assert est_jaccard(a, b) <= 0.25
+
+
+@given(texts)
+@settings(max_examples=50, deadline=None)
+def test_minhash_signature_in_range(t):
+    sig = minhash_signature(t)
+    assert sig.shape == (MINHASH_K,)
+    assert ((sig >= 0) & (sig <= MERSENNE_P)).all()
+
+
+# ----------------------------------------------------------------- simhash
+def test_simhash_exact_dup_zero_hamming():
+    a, b = simhash60("alpha beta gamma delta"), simhash60("alpha beta gamma delta")
+    assert a == b
+    assert len(simhash_hex("alpha beta gamma delta")) == 15
+
+
+def test_simhash_near_dup_small_hamming():
+    base = " ".join(f"w{i}" for i in range(60))
+    near = base + " extra"
+    ham = bin(simhash60(base) ^ simhash60(near)).count("1")
+    assert ham <= 8
+
+
+def test_simhash_different_texts_large_hamming():
+    a = simhash60(" ".join(f"a{i}" for i in range(50)))
+    b = simhash60(" ".join(f"b{i}" for i in range(50)))
+    assert bin(a ^ b).count("1") > 10
+
+
+# --------------------------------------------------------------- winnowing
+def test_winnow_contains_global_min_and_dedups():
+    t = "abcdefghijabcdefghij" * 3
+    fps = winnow_fingerprints(t)
+    assert fps == sorted(set(fps))
+    all_h = [hash60(t[i : i + 8]) for i in range(len(t) - 7)]
+    assert min(all_h) in fps  # the global min survives any windowing
+    assert fingerprint_digest(fps) == fingerprint_digest(list(fps))
+
+
+@given(texts)
+@settings(max_examples=50, deadline=None)
+def test_winnow_subset_of_kgram_hashes(t):
+    fps = winnow_fingerprints(t)
+    if len(t) < 8:
+        assert fps == ([hash60(t)] if t else [])
+    else:
+        all_h = {hash60(t[i : i + 8]) for i in range(len(t) - 7)}
+        assert set(fps) <= all_h
+
+
+# ------------------------------------------------------------ text analysis
+def test_token_counts():
+    assert token_counts("a b  c") == (3, 3, 3)
+    assert token_counts("") == (0, 0, 0)
+    assert token_counts("a, b!") == (2, 2, 4)
+
+
+def test_quality_features_bounds():
+    q = quality_features("the cat sat on the mat " * 20)
+    assert 0.0 <= q["quality"] <= 1.0
+    assert q["n_ws"] == 120
+    assert quality_features("")["quality"] == pytest.approx(0.2)
+
+
+def test_lang_id_deterministic_and_tie_break():
+    lang, ratio = lang_id("alpha beta gamma delta epsilon zeta")
+    assert lang in LANGS and 0 < ratio <= 1.0
+    assert lang_id("") == ("und", 0.0)
+    assert lang_id("xyz") == lang_id("xyz")  # deterministic
+
+
+# ------------------------------------------------------------------ Ray e2e
+def _docs_ds(ray, rows):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+    )
+
+
+def test_dedup_exact_survivors(ray_session):
+    from web_content_extraction_benchmark_ray.stages.dedup import dedup_exact
+
+    rows = [(1, "aa"), (2, "bb"), (7, "aa"), (3, "aa"), (9, "cc"), (8, "bb")]
+    out = dedup_exact(_docs_ds(ray_session, rows)).to_pandas()
+    assert sorted(out["doc_id"]) == [1, 2, 9]
+
+
+def test_dedup_minhash_finds_planted_pair(ray_session):
+    from web_content_extraction_benchmark_ray.stages.dedup import (
+        dedup_minhash_pairs,
+    )
+
+    base = " ".join(f"w{i}" for i in range(80))
+    rows = [(1, base), (2, base + " tail"), (3, " ".join(f"z{i}" for i in range(80)))]
+    out = dedup_minhash_pairs(_docs_ds(ray_session, rows)).to_pandas()
+    pairs = set(zip(out["doc_id_a"], out["doc_id_b"]))
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_dedup_simhash_pairs_catches_exact_dup(ray_session):
+    from web_content_extraction_benchmark_ray.stages.dedup import (
+        dedup_simhash_pairs,
+    )
+
+    base = " ".join(f"w{i}" for i in range(60))
+    rows = [(1, base), (5, base), (9, " ".join(f"q{i}" for i in range(60)))]
+    out = dedup_simhash_pairs(_docs_ds(ray_session, rows)).to_pandas()
+    assert (1, 5) in set(zip(out["doc_id_a"], out["doc_id_b"]))
+
+
+def test_ngram_jaccard_exact_values(ray_session):
+    from web_content_extraction_benchmark_ray.stages.dedup import (
+        dedup_ngram_jaccard,
+    )
+
+    base = " ".join(f"w{i}" for i in range(10))  # 8 distinct shingles
+    rows = [(1, base), (2, base)]
+    out = dedup_ngram_jaccard(_docs_ds(ray_session, rows)).to_pandas()
+    assert len(out) == 1
+    assert out["jaccard"][0] == 1.0
+
+
+def test_knn_bruteforce_equals_ivf_and_numpy(ray_session):
+    import ray
+
+    from web_content_extraction_benchmark_ray.stages.simsearch import (
+        KNN_K,
+        knn_bruteforce,
+        knn_ivf,
+    )
+
+    rng = np.random.default_rng(7)
+    n, d = 120, 16
+    mat = rng.normal(size=(n, d)).astype(np.float32)
+    ids = np.arange(n, dtype=np.int64)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(mat.tolist(), pa.list_(pa.float32())),
+                "label": pa.array((ids % 4).astype(np.int32), pa.int32()),
+            }
+        )
+    )
+    qids = np.array([0, 1], dtype=np.int64)
+    qref = ray.put((qids, mat[:2].astype(np.float64)))
+    bf = (
+        knn_bruteforce(ds, qref, batch_size=32)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    ivf = (
+        knn_ivf(ds, qref)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert bf[["query_id", "vec_id", "rank"]].equals(
+        ivf[["query_id", "vec_id", "rank"]]
+    )
+    # numpy oracle for query 0
+    m64 = mat.astype(np.float64)
+    norm = m64 / np.linalg.norm(m64, axis=1, keepdims=True)
+    cos = np.floor((norm @ norm[0]) * 1e6 + 0.5) / 1e6
+    cos[0] = -2  # exclude self
+    order = np.lexsort((ids, -cos))[:KNN_K]
+    got = bf[bf["query_id"] == 0]["vec_id"].tolist()
+    assert got == [int(v) for v in order]
+
+
+def test_media_decode_stage_plumbing(ray_session):
+    import ray
+
+    from web_content_extraction_benchmark_ray.stages.media import decode_media
+    from web_content_extraction_benchmark_ray.functions.hashing import hash60
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "media_ref": pa.array(["pdf://1/0", "img://2/1"], pa.string()),
+                "payload": pa.array([b"\x00" * 32, b"\xff" * 7], pa.binary()),
+            }
+        )
+    )
+    out = decode_media(ds).to_pandas().sort_values("media_ref").reset_index(drop=True)
+    assert out["n_bytes"].tolist() == [7, 32]
+    h = hash60("pdf://1/0")
+    row = out[out["media_ref"] == "pdf://1/0"].iloc[0]
+    assert row["width"] == 1 + h % 1024
+    assert row["height"] == 1 + (h >> 10) % 1024
+    assert (out["error"] == "").all()

@@ -47,6 +47,15 @@ def sub_common_entities(text: str) -> str:
     return text
 
 
+def round6(x: float) -> float:
+    """floor(x*1e6 + 0.5)/1e6 — the SQL-twin rounding used by every oracle
+    (Python round() is half-even, DuckDB round() is half-away; this
+    multiply-floor form is bit-identical in both engines)."""
+    import math
+
+    return math.floor(x * 1000000 + 0.5) / 1000000
+
+
 def sha256_hex(data: bytes | str) -> str:
     """Content-hash identity for documents (dataset_readers.py:74-95)."""
     if isinstance(data, str):

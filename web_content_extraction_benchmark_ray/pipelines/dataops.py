@@ -1,0 +1,262 @@
+"""Training-data operator queries over the ``documents`` / ``embeddings``
+tables: dedup family, similarity search, text analysis, multimodal decode.
+
+Each callable takes ``sf_dir`` and returns a lazy Dataset whose columns
+exactly match its DuckDB oracle (pipelines/dataops_oracles.py).
+
+The corpus has no duplicates, so the dedup queries operate on a
+deterministically AUGMENTED view (exact copies of every 10th doc at
+doc_id+2e6, last-word-dropped near-dups of every 20th at doc_id+1e6;
+every 25th embedding copied at vec_id+1e6) — the oracle SQL builds the
+identical view in a CTE, so the checks exercise real dup/near-dup
+recall, not empty result sets.
+"""
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..functions.hashing import hash60
+from ..functions.text import tokenize_ws
+from ..functions.textstats import lang_id, quality_features, token_counts
+from ..stages import dedup as dd
+from ..stages import simsearch as ss
+from ..stages.media import decode_media
+
+EXACT_COPY_EVERY = 10
+EXACT_COPY_OFFSET = 2_000_000
+NEAR_DUP_EVERY = 20
+NEAR_DUP_OFFSET = 1_000_000
+EMB_COPY_EVERY = 25
+EMB_COPY_OFFSET = 1_000_000
+MEDIA_EVERY = 10
+
+
+def _docs(sf_dir: str):
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+
+def _augment_docs(batch: pa.Table) -> pa.Table:
+    """Originals + deterministic exact/near-dup copies (single pass)."""
+    ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    out_id, out_text = list(ids), list(texts)
+    for i, t in zip(ids, texts):
+        if i % EXACT_COPY_EVERY == 0:
+            out_id.append(i + EXACT_COPY_OFFSET)
+            out_text.append(t)
+        if i % NEAR_DUP_EVERY == 0:
+            out_id.append(i + NEAR_DUP_OFFSET)
+            out_text.append(" ".join(tokenize_ws(t)[:-1]))
+    return pa.table(
+        {
+            "doc_id": pa.array(out_id, pa.int64()),
+            "text": pa.array(out_text, pa.string()),
+        }
+    )
+
+
+def _aug_docs(sf_dir: str):
+    return _docs(sf_dir).map_batches(_augment_docs, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------- dedup
+def dedup_exact(sf_dir: str):
+    return dd.dedup_exact(_aug_docs(sf_dir))
+
+
+def dedup_minhash_pairs(sf_dir: str):
+    return dd.dedup_minhash_pairs(_aug_docs(sf_dir))
+
+
+def dedup_simhash(sf_dir: str):
+    return dd.dedup_simhash(_aug_docs(sf_dir))
+
+
+def dedup_simhash_pairs(sf_dir: str):
+    return dd.dedup_simhash_pairs(_aug_docs(sf_dir))
+
+
+def dedup_ngram_jaccard(sf_dir: str):
+    return dd.dedup_ngram_jaccard(_aug_docs(sf_dir))
+
+
+# -------------------------------------------------------- similarity search
+def _emb(sf_dir: str):
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding", "label"],
+    )
+
+
+def _augment_emb(batch: pa.Table) -> pa.Table:
+    ids = batch.column("vec_id").to_pylist()
+    embs = batch.column("embedding").to_pylist()
+    out_id, out_emb = list(ids), list(embs)
+    for i, e in zip(ids, embs):
+        if i % EMB_COPY_EVERY == 0:
+            out_id.append(i + EMB_COPY_OFFSET)
+            out_emb.append(e)
+    return pa.table(
+        {
+            "vec_id": pa.array(out_id, pa.int64()),
+            "embedding": pa.array(out_emb, pa.list_(pa.float32())),
+        }
+    )
+
+
+def knn_cosine(sf_dir: str):
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    queries_ref = ray.put(ss.load_query_matrix(path))
+    return ss.knn_bruteforce(_emb(sf_dir), queries_ref).drop_columns(["cos_r"])
+
+
+def knn_ivf(sf_dir: str):
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    queries_ref = ray.put(ss.load_query_matrix(path))
+    return ss.knn_ivf(_emb(sf_dir), queries_ref).drop_columns(["cos_r"])
+
+
+def embedding_dup_pairs(sf_dir: str):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    # broadcast the (augmented) corpus matrix once
+    t = pq.read_table(path, columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_pylist()
+    embs = t.column("embedding").to_pylist()
+    aug_ids = list(ids) + [
+        i + EMB_COPY_OFFSET for i in ids if i % EMB_COPY_EVERY == 0
+    ]
+    aug_embs = list(embs) + [
+        e for i, e in zip(ids, embs) if i % EMB_COPY_EVERY == 0
+    ]
+    corpus_ref = ray.put(
+        (np.asarray(aug_ids, dtype=np.int64), np.array(aug_embs, dtype=np.float64))
+    )
+    ds = _emb(sf_dir).map_batches(_augment_emb, batch_format="pyarrow")
+    return ss.cosine_dup_pairs(ds, corpus_ref)
+
+
+# ------------------------------------------------------------ text analysis
+def token_count(sf_dir: str):
+    def stats(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        rows = [token_counts(t) for t in batch.column("text").to_pylist()]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_ws": pa.array([r[0] for r in rows], pa.int64()),
+                "n_words": pa.array([r[1] for r in rows], pa.int64()),
+                "n_bpe": pa.array([r[2] for r in rows], pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(stats, batch_format="pyarrow")
+
+
+def text_quality(sf_dir: str):
+    def stats(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        rows = [quality_features(t) for t in batch.column("text").to_pylist()]
+        cols: dict = {"doc_id": pa.array(ids, pa.int64())}
+        for k, typ in (
+            ("n_chars", pa.int64()),
+            ("n_ws", pa.int64()),
+            ("stop_ratio", pa.float64()),
+            ("punct_ratio", pa.float64()),
+            ("mean_word_len", pa.float64()),
+            ("quality", pa.float64()),
+        ):
+            cols[k] = pa.array([r[k] for r in rows], typ)
+        return pa.table(cols)
+
+    return _docs(sf_dir).map_batches(stats, batch_format="pyarrow")
+
+
+def lang_id_q(sf_dir: str):
+    def stats(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        rows = [lang_id(t) for t in batch.column("text").to_pylist()]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "lang_pred": pa.array([r[0] for r in rows], pa.string()),
+                "vote_ratio": pa.array([r[1] for r in rows], pa.float64()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(stats, batch_format="pyarrow")
+
+
+def doc_fingerprint(sf_dir: str):
+    from ..functions.hashing import fingerprint_digest, winnow_fingerprints
+
+    def stats(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        out_n, out_d = [], []
+        for t in batch.column("text").to_pylist():
+            fps = winnow_fingerprints(t)
+            out_n.append(len(fps))
+            out_d.append(fingerprint_digest(fps))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_fp": pa.array(out_n, pa.int64()),
+                "fp_digest": pa.array(out_d, pa.string()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(stats, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------- multimodal
+def _media_payload_rows(batch: pa.Table) -> pa.Table:
+    """Synthesize the media side-table (every 10th doc carries one payload;
+    payload bytes are md5(ref) repeated — deterministic, oracle-computable)."""
+    import hashlib
+
+    refs, payloads = [], []
+    for i in batch.column("doc_id").to_pylist():
+        if i % MEDIA_EVERY == 0:
+            ref = f"pdf://{i}/0"
+            refs.append(ref)
+            payloads.append(
+                hashlib.md5(ref.encode()).digest() * (4 + i % 13)
+            )
+    return pa.table(
+        {
+            "media_ref": pa.array(refs, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+
+
+def media_features(sf_dir: str):
+    ds = _docs(sf_dir).map_batches(_media_payload_rows, batch_format="pyarrow")
+    decoded = decode_media(ds)
+    return decoded.drop_columns(["error"])
+
+
+def dataops_queries() -> dict:
+    return {
+        "dedup_exact": dedup_exact,
+        "dedup_minhash_pairs": dedup_minhash_pairs,
+        "dedup_simhash": dedup_simhash,
+        "dedup_simhash_pairs": dedup_simhash_pairs,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "knn_cosine": knn_cosine,
+        "knn_ivf": knn_ivf,
+        "embedding_dup_pairs": embedding_dup_pairs,
+        "token_count": token_count,
+        "text_quality": text_quality,
+        "lang_id": lang_id_q,
+        "doc_fingerprint": doc_fingerprint,
+        "media_features": media_features,
+    }

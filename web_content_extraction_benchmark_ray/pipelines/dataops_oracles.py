@@ -1,0 +1,306 @@
+"""DuckDB oracle SQL for the training-data operators (pipelines/dataops.py).
+
+Every numeric constant and hash construction is generated from the SAME
+Python module constants the Ray stages use (functions/hashing.py,
+functions/textstats.py), so SQL and Python cannot drift:
+
+- hash60(s)  -> ('0x' || substr(md5(s), 1, 15))::BIGINT
+- minhash    -> min((a_i * (h % P) + b_i) % P) with the a_i/b_i VALUES list
+                emitted from ``minhash_coeffs()``
+- simhash    -> 60-bit sum of sign bits, printed with printf('%015x', v)
+- winnowing  -> window min over ROWS BETWEEN w-1 PRECEDING AND CURRENT ROW
+
+Corpus-shape assumptions (hold for the driver's synthetic tables, noted
+where they matter): no empty documents, no documents shorter than the
+winnowing k-gram width.
+"""
+from __future__ import annotations
+
+from ..functions.hashing import (
+    MERSENNE_P,
+    MINHASH_K,
+    MINHASH_ROWS,
+    SHINGLE_W,
+    WINNOW_K,
+    WINNOW_W,
+    minhash_coeffs,
+)
+from ..functions.textstats import LANGS, STOPWORDS
+from ..stages.dedup import (
+    JACCARD_THRESHOLD,
+    MINHASH_THRESHOLD,
+    SIMHASH_BAND_BITS,
+    SIMHASH_MAX_HAMMING,
+    SIMHASH_NUM_BANDS,
+)
+from ..stages.simsearch import COS_DUP_THRESHOLD, KNN_K, N_QUERIES
+from .dataops import (
+    EMB_COPY_EVERY,
+    EMB_COPY_OFFSET,
+    EXACT_COPY_EVERY,
+    EXACT_COPY_OFFSET,
+    MEDIA_EVERY,
+    NEAR_DUP_EVERY,
+    NEAR_DUP_OFFSET,
+)
+
+_H60 = "('0x' || substr(md5({}), 1, 15))::BIGINT"
+
+# The augmented documents view (dataops._augment_docs's SQL twin).
+_AUG = f"""
+aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {EXACT_COPY_OFFSET} AS doc_id, text
+  FROM documents WHERE doc_id % {EXACT_COPY_EVERY} = 0
+  UNION ALL
+  SELECT doc_id + {NEAR_DUP_OFFSET} AS doc_id,
+         array_to_string(l[1:len(l) - 1], ' ') AS text
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS l
+        FROM documents)
+  WHERE doc_id % {NEAR_DUP_EVERY} = 0
+)"""
+
+# Distinct word-SHINGLE_W-grams of the augmented view, with reduced hash.
+_SHINGLES = f"""
+toks AS (
+  SELECT doc_id, l, len(l) AS nt
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS l
+        FROM aug)
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN nt < {SHINGLE_W} THEN array_to_string(l, ' ')
+              ELSE l[i] || ' ' || l[i + 1] || ' ' || l[i + 2] END AS s
+  FROM toks,
+       UNNEST(generate_series(1, greatest(nt - {SHINGLE_W - 1}, 1))) AS u(i)
+),
+shh AS (
+  SELECT DISTINCT doc_id, {_H60.format('s')} % {MERSENNE_P} AS hp FROM sh
+)"""
+
+
+def _seeds_values() -> str:
+    a, b = minhash_coeffs()
+    rows = ", ".join(f"({i}, {a[i]}, {b[i]})" for i in range(MINHASH_K))
+    return f"seeds(i, a, b) AS (SELECT * FROM (VALUES {rows}))"
+
+
+def dataops_oracle_sql() -> dict[str, str]:
+    sqls: dict[str, str] = {}
+
+    sqls["dedup_exact"] = f"""WITH {_AUG.strip()}
+SELECT min(doc_id) AS doc_id FROM aug GROUP BY md5(text)"""
+
+    sqls["dedup_minhash_pairs"] = f"""WITH {_AUG.strip()},
+{_SHINGLES.strip()},
+{_seeds_values()},
+mh AS (
+  SELECT doc_id, i, min((a * hp + b) % {MERSENNE_P}) AS mh
+  FROM shh, seeds GROUP BY doc_id, i
+),
+bands AS (
+  SELECT doc_id, i // {MINHASH_ROWS} AS band_id,
+         substr(md5(CAST(i // {MINHASH_ROWS} AS VARCHAR) || ':' ||
+                    string_agg(CAST(mh AS VARCHAR), '-' ORDER BY i)), 1, 16)
+           AS band_key
+  FROM mh GROUP BY doc_id, i // {MINHASH_ROWS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+matches AS (
+  SELECT c.da, c.db, sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS m
+  FROM cand c
+  JOIN mh x ON x.doc_id = c.da
+  JOIN mh y ON y.doc_id = c.db AND y.i = x.i
+  GROUP BY c.da, c.db
+)
+SELECT da AS doc_id_a, db AS doc_id_b,
+       floor((m / {float(MINHASH_K)}) * 1000000 + 0.5) / 1000000 AS est_jaccard
+FROM matches WHERE m / {float(MINHASH_K)} >= {MINHASH_THRESHOLD}"""
+
+    _sim = f"""
+words AS (
+  SELECT doc_id, tok, count(*) AS c
+  FROM (SELECT doc_id, u.tok
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS l
+              FROM aug) t, UNNEST(l) AS u(tok))
+  GROUP BY doc_id, tok
+),
+bits AS (
+  SELECT doc_id, p, sum(c * (2 * ((h >> p) & 1) - 1)) AS s
+  FROM (SELECT doc_id, c, {_H60.format('tok')} AS h FROM words),
+       UNNEST(generate_series(0, 59)) AS g(p)
+  GROUP BY doc_id, p
+),
+sim AS (
+  SELECT doc_id,
+         sum(CASE WHEN s > 0 THEN (1::BIGINT << p) ELSE 0 END) AS v
+  FROM bits GROUP BY doc_id
+)"""
+
+    sqls["dedup_simhash"] = f"""WITH {_AUG.strip()},
+{_sim.strip()}
+SELECT doc_id, printf('%015x', v::BIGINT) AS simhash FROM sim"""
+
+    sqls["dedup_simhash_pairs"] = f"""WITH {_AUG.strip()},
+{_sim.strip()},
+simbands AS (
+  SELECT doc_id, v, j,
+         (v >> ({SIMHASH_BAND_BITS} * j)) & {(1 << SIMHASH_BAND_BITS) - 1} AS bv
+  FROM sim, UNNEST(generate_series(0, {SIMHASH_NUM_BANDS - 1})) AS g(j)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS da, a.v AS va, b.doc_id AS db, b.v AS vb
+  FROM simbands a JOIN simbands b
+    ON a.j = b.j AND a.bv = b.bv AND a.doc_id < b.doc_id
+)
+SELECT da AS doc_id_a, db AS doc_id_b,
+       CAST(bit_count(xor(va, vb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(va, vb)) <= {SIMHASH_MAX_HAMMING}"""
+
+    sqls["dedup_ngram_jaccard"] = f"""WITH {_AUG.strip()},
+{_SHINGLES.strip()},
+ns AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+  FROM shh a JOIN shh b ON a.hp = b.hp AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT da AS doc_id_a, db AS doc_id_b,
+       floor((CAST(i AS DOUBLE) / (x.n + y.n - i)) * 1000000 + 0.5) / 1000000 AS jaccard
+FROM inter JOIN ns x ON x.doc_id = da JOIN ns y ON y.doc_id = db
+WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= {JACCARD_THRESHOLD}"""
+
+    _knn = f"""WITH q AS (
+  SELECT vec_id AS query_id, embedding FROM embeddings
+  WHERE vec_id < {N_QUERIES}
+),
+pairs AS (
+  SELECT q.query_id, e.vec_id,
+         floor(list_cosine_similarity(q.embedding::DOUBLE[],
+                                     e.embedding::DOUBLE[]) * 1000000 + 0.5)
+           / 1000000 AS c
+  FROM q, embeddings e WHERE e.vec_id <> q.query_id
+),
+r AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY c DESC, vec_id) AS rank
+  FROM pairs
+)
+SELECT query_id, vec_id, rank FROM r WHERE rank <= {KNN_K}"""
+    sqls["knn_cosine"] = _knn
+    sqls["knn_ivf"] = _knn  # nprobe = all lists -> exact
+
+    sqls["embedding_dup_pairs"] = f"""WITH emb AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {EMB_COPY_OFFSET}, embedding FROM embeddings
+  WHERE vec_id % {EMB_COPY_EVERY} = 0
+)
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+WHERE floor(list_cosine_similarity(a.embedding::DOUBLE[],
+                                  b.embedding::DOUBLE[]) * 1000000 + 0.5)
+      / 1000000 >= {COS_DUP_THRESHOLD}"""
+
+    sqls["token_count"] = r"""SELECT doc_id,
+       len(regexp_split_to_array(trim(text), '\s+')) AS n_ws,
+       len(regexp_extract_all(text, '\w+')) AS n_words,
+       len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe
+FROM documents"""
+
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    sqls["text_quality"] = f"""WITH t AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(trim(text), '\\s+') AS l
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(l) AS n_ws,
+         len(list_filter(l, x -> list_contains([{stop_list}], lower(x))))
+           AS n_stop,
+         len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+         length(array_to_string(l, '')) AS tok_chars
+  FROM t
+)
+SELECT doc_id, n_chars, n_ws,
+       floor((CAST(n_stop AS DOUBLE) / n_ws) * 1000000 + 0.5) / 1000000 AS stop_ratio,
+       floor((CAST(n_punct AS DOUBLE) / n_chars) * 1000000 + 0.5) / 1000000 AS punct_ratio,
+       floor((CAST(tok_chars AS DOUBLE) / n_ws) * 1000000 + 0.5) / 1000000 AS mean_word_len,
+       floor((0.5 * least(1.0, n_ws / 50.0)
+             + 0.3 * least(1.0, (CAST(n_stop AS DOUBLE) / n_ws) * 5.0)
+             + 0.2 * (1.0 - least(1.0, (CAST(n_punct AS DOUBLE) / n_chars)
+                                       * 10.0))) * 1000000 + 0.5) / 1000000
+         AS quality
+FROM c"""
+
+    lang_list = ", ".join(f"'{l}'" for l in LANGS)
+    lang_idx = f"({_H60.format(chr(39) + 'langlex:' + chr(39) + ' || tok')} % {len(LANGS)}) + 1"
+    sqls["lang_id"] = f"""WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS l
+  FROM documents
+),
+w AS (SELECT doc_id, u.tok FROM t, UNNEST(l) AS u(tok)),
+v AS (
+  SELECT doc_id, ([{lang_list}])[{lang_idx}] AS lang, count(*) AS c
+  FROM w GROUP BY doc_id, lang
+),
+n AS (SELECT doc_id, sum(c) AS total FROM v GROUP BY doc_id),
+r AS (
+  SELECT v.doc_id, v.lang, v.c, n.total,
+         row_number() OVER (PARTITION BY v.doc_id
+                            ORDER BY v.c DESC, v.lang) AS rn
+  FROM v JOIN n ON v.doc_id = n.doc_id
+)
+SELECT doc_id, lang AS lang_pred,
+       floor((CAST(c AS DOUBLE) / total) * 1000000 + 0.5) / 1000000 AS vote_ratio
+FROM r WHERE rn = 1"""
+
+    sqls["doc_fingerprint"] = f"""WITH t AS (
+  SELECT doc_id, text, length(text) AS n FROM documents
+),
+g AS (
+  SELECT doc_id, i,
+         {_H60.format(f'substr(text, i, {WINNOW_K})')} AS h
+  FROM t, UNNEST(generate_series(1, n - {WINNOW_K} + 1)) AS u(i)
+  WHERE n >= {WINNOW_K}
+),
+m AS (
+  SELECT doc_id, h,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN {WINNOW_W - 1} PRECEDING AND CURRENT ROW)
+           AS wmin
+  FROM g
+),
+sel AS (SELECT DISTINCT doc_id, h FROM m WHERE h = wmin)
+SELECT doc_id, count(*) AS n_fp,
+       substr(md5(string_agg(CAST(h AS VARCHAR), '-' ORDER BY h)), 1, 16)
+         AS fp_digest
+FROM sel GROUP BY doc_id"""
+
+    sqls["media_features"] = f"""WITH m AS (
+  SELECT 'pdf://' || CAST(doc_id AS VARCHAR) || '/0' AS media_ref,
+         16 * (4 + doc_id % 13) AS n_bytes
+  FROM documents WHERE doc_id % {MEDIA_EVERY} = 0
+),
+d AS (
+  SELECT media_ref, n_bytes,
+         1 + ({_H60.format('media_ref')} % 1024) AS width,
+         1 + (({_H60.format('media_ref')} >> 10) % 1024) AS height
+  FROM m
+)
+SELECT media_ref, n_bytes, width, height,
+       '[media ' || media_ref || ' ' || CAST(n_bytes AS VARCHAR) || 'B '
+       || CAST(width AS VARCHAR) || 'x' || CAST(height AS VARCHAR) || ']'
+         AS caption
+FROM d"""
+
+    return sqls

@@ -1,0 +1,96 @@
+"""Multimodal (binary-payload) decode / feature-extract stage.
+
+Media payloads are opaque ``binary`` columns with typed metadata — the
+layout a 100 TB interleaved text+media table would use.  The decode step
+itself (image resize, PDF raster, frame sampling) needs libraries this
+container does not ship, so ``MediaDecodeStage`` gates the real path
+behind an import-try and otherwise runs a clearly-marked deterministic
+fake; the Ray-side plumbing — actor-pool ``map_batches`` with small
+``batch_size`` (large payloads!), fixed Arrow output schema, per-item
+error isolation — is real and tested.
+
+Sizing note: for real image/audio payloads the operative constraint is
+``batch_size x payload x concurrency`` inside a worker heap; this stage
+defaults to batch_size=16 and documents that, unlike the text stages'
+hundreds-per-batch defaults.
+"""
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..functions.hashing import hash60
+
+MEDIA_BATCH_SIZE = 16
+
+try:  # pragma: no cover — not installed in this sandbox
+    from PIL import Image  # noqa: F401
+
+    _HAVE_PIL = True
+except ImportError:
+    _HAVE_PIL = False
+
+
+def fake_dims(media_ref: str) -> tuple[int, int]:
+    """Deterministic stand-in dimensions derived from the ref string
+    (SQL twin in dataops_oracles.py uses the same hash60 arithmetic)."""
+    h = hash60(media_ref)
+    return 1 + h % 1024, 1 + (h >> 10) % 1024
+
+
+class MediaDecodeStage:
+    """(media_ref: string, payload: binary) -> decoded feature row.
+
+    Real path (PIL present): decode image payload, report true dims.
+    Sandbox path: deterministic fake dims from the ref hash; byte length
+    is always real.  Per-item failures never fail the job (error column),
+    mirroring the extraction stage's error contract.
+    """
+
+    def __init__(self, use_real: bool | None = None):
+        self.use_real = _HAVE_PIL if use_real is None else use_real
+
+    def _decode(self, ref: str, payload: bytes) -> tuple[int, int]:
+        if self.use_real:  # pragma: no cover
+            import io
+
+            from PIL import Image
+
+            with Image.open(io.BytesIO(payload)) as im:
+                return im.width, im.height
+        return fake_dims(ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs = batch.column("media_ref").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        n_bytes, widths, heights, captions, errors = [], [], [], [], []
+        for ref, payload in zip(refs, payloads):
+            payload = payload or b""
+            try:
+                w, h = self._decode(ref, payload)
+                err = ""
+            except Exception as exc:  # never fail the job for one item
+                w, h, err = 0, 0, f"{type(exc).__name__}: {exc}"[:200]
+            n_bytes.append(len(payload))
+            widths.append(w)
+            heights.append(h)
+            captions.append(f"[media {ref} {len(payload)}B {w}x{h}]")
+            errors.append(err)
+        return pa.table(
+            {
+                "media_ref": pa.array(refs, pa.string()),
+                "n_bytes": pa.array(n_bytes, pa.int64()),
+                "width": pa.array(widths, pa.int64()),
+                "height": pa.array(heights, pa.int64()),
+                "caption": pa.array(captions, pa.string()),
+                "error": pa.array(errors, pa.string()),
+            }
+        )
+
+
+def decode_media(ds, concurrency=(1, 4), batch_size: int = MEDIA_BATCH_SIZE):
+    return ds.map_batches(
+        MediaDecodeStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -1,0 +1,185 @@
+"""Similarity search over embedding columns (list<float>).
+
+- Brute-force cosine top-k: the query matrix (small side) is broadcast
+  once via ``ray.put`` and resolved in each actor's ``__init__`` — never
+  re-shipped per batch.  Each batch does one float64 matmul against the
+  broadcast matrix (numpy), keeps a per-batch partial top-k, and a final
+  tiny ``groupby(query_id)`` merge produces the global top-k: the classic
+  combiner pattern, so the shuffle moves O(queries x k x batches) rows,
+  never the corpus.
+- IVF variant: the corpus is partitioned into coarse lists (here the
+  table's cluster ``label``; a k-means quantizer slots in the same way),
+  the partial top-k runs per list via ``groupby(label).map_groups``, and
+  probed lists' partials merge identically.  With nprobe = all lists the
+  result is exactly the brute-force answer (hash-verified against the same
+  oracle); at scale nprobe < lists trades recall for a lists/nprobe
+  scan-cost reduction.
+- Near-dup cosine pairs: every batch multiplies against the broadcast
+  normalized corpus matrix (fine while the corpus side fits a worker; the
+  scale path is LSH-bucketing first — see dedup.simhash's band pattern).
+
+Cosines are computed in float64 and rounded to 6 decimals BEFORE ranking,
+with vec_id as tie-break, so ordering is identical in numpy and DuckDB.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+KNN_K = 10
+N_QUERIES = 8  # queries = vectors with vec_id < N_QUERIES
+COS_DUP_THRESHOLD = 0.99
+
+
+def load_query_matrix(embeddings_path: str) -> tuple[np.ndarray, np.ndarray]:
+    """Driver-side tiny read of the query vectors (vec_id < N_QUERIES)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(embeddings_path, columns=["vec_id", "embedding"])
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    mask = ids < N_QUERIES
+    vecs = np.array(
+        [v for v, m in zip(t.column("embedding").to_pylist(), mask) if m],
+        dtype=np.float64,
+    )
+    qids = ids[mask]
+    order = np.argsort(qids)
+    return qids[order], vecs[order]
+
+
+def _norm(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def _partial_topk(
+    qids: np.ndarray, qmat: np.ndarray, vec_ids: np.ndarray, vecs: np.ndarray
+) -> pa.Table:
+    """Top-k rows of one corpus slice against all queries."""
+    cos = _norm(vecs) @ _norm(qmat).T  # (n, q) float64
+    cos_r = np.floor(cos * 1e6 + 0.5) / 1e6  # SQL-twin rounding
+    out_q, out_v, out_c = [], [], []
+    for qi, qid in enumerate(qids):
+        col = cos_r[:, qi]
+        keep = vec_ids != qid  # exclude self-match
+        order = np.lexsort((vec_ids[keep], -col[keep]))[:KNN_K]
+        kept_ids = vec_ids[keep][order]
+        kept_cos = col[keep][order]
+        out_q.extend([int(qid)] * len(kept_ids))
+        out_v.extend(int(v) for v in kept_ids)
+        out_c.extend(float(c) for c in kept_cos)
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "cos_r": pa.array(out_c, pa.float64()),
+        }
+    )
+
+
+class PartialTopK:
+    """Actor-pool batch stage: broadcast query matrix bound in __init__."""
+
+    def __init__(self, queries_ref):
+        self.qids, self.qmat = ray.get(queries_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vec_ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        vecs = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        if vecs.size == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "cos_r": pa.array([], pa.float64()),
+                }
+            )
+        return _partial_topk(self.qids, self.qmat, vec_ids, vecs)
+
+
+def merge_topk(group: pa.Table) -> pa.Table:
+    """Final per-query merge: global top-k + dense rank."""
+    qid = group.column("query_id")[0].as_py()
+    vec_ids = np.asarray(group.column("vec_id").to_pylist(), dtype=np.int64)
+    cos = np.asarray(group.column("cos_r").to_pylist(), dtype=np.float64)
+    order = np.lexsort((vec_ids, -cos))[:KNN_K]
+    return pa.table(
+        {
+            "query_id": pa.array([qid] * len(order), pa.int64()),
+            "vec_id": pa.array([int(v) for v in vec_ids[order]], pa.int64()),
+            "rank": pa.array(range(1, len(order) + 1), pa.int64()),
+            "cos_r": pa.array([float(c) for c in cos[order]], pa.float64()),
+        }
+    )
+
+
+def knn_bruteforce(ds, queries_ref, concurrency=(1, 8), batch_size: int = 512):
+    """Dataset(vec_id, embedding) -> (query_id, vec_id, rank, cos_r)."""
+    partial = ds.map_batches(
+        PartialTopK,
+        fn_constructor_kwargs={"queries_ref": queries_ref},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    return partial.groupby("query_id").map_groups(
+        merge_topk, batch_format="pyarrow"
+    )
+
+
+def knn_ivf(ds, queries_ref, concurrency=(1, 8)):
+    """IVF path: per-list partial top-k via groupby(label), then the same
+    global merge.  nprobe = all lists -> exact (same oracle as brute force).
+    """
+    qids, qmat = ray.get(queries_ref)
+
+    def list_topk(group: pa.Table) -> pa.Table:
+        vec_ids = np.asarray(group.column("vec_id").to_pylist(), dtype=np.int64)
+        vecs = np.array(group.column("embedding").to_pylist(), dtype=np.float64)
+        return _partial_topk(qids, qmat, vec_ids, vecs)
+
+    partial = ds.groupby("label").map_groups(list_topk, batch_format="pyarrow")
+    return partial.groupby("query_id").map_groups(
+        merge_topk, batch_format="pyarrow"
+    )
+
+
+class CosinePairs:
+    """Near-dup pairs: batch x broadcast-corpus matmul, emit i<j pairs with
+    round(cos, 6) >= threshold."""
+
+    def __init__(self, corpus_ref, threshold: float = COS_DUP_THRESHOLD):
+        self.ids, mat = ray.get(corpus_ref)
+        self.mat = _norm(np.asarray(mat, dtype=np.float64))
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vec_ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        vecs = _norm(np.array(batch.column("embedding").to_pylist(), dtype=np.float64))
+        cos = np.floor((vecs @ self.mat.T) * 1e6 + 0.5) / 1e6  # (b, N), SQL-twin rounding
+        a_out, b_out = [], []
+        for r in range(cos.shape[0]):
+            hits = np.nonzero(cos[r] >= self.threshold)[0]
+            for c in hits:
+                if vec_ids[r] < self.ids[c]:  # i<j once, no self
+                    a_out.append(int(vec_ids[r]))
+                    b_out.append(int(self.ids[c]))
+        return pa.table(
+            {
+                "vec_id_a": pa.array(a_out, pa.int64()),
+                "vec_id_b": pa.array(b_out, pa.int64()),
+            }
+        )
+
+
+def cosine_dup_pairs(ds, corpus_ref, threshold: float = COS_DUP_THRESHOLD,
+                     concurrency=(1, 8), batch_size: int = 512):
+    return ds.map_batches(
+        CosinePairs,
+        fn_constructor_kwargs={"corpus_ref": corpus_ref, "threshold": threshold},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
