@@ -16,7 +16,11 @@ from __future__ import annotations
 import ray.data
 
 from ..stages.extract import DEFAULT_MODELS, ExtractStage
-from ..stages.reassemble import DEFAULT_NUM_BUCKETS, reassemble
+from ..stages.reassemble import (
+    DEFAULT_NUM_BUCKETS,
+    reassemble,
+    reassemble_salted,
+)
 
 
 def _cpu_budget() -> int:
@@ -34,6 +38,7 @@ def extraction_pipeline(
     concurrency=None,
     batch_size: int = 64,
     heavy_lane_bytes: int | None = None,
+    salted: bool = False,
 ) -> "ray.data.Dataset":
     """Lazy Dataset of extractions for ``models`` over the spans table."""
     from ..functions.extractors import list_extractors
@@ -44,7 +49,10 @@ def extraction_pipeline(
             f"unknown extractor(s) {unknown}; available: {list_extractors()}"
         )
     ds = ray.data.read_parquet(spans_path)
-    assembled = reassemble(ds, num_buckets=num_buckets)
+    # salted: two-phase skew-resistant reassembly (same output) for inputs
+    # with pathological span-count tails — see stages/reassemble.py
+    assemble = reassemble_salted if salted else reassemble
+    assembled = assemble(ds, num_buckets=num_buckets)
     if concurrency is None:
         concurrency = (1, max(2, _cpu_budget()))
     if heavy_lane_bytes:

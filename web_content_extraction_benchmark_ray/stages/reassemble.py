@@ -118,3 +118,121 @@ def reassemble(ds, num_buckets: int = DEFAULT_NUM_BUCKETS):
         batch_format="pyarrow", concurrency=(1, 4),
     )
     return ds.groupby("bucket").map_groups(assemble_group, batch_format="pyarrow")
+
+
+# ------------------------------------------------------- salted reassembly
+#
+# Skew killer for pathological documents (north rule: "oversized or
+# parse-pathological documents are ... salted into balanced partitions").
+# A 50 MB doc's thousands of spans would all land in one bucket of the
+# plain reassembly and pin one task.  Here the shuffle key is salted with
+# the span's offset range — salt = offset // salt_range — so a heavy doc's
+# spans spread over many (doc_id, salt) shards that partial-concatenate in
+# parallel (phase 1), and a second, cheap shuffle merges the per-shard
+# partials in salt order (phase 2).  Because salt is monotonic in offset,
+# concatenating partials by (salt, offset) order is EXACTLY the global
+# offset order: reassemble_salted == reassemble for every input
+# (property-tested in tests/test_salted.py).  Phase 2 re-uses
+# assemble_group verbatim: a partial is just a flat 'html' span whose
+# offset is its range's first offset; media spans pass through untouched.
+
+DEFAULT_SALT_RANGE = 1 << 16
+
+
+class AddSaltBucket:
+    """Bucket over the salted key crc32(doc_id # salt) % num_buckets."""
+
+    def __init__(self, num_buckets: int = DEFAULT_NUM_BUCKETS,
+                 salt_range: int = DEFAULT_SALT_RANGE):
+        self.num_buckets = num_buckets
+        self.salt_range = salt_range
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        offs = batch.column("offset").to_pylist()
+        crc = zlib.crc32
+        n, r = self.num_buckets, self.salt_range
+        salts = [o // r for o in offs]
+        buckets = [
+            crc(f"{d}#{s}".encode()) % n for d, s in zip(ids, salts)
+        ]
+        return batch.append_column(
+            "salt", pa.array(salts, pa.int64())
+        ).append_column("bucket", pa.array(buckets, pa.int32()))
+
+
+def partial_assemble_group(group: pa.Table) -> pa.Table:
+    """Phase 1: concat each (doc_id, salt) shard's html spans in offset
+    order into ONE partial span (offset = shard's first offset); media
+    spans pass through with their original offsets."""
+    g = group.sort_by(
+        [("doc_id", "ascending"), ("salt", "ascending"), ("offset", "ascending")]
+    )
+    doc_ids = g.column("doc_id").to_pylist()
+    salts = g.column("salt").to_pylist()
+    kinds = g.column("kind").to_pylist()
+    texts = g.column("text").to_pylist()
+    refs = g.column("media_ref").to_pylist()
+    offs = g.column("offset").to_pylist()
+
+    out = {"doc_id": [], "kind": [], "text": [], "media_ref": [], "offset": []}
+    i, n = 0, len(doc_ids)
+    while i < n:
+        j = i
+        parts: list[str] = []
+        first_off = None
+        while j < n and doc_ids[j] == doc_ids[i] and salts[j] == salts[i]:
+            if kinds[j] == "html":
+                parts.append(texts[j])
+                if first_off is None:
+                    first_off = offs[j]
+            elif kinds[j] == "media":
+                out["doc_id"].append(doc_ids[j])
+                out["kind"].append("media")
+                out["text"].append("")
+                out["media_ref"].append(refs[j])
+                out["offset"].append(offs[j])
+            j += 1
+        if parts:
+            out["doc_id"].append(doc_ids[i])
+            out["kind"].append("html")
+            out["text"].append("".join(parts))
+            out["media_ref"].append("")
+            out["offset"].append(first_off)
+        i = j
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"], pa.string()),
+            "kind": pa.array(out["kind"], pa.string()),
+            "text": pa.array(out["text"], pa.large_string()),
+            "media_ref": pa.array(out["media_ref"], pa.string()),
+            "offset": pa.array(out["offset"], pa.int32()),
+        }
+    )
+
+
+def reassemble_salted(
+    ds,
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+    salt_range: int = DEFAULT_SALT_RANGE,
+):
+    """Skew-resistant two-phase reassembly; output-equal to reassemble()."""
+    ds = ds.map_batches(explode_spans, batch_format="pyarrow")
+    ds = ds.map_batches(
+        AddSaltBucket,
+        fn_constructor_kwargs={
+            "num_buckets": num_buckets, "salt_range": salt_range,
+        },
+        batch_format="pyarrow", concurrency=(1, 4),
+    )
+    partials = ds.groupby("bucket").map_groups(
+        partial_assemble_group, batch_format="pyarrow"
+    )
+    # phase 2: plain reassembly over the (much smaller) partial-span set
+    partials = partials.map_batches(
+        AddBucket, fn_constructor_kwargs={"num_buckets": num_buckets},
+        batch_format="pyarrow", concurrency=(1, 4),
+    )
+    return partials.groupby("bucket").map_groups(
+        assemble_group, batch_format="pyarrow"
+    )
