@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import ray.data
 
-from ..stages.extract import DEFAULT_MODELS, ExtractStage
+from ..stages.extract import DEFAULT_MODELS, extract_batch
 from ..stages.reassemble import (
     DEFAULT_NUM_BUCKETS,
     reassemble,
@@ -39,6 +39,7 @@ def extraction_pipeline(
     batch_size: int = 64,
     heavy_lane_bytes: int | None = None,
     salted: bool = False,
+    override_num_blocks: int | None = None,
 ) -> "ray.data.Dataset":
     """Lazy Dataset of extractions for ``models`` over the spans table."""
     from ..functions.extractors import list_extractors
@@ -48,7 +49,12 @@ def extraction_pipeline(
         raise ValueError(
             f"unknown extractor(s) {unknown}; available: {list_extractors()}"
         )
-    ds = ray.data.read_parquet(spans_path)
+    # block geometry: at small scale, ~2 blocks per CPU keeps the sort
+    # exchange's fragment count (mappers x reducers) low; at production
+    # scale leave None (file/row-group geometry dominates)
+    ds = ray.data.read_parquet(
+        spans_path, override_num_blocks=override_num_blocks
+    )
     # salted: two-phase skew-resistant reassembly (same output) for inputs
     # with pathological span-count tails — see stages/reassemble.py
     assemble = reassemble_salted if salted else reassemble
@@ -67,24 +73,21 @@ def extraction_pipeline(
         light = assembled.filter(expr=f"n_bytes < {heavy_lane_bytes}")
         heavy = assembled.filter(expr=f"n_bytes >= {heavy_lane_bytes}")
         out_light = light.map_batches(
-            ExtractStage,
-            fn_constructor_kwargs={"models": models},
+            extract_batch,
+            fn_kwargs={"models": models},
             batch_format="pyarrow",
             batch_size=batch_size,
-            concurrency=concurrency,
         )
         out_heavy = heavy.map_batches(
-            ExtractStage,
-            fn_constructor_kwargs={"models": models},
+            extract_batch,
+            fn_kwargs={"models": models},
             batch_format="pyarrow",
             batch_size=1,
-            concurrency=concurrency,
         )
         return out_light.union(out_heavy)
     return assembled.map_batches(
-        ExtractStage,
-        fn_constructor_kwargs={"models": models},
+        extract_batch,
+        fn_kwargs={"models": models},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
     )

@@ -41,14 +41,19 @@ def _shuffle_key(doc_id, offset) -> str:
 
 
 def build_spans_table(
-    sf_dir: str, heavy_tail: bool = False, force: bool = False
+    sf_dir: str, heavy_tail: bool = False, force: bool = False,
+    repeat: int = 1,
 ) -> str:
     """Synthesize (or reuse) the spans parquet for ``sf_dir``; returns its
-    path.  Deterministic: same sf_dir + flags -> byte-identical table."""
+    path.  Deterministic: same sf_dir + flags -> byte-identical table.
+
+    ``repeat=R`` replicates the corpus R times under distinct doc_ids
+    (copy k of doc d -> d + k*10^7) — used by the scaling benchmark to
+    make compute dominate fixed overhead at high parallelism."""
     tag = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|heavy={heavy_tail}|v3".encode()
+        f"{os.path.abspath(sf_dir)}|heavy={heavy_tail}|rep={repeat}|v4".encode()
     ).hexdigest()[:12]
-    out = os.path.join(CACHE_DIR, f"spans-{tag}.parquet")
+    out = os.path.join(CACHE_DIR, f"spans-{tag}")
     if os.path.exists(out) and not force:
         return out
     os.makedirs(CACHE_DIR, exist_ok=True)
@@ -56,10 +61,14 @@ def build_spans_table(
     src = pq.read_table(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
+    base_ids = src.column("doc_id").to_pylist()
+    base_texts = src.column("text").to_pylist()
+    all_ids = [
+        d + k * 10_000_000 for k in range(repeat) for d in base_ids
+    ]
+    all_texts = [t for _ in range(repeat) for t in base_texts]
     rows = []
-    for doc_id, text in zip(
-        src.column("doc_id").to_pylist(), src.column("text").to_pylist()
-    ):
+    for doc_id, text in zip(all_ids, all_texts):
         html = pagegen.render_page(doc_id, effective_text(doc_id, text, heavy_tail))
         for span in pagegen.split_into_spans(doc_id, html):
             rows.append(
@@ -95,8 +104,22 @@ def build_spans_table(
             ),
         }
     )
+    # multi-file directory layout: the scan parallelizes across files (a
+    # single-file table forces a one-task read — measured 12s serial on a
+    # 104 MB input), mirroring how a Lance/parquet table at scale is a
+    # fragment set, not one object
     tmp = out + f".tmp.{os.getpid()}"
-    pq.write_table(table, tmp, row_group_size=max(1000, len(rows) // 32))
+    os.makedirs(tmp, exist_ok=True)
+    n_files = max(4, min(64, len(rows) // 10_000))
+    per = (len(table) + n_files - 1) // n_files
+    for k in range(n_files):
+        chunk = table.slice(k * per, per)
+        if len(chunk):
+            pq.write_table(
+                chunk,
+                os.path.join(tmp, f"part-{k:04d}.parquet"),
+                row_group_size=max(1000, per // 4),
+            )
     os.replace(tmp, out)
     return out
 

@@ -45,6 +45,32 @@ def spans_from(plaintext: str, media_refs) -> list[dict]:
     ]
 
 
+_STAGE_CACHE: dict = {}
+
+
+def extract_batch(batch: pa.Table, models=DEFAULT_MODELS) -> pa.Table:
+    """Task-pool form of the extraction stage.
+
+    Plain-function ``map_batches`` tasks are elastic — they never reserve
+    CPU slots the way a standing actor pool does, so they cannot starve a
+    co-scheduled all-to-all's reduce tasks (measured: a 32-actor pool made
+    a 5s sort take 127s wall at 32 CPUs).  Warm state still amortizes: the
+    ExtractStage (compiled regexes, stoplists) is cached per worker
+    process keyed by the model tuple, so repeated tasks in one worker pay
+    setup once — the actor-pool ``__init__`` benefit without the
+    reservation.  Keep the ExtractStage class form for genuinely
+    heavyweight model state that must pin resources (e.g. a GPU model).
+    """
+    from .reassemble import limit_arrow_threads
+
+    limit_arrow_threads()
+    key = tuple(m if isinstance(m, str) else m[0] for m in models)
+    stage = _STAGE_CACHE.get(key)
+    if stage is None:
+        stage = _STAGE_CACHE[key] = ExtractStage(models)
+    return stage(batch)
+
+
 class ExtractStage:
     def __init__(self, models=DEFAULT_MODELS):
         # entries are registry names or explicit (name, callable) pairs —

@@ -34,6 +34,20 @@ from ..schema import ASSEMBLED
 DEFAULT_NUM_BUCKETS = 64
 
 
+def limit_arrow_threads() -> None:
+    """Cap PyArrow's per-process thread pool inside Ray workers.
+
+    PyArrow defaults its compute pool to the MACHINE's core count in every
+    worker process; at N concurrent map tasks that is N x cores threads
+    fighting for N cores — measured ~50% per-task inflation at 32-way
+    concurrency.  One compute thread per worker is right when Ray supplies
+    the parallelism."""
+    if not getattr(limit_arrow_threads, "_done", False):
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(2)
+        limit_arrow_threads._done = True
+
+
 def explode_spans(batch: pa.Table) -> pa.Table:
     spans = batch.column("spans")
     if isinstance(spans, pa.ChunkedArray):
@@ -52,58 +66,82 @@ def explode_spans(batch: pa.Table) -> pa.Table:
     )
 
 
+def add_bucket(batch: pa.Table, num_buckets: int = DEFAULT_NUM_BUCKETS) -> pa.Table:
+    """Adds the crc32 partition bucket.  A plain function task (not an
+    actor pool): stateless, and task pools never hold CPU reservations
+    that would starve the adjacent all-to-all's tasks."""
+    ids = batch.column("doc_id").to_pylist()
+    crc = zlib.crc32
+    buckets = np.fromiter(
+        (crc(s.encode()) % num_buckets for s in ids),
+        dtype=np.int32,
+        count=len(ids),
+    )
+    return batch.append_column("bucket", pa.array(buckets, pa.int32()))
+
+
 class AddBucket:
-    """Adds the crc32 partition bucket.  A callable class so the bucket
-    count is bound once (actor-pool friendly), though it is cheap enough to
-    run as stateless tasks too."""
+    """Callable-class form of add_bucket (kept for call sites that bind
+    the bucket count once, e.g. the checkpoint runner)."""
 
     def __init__(self, num_buckets: int = DEFAULT_NUM_BUCKETS):
         self.num_buckets = num_buckets
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        crc = zlib.crc32
-        n = self.num_buckets
-        buckets = np.fromiter(
-            (crc(s.encode()) % n for s in ids), dtype=np.int32, count=len(ids)
-        )
-        return batch.append_column("bucket", pa.array(buckets, pa.int32()))
+        return add_bucket(batch, self.num_buckets)
 
 
 def assemble_group(group: pa.Table) -> pa.Table:
     """Reassemble every document in one bucket.  Runs once per bucket as a
-    ``groupby('bucket').map_groups`` task."""
-    g = group.sort_by([("doc_id", "ascending"), ("offset", "ascending")])
-    doc_ids = g.column("doc_id").to_pylist()
-    kinds = g.column("kind").to_pylist()
-    texts = g.column("text").to_pylist()
-    refs = g.column("media_ref").to_pylist()
+    ``groupby('bucket').map_groups`` task.
 
-    out_ids: list[str] = []
-    out_html: list[str] = []
-    out_refs: list[list[str]] = []
-    i = 0
-    n = len(doc_ids)
-    while i < n:
-        j = i
-        parts: list[str] = []
-        media: list[str] = []
-        while j < n and doc_ids[j] == doc_ids[i]:
-            if kinds[j] == "html":
-                parts.append(texts[j])
-            elif kinds[j] == "media":
-                media.append(refs[j])
-            j += 1
-        out_ids.append(doc_ids[i])
-        out_html.append("".join(parts))
-        out_refs.append(media)
-        i = j
-    html_arr = pa.array(out_html, pa.large_string())
+    Fully vectorized: sort -> arrow hash-group 'list' aggregation (input
+    order preserved within each group, so the collected lists are in
+    offset order) -> ``binary_join`` concat.  The earlier per-row Python
+    loop cost as much CPU as the extraction itself (~0.5 ms/span);
+    this path is pyarrow C++ end to end except a tiny per-DOC merge of
+    the html/media sides."""
+    limit_arrow_threads()
+    g = group.sort_by([("doc_id", "ascending"), ("offset", "ascending")])
+    kinds = g.column("kind")
+    html_t = g.filter(pc.equal(kinds, "html"))
+    media_t = g.filter(pc.equal(kinds, "media"))
+
+    hagg = pa.TableGroupBy(html_t, "doc_id", use_threads=False).aggregate(
+        [("text", "list")]
+    )
+    html_ids = hagg.column("doc_id").to_pylist()
+    htmls = pc.binary_join(
+        pc.cast(hagg.column("text_list"), pa.list_(pa.string())), ""
+    ).to_pylist()
+    html_map = dict(zip(html_ids, htmls))
+
+    media_map: dict = {}
+    if media_t.num_rows:
+        magg = pa.TableGroupBy(media_t, "doc_id", use_threads=False).aggregate(
+            [("media_ref", "list")]
+        )
+        media_map = dict(
+            zip(
+                magg.column("doc_id").to_pylist(),
+                magg.column("media_ref_list").to_pylist(),
+            )
+        )
+
+    # union of docs (a doc may have only media spans); per-DOC python work
+    out_ids = list(
+        dict.fromkeys(html_ids + list(media_map.keys()))
+    )
+    html_arr = pa.array(
+        [html_map.get(d, "") for d in out_ids], pa.large_string()
+    )
     return pa.table(
         {
             "doc_id": pa.array(out_ids, pa.string()),
             "html": html_arr,
-            "media_refs": pa.array(out_refs, pa.list_(pa.string())),
+            "media_refs": pa.array(
+                [media_map.get(d, []) for d in out_ids], pa.list_(pa.string())
+            ),
             "n_bytes": pc.cast(pc.binary_length(html_arr), pa.int64()),
         },
         schema=ASSEMBLED,
@@ -114,8 +152,8 @@ def reassemble(ds, num_buckets: int = DEFAULT_NUM_BUCKETS):
     """Dataset -> Dataset of assembled documents (the reassembly shuffle)."""
     ds = ds.map_batches(explode_spans, batch_format="pyarrow")
     ds = ds.map_batches(
-        AddBucket, fn_constructor_kwargs={"num_buckets": num_buckets},
-        batch_format="pyarrow", concurrency=(1, 4),
+        add_bucket, fn_kwargs={"num_buckets": num_buckets},
+        batch_format="pyarrow",
     )
     return ds.groupby("bucket").map_groups(assemble_group, batch_format="pyarrow")
 
@@ -139,32 +177,29 @@ def reassemble(ds, num_buckets: int = DEFAULT_NUM_BUCKETS):
 DEFAULT_SALT_RANGE = 1 << 16
 
 
-class AddSaltBucket:
+def add_salt_bucket(
+    batch: pa.Table,
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+    salt_range: int = DEFAULT_SALT_RANGE,
+) -> pa.Table:
     """Bucket over the salted key crc32(doc_id # salt) % num_buckets."""
-
-    def __init__(self, num_buckets: int = DEFAULT_NUM_BUCKETS,
-                 salt_range: int = DEFAULT_SALT_RANGE):
-        self.num_buckets = num_buckets
-        self.salt_range = salt_range
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        offs = batch.column("offset").to_pylist()
-        crc = zlib.crc32
-        n, r = self.num_buckets, self.salt_range
-        salts = [o // r for o in offs]
-        buckets = [
-            crc(f"{d}#{s}".encode()) % n for d, s in zip(ids, salts)
-        ]
-        return batch.append_column(
-            "salt", pa.array(salts, pa.int64())
-        ).append_column("bucket", pa.array(buckets, pa.int32()))
+    ids = batch.column("doc_id").to_pylist()
+    offs = batch.column("offset").to_pylist()
+    crc = zlib.crc32
+    salts = [o // salt_range for o in offs]
+    buckets = [
+        crc(f"{d}#{s}".encode()) % num_buckets for d, s in zip(ids, salts)
+    ]
+    return batch.append_column(
+        "salt", pa.array(salts, pa.int64())
+    ).append_column("bucket", pa.array(buckets, pa.int32()))
 
 
 def partial_assemble_group(group: pa.Table) -> pa.Table:
     """Phase 1: concat each (doc_id, salt) shard's html spans in offset
     order into ONE partial span (offset = shard's first offset); media
     spans pass through with their original offsets."""
+    limit_arrow_threads()
     g = group.sort_by(
         [("doc_id", "ascending"), ("salt", "ascending"), ("offset", "ascending")]
     )
@@ -219,19 +254,17 @@ def reassemble_salted(
     """Skew-resistant two-phase reassembly; output-equal to reassemble()."""
     ds = ds.map_batches(explode_spans, batch_format="pyarrow")
     ds = ds.map_batches(
-        AddSaltBucket,
-        fn_constructor_kwargs={
-            "num_buckets": num_buckets, "salt_range": salt_range,
-        },
-        batch_format="pyarrow", concurrency=(1, 4),
+        add_salt_bucket,
+        fn_kwargs={"num_buckets": num_buckets, "salt_range": salt_range},
+        batch_format="pyarrow",
     )
     partials = ds.groupby("bucket").map_groups(
         partial_assemble_group, batch_format="pyarrow"
     )
     # phase 2: plain reassembly over the (much smaller) partial-span set
     partials = partials.map_batches(
-        AddBucket, fn_constructor_kwargs={"num_buckets": num_buckets},
-        batch_format="pyarrow", concurrency=(1, 4),
+        add_bucket, fn_kwargs={"num_buckets": num_buckets},
+        batch_format="pyarrow",
     )
     return partials.groupby("bucket").map_groups(
         assemble_group, batch_format="pyarrow"

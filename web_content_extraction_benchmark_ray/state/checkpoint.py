@@ -39,8 +39,8 @@ import zlib
 import pyarrow as pa
 import ray.data
 
-from ..stages.extract import DEFAULT_MODELS, ExtractStage
-from ..stages.reassemble import AddBucket, assemble_group, explode_spans
+from ..stages.extract import DEFAULT_MODELS, extract_batch
+from ..stages.reassemble import add_bucket, assemble_group, explode_spans
 
 DEFAULT_NUM_PARTITIONS = 8
 
@@ -76,18 +76,12 @@ def read_lineage(out_dir: str) -> list[dict]:
     return records
 
 
-class _PrunePartition:
-    """Vectorized bucket prune: keep spans whose doc hashes to ``pid``."""
-
-    def __init__(self, pid: int, num_partitions: int):
-        self.pid = pid
-        self.n = num_partitions
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        crc = zlib.crc32
-        mask = pa.array([crc(s.encode()) % self.n == self.pid for s in ids])
-        return batch.filter(mask)
+def _prune_partition(batch: pa.Table, pid: int, num_partitions: int) -> pa.Table:
+    """Bucket prune: keep spans whose doc hashes to ``pid``."""
+    ids = batch.column("doc_id").to_pylist()
+    crc = zlib.crc32
+    mask = pa.array([crc(s.encode()) % num_partitions == pid for s in ids])
+    return batch.filter(mask)
 
 
 def run_checkpointed(
@@ -118,24 +112,22 @@ def run_checkpointed(
         ds = ray.data.read_parquet(spans_path)
         ds = ds.map_batches(explode_spans, batch_format="pyarrow")
         ds = ds.map_batches(
-            _PrunePartition,
-            fn_constructor_kwargs={"pid": pid, "num_partitions": num_partitions},
+            _prune_partition,
+            fn_kwargs={"pid": pid, "num_partitions": num_partitions},
             batch_format="pyarrow",
-            concurrency=(1, 2),
         )
         ds = ds.map_batches(
-            AddBucket, fn_constructor_kwargs={"num_buckets": num_buckets},
-            batch_format="pyarrow", concurrency=(1, 2),
+            add_bucket, fn_kwargs={"num_buckets": num_buckets},
+            batch_format="pyarrow",
         )
         assembled = ds.groupby("bucket").map_groups(
             assemble_group, batch_format="pyarrow"
         )
         extracted = assembled.map_batches(
-            ExtractStage,
-            fn_constructor_kwargs={"models": models},
+            extract_batch,
+            fn_kwargs={"models": models},
             batch_format="pyarrow",
             batch_size=32,
-            concurrency=(1, 4),
         )
 
         part_dir = os.path.join(out_dir, f"part-{pid:05d}")
