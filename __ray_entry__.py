@@ -34,6 +34,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         extraction_queries,
     )
 
+    from web_content_extraction_benchmark_ray.pipelines.analytics import (
+        analytics_queries,
+    )
     from web_content_extraction_benchmark_ray.pipelines.dataops import (
         dataops_queries,
     )
@@ -42,6 +45,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update(extraction_queries())
     out.update(eval_queries())
     out.update(dataops_queries())
+    out.update(analytics_queries())
     return out
 
 
@@ -61,4 +65,9 @@ def oracle_sql() -> dict[str, str]:
     out.update(eval_oracle_sql())
     out.update(complexity_oracle_sql())
     out.update(dataops_oracle_sql())
+    from web_content_extraction_benchmark_ray.pipelines.analytics import (
+        analytics_oracle_sql,
+    )
+
+    out.update(analytics_oracle_sql())
     return out

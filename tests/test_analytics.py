@@ -1,0 +1,91 @@
+"""Analytics operator tests: vocab top-k vs in-process counter, k-means
+behavior on separable clusters, deterministic sampling split."""
+import collections
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_vocab_topk_matches_counter(ray_session):
+    from web_content_extraction_benchmark_ray.functions.text import tokenize_ws
+    from web_content_extraction_benchmark_ray.pipelines.analytics import (
+        VOCAB_K,
+        vocab_topk,
+    )
+
+    texts = pq.read_table(f"{SF}/documents.parquet", columns=["text"])
+    counter = collections.Counter(
+        t for row in texts.column("text").to_pylist() for t in tokenize_ws(row)
+    )
+    expected = sorted(counter.items(), key=lambda kv: (-kv[1], kv[0]))[:VOCAB_K]
+    got = vocab_topk(SF).to_pandas()
+    got_pairs = sorted(
+        zip(got["word"], got["n"]), key=lambda kv: (-kv[1], kv[0])
+    )
+    assert [(w, int(n)) for w, n in got_pairs] == expected
+
+
+def test_kmeans_separable_clusters(ray_session):
+    import ray
+
+    from web_content_extraction_benchmark_ray.pipelines.analytics import (
+        _assign_batch,
+    )
+
+    # two well-separated directions; centroids = first vector of each
+    rng = np.random.default_rng(3)
+    a = rng.normal(loc=(5, 0, 0, 0), scale=0.1, size=(20, 4))
+    b = rng.normal(loc=(0, 5, 0, 0), scale=0.1, size=(20, 4))
+    vecs = np.vstack([a, b])
+    cents = np.vstack([a[0], b[0]])
+    batch = pa.table(
+        {
+            "vec_id": pa.array(range(40), pa.int64()),
+            "embedding": pa.array(vecs.tolist(), pa.list_(pa.float64())),
+        }
+    )
+    out = _assign_batch(batch, ray.put(cents)).to_pandas()
+    assert (out["cluster"][:20] == 0).all()
+    assert (out["cluster"][20:] == 1).all()
+
+
+def test_kmeans_iterate_runs_and_partitions(ray_session):
+    from web_content_extraction_benchmark_ray.pipelines.analytics import (
+        KMEANS_K,
+        kmeans_iterate,
+    )
+
+    out = kmeans_iterate(SF, iters=2).to_pandas()
+    assert len(out) == 500
+    assert out["vec_id"].is_unique
+    assert set(out["cluster"]) <= set(range(KMEANS_K))
+    assert out["cluster"].nunique() > 1  # actually partitions the space
+
+
+def test_sample_split_deterministic_and_ratio(ray_session):
+    from web_content_extraction_benchmark_ray.pipelines.analytics import (
+        sample_split,
+    )
+
+    a = sample_split(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = sample_split(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)  # rerun-stable (content-hash, no RNG)
+    frac = (a["split"] == "train").mean()
+    assert 0.65 < frac < 0.85  # ~75%
+
+
+def test_eval_agg_by_complexity_band(ray_session):
+    from web_content_extraction_benchmark_ray.pipelines.analytics import (
+        eval_agg_by_complexity,
+    )
+
+    out = eval_agg_by_complexity(SF).to_pandas()
+    # 2 models x 5 datasets, minus any band-empty combos
+    assert 2 <= len(out) <= 10
+    assert set(out["model"]) == {"bte", "whole_text"}
+    assert ((0.0 <= out["mean_score"]) & (out["mean_score"] <= 1.0)).all()
+    # banded doc count is strictly less than the full corpus
+    assert out.groupby("model")["n"].sum().max() < 500

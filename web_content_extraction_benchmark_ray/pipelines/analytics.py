@@ -1,0 +1,347 @@
+"""Analytics operators: complexity-sliced evaluation (reference A5),
+vocabulary top-k (A11), k-means clustering (M1 capability class), and
+deterministic sampling splits (reference 2.8 sampling).
+
+Each query's DuckDB oracle lives in ``analytics_oracle_sql()`` below so the
+pair cannot drift.  Reference citations:
+
+- A5 complexity-sliced aggregation: ``/root/reference/src/
+  extraction_benchmark/eval.py:350-353, 376-383`` (filter pages to the
+  [q25, q75] complexity band before aggregating).  Here the scores ⋈
+  complexity step is a real ``Dataset.join`` (hash join) — the reference
+  does a pandas ``isin`` filter in one process.
+- A11 vocab top-k: ``extractors/boilernet/net/preprocess.py:99-106``
+  (global word counts -> top-k by frequency).  Classic count -> sort ->
+  limit; counts are PRE-AGGREGATED inside each batch before the shuffle.
+- M1 k-means: ``complexity.py:217-233`` (sklearn KMeans driver-side).
+  Here: assignment is a broadcast-centroid ``map_batches`` matmul; the
+  Lloyd update is map-side partial sums -> tiny ``groupby(cluster)``
+  reduce — the scale path sklearn cannot take.
+- Sampling: ``complexity.py:202`` (train_test_split).  Here: a
+  deterministic content-hash split (hash60(doc_id) % 100), reproducible
+  across runs/machines — no RNG state to ship.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from ..functions.hashing import hash60
+from ..functions.text import round6, tokenize_ws
+from ..stages.simsearch import _norm
+
+VOCAB_K = 20
+TRAIN_PCT = 75
+KMEANS_K = 10
+KMEANS_ITERS = 3
+BAND_LO, BAND_HI = 0.25, 0.75
+
+
+# ------------------------------------------------- A5: complexity-sliced agg
+def eval_agg_by_complexity(sf_dir: str):
+    """Per-(model, dataset) mean rouge-F1 over docs whose complexity lies
+    in the global [q25, q75] band.  scores ⋈ complexity is a hash join."""
+    from .complexity import complexity_pipeline, complexity_quantiles
+    from .queries import eval_rouge
+
+    qdf = complexity_quantiles(sf_dir, qs=(BAND_LO, BAND_HI))
+    lo, hi = float(qdf["value"][0]), float(qdf["value"][1])
+
+    scores = eval_rouge(sf_dir)  # (doc_id int64, model, dataset, prec, rec, f1)
+    compl = complexity_pipeline(sf_dir).drop_columns(["dataset"])
+
+    joined = scores.join(
+        compl, join_type="inner", num_partitions=8, on=("doc_id",)
+    )
+    banded = joined.filter(
+        expr=f"complexity >= {lo!r} and complexity <= {hi!r}"
+    )
+
+    def agg(group: pd.DataFrame) -> pd.DataFrame:
+        v = group["f1"].to_numpy(dtype=np.float64)
+        return pd.DataFrame(
+            {
+                "model": [group["model"].iloc[0]],
+                "dataset": [group["dataset"].iloc[0]],
+                "mean_score": [round6(float(v.sum() / len(v)))],
+                "n": [len(v)],
+            }
+        )
+
+    return banded.groupby(["model", "dataset"]).map_groups(
+        agg, batch_format="pandas"
+    )
+
+
+# ------------------------------------------------------- A11: vocab top-k
+def vocab_topk(sf_dir: str):
+    """Global word counts -> top VOCAB_K by (count desc, word asc).
+    Counts are pre-aggregated per batch (combiner) so the shuffle moves
+    one row per distinct word per block, never per token."""
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for text in batch.column("text").to_pylist():
+            for tok in tokenize_ws(text):
+                counts[tok] = counts.get(tok, 0) + 1
+        return pa.table(
+            {
+                "word": pa.array(list(counts.keys()), pa.string()),
+                "n": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "word": group.column("word").slice(0, 1),
+                "n": pa.array(
+                    [pc.sum(group.column("n")).as_py()], pa.int64()
+                ),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+    counts = ds.map_batches(partial_counts, batch_format="pyarrow")
+    totals = counts.groupby("word").map_groups(merge, batch_format="pyarrow")
+    return totals.sort(["n", "word"], descending=[True, False]).limit(VOCAB_K)
+
+
+# ------------------------------------------------------------- M1: k-means
+def _load_centroids(sf_dir: str, k: int = KMEANS_K) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    order = np.argsort(ids)
+    embs = [t.column("embedding").to_pylist()[i] for i in order[:k]]
+    return np.array(embs, dtype=np.float64)
+
+
+_CENT_CACHE: dict = {}
+
+
+def _assign_batch(batch: pa.Table, cent_ref) -> pa.Table:
+    key = cent_ref.hex() if hasattr(cent_ref, "hex") else id(cent_ref)
+    cents = _CENT_CACHE.get(key)
+    if cents is None:
+        cents = _CENT_CACHE[key] = ray.get(cent_ref)
+    vec_ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+    vecs = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+    # rounded cosine, ties -> lowest centroid index (argmax on reversed
+    # negation is first-max, which IS lowest index)
+    cos = np.floor((_norm(vecs) @ _norm(cents).T) * 1e6 + 0.5) / 1e6
+    cluster = cos.argmax(axis=1).astype(np.int64)
+    return pa.table(
+        {
+            "vec_id": pa.array(vec_ids, pa.int64()),
+            "cluster": pa.array(cluster, pa.int64()),
+        }
+    )
+
+
+def kmeans_assign(sf_dir: str):
+    """One deterministic assignment step: centroids = the k lowest-vec_id
+    embeddings (broadcast once), assign every vector to its max-cosine
+    centroid (rounded cosine, ties to the lowest centroid index)."""
+    cent_ref = ray.put(_load_centroids(sf_dir))
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    return ds.map_batches(
+        _assign_batch, fn_kwargs={"cent_ref": cent_ref},
+        batch_format="pyarrow", batch_size=1024,
+    )
+
+
+def kmeans_iterate(sf_dir: str, iters: int = KMEANS_ITERS):
+    """Full Lloyd iterations, distributed: assignment is the broadcast
+    matmul above; the centroid update is map-side partial (sum, count) per
+    cluster followed by a k-row reduce — the shuffle never moves vectors.
+    Iterative => no SQL oracle (driver records a rows-only check).
+    Returns the final (vec_id, cluster) assignment."""
+    cents = _load_centroids(sf_dir)
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+
+    for _ in range(iters):
+        cent_ref = ray.put(cents)
+
+        def partial_update(batch: pa.Table, cent_ref=cent_ref) -> pa.Table:
+            key = cent_ref.hex()
+            c = _CENT_CACHE.get(key)
+            if c is None:
+                c = _CENT_CACHE[key] = ray.get(cent_ref)
+            vecs = np.array(
+                batch.column("embedding").to_pylist(), dtype=np.float64
+            )
+            cos = np.floor((_norm(vecs) @ _norm(c).T) * 1e6 + 0.5) / 1e6
+            cl = cos.argmax(axis=1)
+            out_cl, out_sum, out_n = [], [], []
+            for j in range(len(c)):
+                mask = cl == j
+                if mask.any():
+                    out_cl.append(j)
+                    out_sum.append(vecs[mask].sum(axis=0).tolist())
+                    out_n.append(int(mask.sum()))
+            return pa.table(
+                {
+                    "cluster": pa.array(out_cl, pa.int64()),
+                    "vsum": pa.array(out_sum, pa.list_(pa.float64())),
+                    "n": pa.array(out_n, pa.int64()),
+                }
+            )
+
+        def reduce_cluster(group: pa.Table) -> pa.Table:
+            sums = np.array(group.column("vsum").to_pylist(), dtype=np.float64)
+            n = sum(group.column("n").to_pylist())
+            return pa.table(
+                {
+                    "cluster": group.column("cluster").slice(0, 1),
+                    "centroid": pa.array(
+                        [(sums.sum(axis=0) / n).tolist()],
+                        pa.list_(pa.float64()),
+                    ),
+                }
+            )
+
+        upd = (
+            ds.map_batches(partial_update, batch_format="pyarrow",
+                           batch_size=1024)
+            .groupby("cluster")
+            .map_groups(reduce_cluster, batch_format="pyarrow")
+            .to_pandas()
+        )
+        new = cents.copy()
+        for _, row in upd.iterrows():
+            new[int(row["cluster"])] = np.array(row["centroid"])
+        cents = new
+
+    cent_ref = ray.put(cents)
+    return ds.map_batches(
+        _assign_batch, fn_kwargs={"cent_ref": cent_ref},
+        batch_format="pyarrow", batch_size=1024,
+    )
+
+
+# -------------------------------------------------------- sampling split
+def sample_split(sf_dir: str):
+    """Deterministic hash split: train if hash60('split:'+doc_id) % 100 <
+    TRAIN_PCT.  Content-hash sampling is reproducible across machines and
+    restarts — no RNG state, no shuffle."""
+
+    def split(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        labels = [
+            "train" if hash60(f"split:{i}") % 100 < TRAIN_PCT else "test"
+            for i in ids
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array([int(i) for i in ids], pa.int64()),
+                "split": pa.array(labels, pa.string()),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    return ds.map_batches(split, batch_format="pyarrow")
+
+
+def analytics_queries() -> dict:
+    return {
+        "eval_agg_by_complexity": eval_agg_by_complexity,
+        "vocab_topk": vocab_topk,
+        "kmeans_assign": kmeans_assign,
+        "kmeans_iterate": kmeans_iterate,
+        "sample_split": sample_split,
+    }
+
+
+# --------------------------------------------------------------- oracles
+def analytics_oracle_sql() -> dict[str, str]:
+    from .dataops_oracles import _H60
+    from .oracles import (
+        _BASE_CTE,
+        _R6,
+        BP_WORDS_BODY,
+        BP_WS_PAGE,
+        GLUE_WORDS,
+    )
+
+    sqls: dict[str, str] = {}
+    bp = BP_WS_PAGE
+    t = f"(nw + {GLUE_WORDS} * npars)"
+    compl = (
+        f"1.0 - least(1.0, greatest(0.0, CAST({t} AS DOUBLE) / "
+        f"({t} + {BP_WORDS_BODY})))"
+    )
+    f1_union = (
+        f"SELECT doc_id, lang AS dataset, 'bte' AS model, 1.0 AS f1 FROM counts "
+        f"UNION ALL "
+        f"SELECT doc_id, lang AS dataset, 'whole_text' AS model, "
+        f"2 * (CAST(m AS DOUBLE) / (m + {bp})) * 1.0 / "
+        f"((CAST(m AS DOUBLE) / (m + {bp})) + 1.0) AS f1 FROM counts"
+    )
+    sqls["eval_agg_by_complexity"] = _BASE_CTE + f""",
+c AS (SELECT doc_id, {compl} AS complexity FROM counts),
+q AS (SELECT {_R6.format(f'quantile_cont(complexity, {BAND_LO})')} AS lo,
+             {_R6.format(f'quantile_cont(complexity, {BAND_HI})')} AS hi
+      FROM c),
+f AS ({f1_union})
+SELECT model, dataset, {_R6.format('avg(f1)')} AS mean_score, count(*) AS n
+FROM f JOIN c ON f.doc_id = c.doc_id, q
+WHERE c.complexity >= q.lo AND c.complexity <= q.hi
+GROUP BY model, dataset"""
+
+    sqls["vocab_topk"] = f"""
+WITH w AS (
+  SELECT u.tok FROM (
+    SELECT regexp_split_to_array(trim(text), '\\s+') AS l FROM documents
+  ) t, UNNEST(l) AS u(tok)
+)
+SELECT tok AS word, count(*) AS n FROM w
+GROUP BY tok ORDER BY n DESC, tok LIMIT {VOCAB_K}"""
+
+    sqls["kmeans_assign"] = f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding FROM embeddings
+  ORDER BY vec_id LIMIT {KMEANS_K}
+),
+pairs AS (
+  SELECT e.vec_id, c.cid,
+         floor(list_cosine_similarity(e.embedding::DOUBLE[],
+                                      c.embedding::DOUBLE[]) * 1000000 + 0.5)
+           / 1000000 AS cos
+  FROM embeddings e, cent c
+),
+r AS (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, cid) AS rn
+  FROM pairs
+)
+SELECT vec_id, cid AS cluster FROM r WHERE rn = 1"""
+
+    sqls["sample_split"] = f"""
+SELECT doc_id,
+       CASE WHEN {_H60.format("'split:' || CAST(doc_id AS VARCHAR)")} % 100
+                 < {TRAIN_PCT}
+            THEN 'train' ELSE 'test' END AS split
+FROM documents"""
+    return sqls

@@ -49,21 +49,41 @@ def load_truth(sf_dir: str) -> dict[str, tuple[str, str]]:
     }
 
 
+_TRUTH_CACHE: dict = {}
+
+
+def score_batch(batch: pa.Table, truth_ref) -> pa.Table:
+    """Task-pool scorer: the broadcast truth table is ``ray.get``-ed once
+    per worker process (cached by ref) — the broadcast-join benefit of an
+    actor pool without actors' standing CPU reservation, which starved the
+    upstream extraction sort (same pathology as stages/extract.py)."""
+    key = truth_ref.hex() if hasattr(truth_ref, "hex") else id(truth_ref)
+    truth = _TRUTH_CACHE.get(key)
+    if truth is None:
+        truth = _TRUTH_CACHE[key] = ray.get(truth_ref)
+    return ScoreStage.score(truth, batch)
+
+
 class ScoreStage:
     """Actor-pool scorer: truth lookup fetched from the object store once
-    per actor (broadcast join, no shuffle)."""
+    per actor (broadcast join, no shuffle).  Kept for callers that want a
+    standing pool; the pipeline default is the task form above."""
 
     def __init__(self, truth_ref):
         self.truth = ray.get(truth_ref)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        return ScoreStage.score(self.truth, batch)
+
+    @staticmethod
+    def score(truth, batch: pa.Table) -> pa.Table:
         rows = {k: [] for k in SCORES.names}
         for doc_id, model, pred in zip(
             batch.column("doc_id").to_pylist(),
             batch.column("model").to_pylist(),
             batch.column("plaintext").to_pylist(),
         ):
-            hit = self.truth.get(doc_id)
+            hit = truth.get(doc_id)
             if hit is None:  # semi-join: answers without truth are skipped
                 continue
             target, dataset = hit
@@ -90,17 +110,23 @@ class ScoreStage:
         return pa.table(rows, schema=SCORES)
 
 
-def scores_pipeline(sf_dir: str, models=EVAL_MODELS, num_buckets: int = 32):
+def scores_pipeline(sf_dir: str, models=EVAL_MODELS, num_buckets: int = 128):
     truth_ref = ray.put(load_truth(sf_dir))
     spans = build_spans_table(sf_dir)
-    ds = extraction_pipeline(spans, models=models, num_buckets=num_buckets)
-    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    cpus = (
+        int(ray.cluster_resources().get("CPU", 4))
+        if ray.is_initialized()
+        else 4
+    )
+    ds = extraction_pipeline(
+        spans, models=models, num_buckets=num_buckets,
+        override_num_blocks=2 * cpus,
+    )
     return ds.map_batches(
-        ScoreStage,
-        fn_constructor_kwargs={"truth_ref": truth_ref},
+        score_batch,
+        fn_kwargs={"truth_ref": truth_ref},
         batch_format="pyarrow",
         batch_size=64,
-        concurrency=(1, max(2, cpus)),
     )
 
 
