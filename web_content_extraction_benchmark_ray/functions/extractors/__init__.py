@@ -35,7 +35,16 @@ def list_extractors() -> list[str]:
 
 def _ensure_loaded():
     # import for registration side effects
-    from . import baselines, bte, density, ensemble, justext, readability, tagclean  # noqa: F401
+    from . import (  # noqa: F401
+        baselines,
+        bte,
+        density,
+        ensemble,
+        justext,
+        leafmodel,
+        readability,
+        tagclean,
+    )
 
 
 _ensure_loaded()

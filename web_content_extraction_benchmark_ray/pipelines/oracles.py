@@ -79,7 +79,7 @@ def extraction_oracle_sql() -> dict[str, str]:
     newline = "chr(10)"
     space = "' '"
     sqls = {}
-    for model in ("bte", "density", "readability"):
+    for model in ("bte", "density", "readability", "leafmodel"):
         sqls[f"extract_{model}"] = _main_cte(newline) + _select(
             model, "m.main_text"
         )
@@ -104,6 +104,13 @@ def extraction_oracle_sql() -> dict[str, str]:
     )
     # media path: every 10th doc carries one media span; the layout-parse
     # stub's output is deterministic from the ref (functions/media.py)
+    sqls["extract_subproc"] = _main_cte(space) + _select(
+        "subproc_whole_text",
+        f"'Synthetic page ' || CAST(d.doc_id AS VARCHAR) || ' ' || "
+        f"{_q(pg.H1_TEXT)} || ' ' || {_q(_NAV)} || ' ' || m.main_text || ' ' || "
+        f"{_q(_ASIDE)} || ' ' || {_q(_REPLY)} || ' ' || {_q(_FOOT)}",
+    )
+    sqls["ingest_decode"] = "SELECT doc_id, text FROM documents"
     sqls["media_spans"] = (
         "SELECT doc_id, "
         "'pdf://' || CAST(doc_id AS VARCHAR) || '/0' AS media_ref, "

@@ -72,11 +72,90 @@ def media_spans(sf_dir: str):
     return assembled.map_batches(emit, batch_format="pyarrow")
 
 
+def extract_subproc(sf_dir: str):
+    """The warm-subprocess stage end-to-end (E6/E16 capability): reassembly
+    -> actor pool each holding one long-lived child process that computes
+    whole_text over a line protocol."""
+    from ..stages.subproc import subproc_extract
+
+    path = build_spans_table(sf_dir)
+    ds = ray.data.read_parquet(path)
+    assembled = reassemble(ds, num_buckets=QUERY_NUM_BUCKETS)
+    out = subproc_extract(assembled, model="whole_text")
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "model": batch["model"],
+                "plaintext": pc.cast(batch["plaintext"], pa.string()),
+            }
+        )
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+def ingest_decode(sf_dir: str):
+    """Byte-ingestion conformance (reference F4): documents are
+    deterministically encoded into bytes (utf-8 / gzip / cp1252 / utf-16
+    BOM by doc_id % 4), then decoded by the sniffing reader; output must
+    round-trip to the original text (oracle: SELECT doc_id, text)."""
+    import gzip as _gzip
+
+    from ..sources.ingest import decode_page_bytes
+
+    def encode(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        payloads = []
+        for i, t in zip(ids, texts):
+            mode = i % 4
+            if mode == 0:
+                payloads.append(t.encode("utf-8"))
+            elif mode == 1:
+                payloads.append(_gzip.compress(t.encode("utf-8")))
+            elif mode == 2:
+                payloads.append(t.encode("cp1252"))
+            else:
+                payloads.append(b"\xff\xfe" + t.encode("utf-16-le"))
+        return pa.table(
+            {
+                "doc_id": pa.array([int(i) for i in ids], pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    def decode(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "text": pa.array(
+                    [
+                        decode_page_bytes(p)
+                        for p in batch.column("payload").to_pylist()
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+
+    import os
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return ds.map_batches(encode, batch_format="pyarrow").map_batches(
+        decode, batch_format="pyarrow"
+    )
+
+
 def extraction_queries() -> dict:
     from ..functions.extractors import list_extractors
 
     q = {f"extract_{m}": extraction_query(m) for m in list_extractors()}
     q["media_spans"] = media_spans
+    q["extract_subproc"] = extract_subproc
+    q["ingest_decode"] = ingest_decode
     return q
 
 
