@@ -70,10 +70,36 @@ def majority_vote(
     return " ".join(t for t, v in zip(body, body_votes) if v >= vote_threshold)
 
 
+def _run_ensemble(html: str, members) -> str:
+    """Member binding + threshold rule: threshold = int(0.66 * total
+    weight), where a weight-w member counts as w duplicated entries
+    (reference ``_get_ensemble_model_list``, extractors.py:174-209)."""
+    page_text = body_text(html)
+    answers = [fn(html) for _, fn, _ in members]
+    weights = [w for _, _, w in members]
+    threshold = int(sum(weights) * 0.66)
+    return majority_vote(page_text, answers, weights, threshold)
+
+
 @register_extractor("ensemble")
 def ensemble(html: str) -> str:
-    page_text = body_text(html)
-    answers = [fn(html) for _, fn, _ in MEMBERS]
-    weights = [w for _, _, w in MEMBERS]
-    threshold = int(len(MEMBERS) * 0.66)
-    return majority_vote(page_text, answers, weights, threshold)
+    return _run_ensemble(html, MEMBERS)
+
+
+# N4 parameterizations (reference extractors.py:194-209): best-subset and
+# weighted (selected members counted twice).
+BEST_MEMBERS = [m for m in MEMBERS if m[0] in ("bte", "density", "readability")]
+WEIGHTED_MEMBERS = [
+    (name, fn, 2 if name in ("readability", "justext") else w)
+    for name, fn, w in MEMBERS
+]
+
+
+@register_extractor("ensemble_best")
+def ensemble_best(html: str) -> str:
+    return _run_ensemble(html, BEST_MEMBERS)
+
+
+@register_extractor("ensemble_weighted")
+def ensemble_weighted(html: str) -> str:
+    return _run_ensemble(html, WEIGHTED_MEMBERS)

@@ -83,7 +83,7 @@ def extraction_oracle_sql() -> dict[str, str]:
         sqls[f"extract_{model}"] = _main_cte(newline) + _select(
             model, "m.main_text"
         )
-    for model in ("justext", "ensemble"):
+    for model in ("justext", "ensemble", "ensemble_best", "ensemble_weighted"):
         sqls[f"extract_{model}"] = _main_cte(space) + _select(
             model, "m.main_text"
         )

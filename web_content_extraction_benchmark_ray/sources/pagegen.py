@@ -169,6 +169,8 @@ EXPECTED_BY_MODEL = {
     "density": lambda doc_id, text: expected_density(text),
     "readability": lambda doc_id, text: expected_readability(text),
     "ensemble": lambda doc_id, text: expected_ensemble(text),
+    "ensemble_best": lambda doc_id, text: expected_ensemble(text),
+    "ensemble_weighted": lambda doc_id, text: expected_ensemble(text),
     # logistic leaf model: decision boundary (~9 words at zero link
     # density) selects exactly the main paragraphs on this template, like
     # the density classifier (functions/extractors/leafmodel.py)
