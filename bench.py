@@ -109,8 +109,20 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
 
             timed("dedup_exact", lambda: _consume(d.dedup_exact(sf_dir)))
             timed("dedup_minhash", lambda: _consume(d.dedup_minhash_pairs(sf_dir)))
+            timed("dedup_simhash", lambda: _consume(d.dedup_simhash_pairs(sf_dir)))
+            timed("dedup_jaccard", lambda: _consume(d.dedup_ngram_jaccard(sf_dir)))
             timed("knn_cosine", lambda: _consume(d.knn_cosine(sf_dir)))
+            timed("knn_ivf", lambda: _consume(d.knn_ivf(sf_dir)))
             timed("text_quality", lambda: _consume(d.text_quality(sf_dir)))
+            timed("lang_id", lambda: _consume(d.lang_id_q(sf_dir)))
+            timed("doc_fingerprint", lambda: _consume(d.doc_fingerprint(sf_dir)))
+        except ImportError:
+            pass
+        try:
+            from web_content_extraction_benchmark_ray.pipelines import analytics as an
+
+            timed("vocab_topk", lambda: _consume(an.vocab_topk(sf_dir)))
+            timed("kmeans_iterate", lambda: _consume(an.kmeans_iterate(sf_dir)))
         except ImportError:
             pass
 

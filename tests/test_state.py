@@ -157,3 +157,30 @@ def test_checkpoint_resume(ray_session, tmp_path):
     # every doc appears exactly once across partitions (partition disjointness)
     assert resumed["doc_id"].is_unique
     assert len(resumed) == 500
+
+
+def test_heavy_lane_and_salted_equal_plain(ray_session):
+    """Two-lane routing + salted reassembly must be output-equal to the
+    plain pipeline on a heavy-tailed input."""
+    from web_content_extraction_benchmark_ray.pipelines.extraction import (
+        extraction_pipeline,
+    )
+
+    spans = build_spans_table("/root/testdata/sf0.001", heavy_tail=True)
+
+    def norm(ds):
+        return (
+            ds.to_pandas()[["doc_id", "model", "plaintext"]]
+            .sort_values(["doc_id", "model"])
+            .reset_index(drop=True)
+        )
+
+    plain = norm(extraction_pipeline(spans, models=("bte",), num_buckets=16))
+    routed = norm(
+        extraction_pipeline(
+            spans, models=("bte",), num_buckets=16,
+            heavy_lane_bytes=50_000, salted=True,
+        )
+    )
+    assert plain.equals(routed)
+    assert len(plain) == 500

@@ -43,32 +43,37 @@ def _src_word_count(html: str) -> int:
     return _src_word_count_from_body(body)
 
 
-class ComplexityStage:
-    def __init__(self, truth_ref):
-        self.truth = ray.get(truth_ref)
+_TRUTH_CACHE: dict = {}
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        out = {"doc_id": [], "dataset": [], "complexity": []}
-        for doc_id, html in zip(
-            batch.column("doc_id").to_pylist(), batch.column("html").to_pylist()
-        ):
-            hit = self.truth.get(doc_id)
-            if hit is None:
-                continue
-            target, dataset = hit
-            truth_tokens = len(tokenize_words(target))
-            src_tokens = _src_word_count(html)
-            ratio = truth_tokens / src_tokens if src_tokens else 0.0
-            out["doc_id"].append(int(doc_id))
-            out["dataset"].append(dataset)
-            out["complexity"].append(1.0 - min(1.0, max(0.0, ratio)))
-        return pa.table(
-            {
-                "doc_id": pa.array(out["doc_id"], pa.int64()),
-                "dataset": pa.array(out["dataset"], pa.string()),
-                "complexity": pa.array(out["complexity"], pa.float64()),
-            }
-        )
+
+def complexity_batch(batch: pa.Table, truth_ref) -> pa.Table:
+    """Task-pool form: broadcast truth ray.get-ed once per worker process
+    (actor pools starve co-scheduled all-to-alls — see stages/extract.py)."""
+    key = truth_ref.hex() if hasattr(truth_ref, "hex") else id(truth_ref)
+    truth = _TRUTH_CACHE.get(key)
+    if truth is None:
+        truth = _TRUTH_CACHE[key] = ray.get(truth_ref)
+    out = {"doc_id": [], "dataset": [], "complexity": []}
+    for doc_id, html in zip(
+        batch.column("doc_id").to_pylist(), batch.column("html").to_pylist()
+    ):
+        hit = truth.get(doc_id)
+        if hit is None:
+            continue
+        target, dataset = hit
+        truth_tokens = len(tokenize_words(target))
+        src_tokens = _src_word_count(html)
+        ratio = truth_tokens / src_tokens if src_tokens else 0.0
+        out["doc_id"].append(int(doc_id))
+        out["dataset"].append(dataset)
+        out["complexity"].append(1.0 - min(1.0, max(0.0, ratio)))
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "dataset": pa.array(out["dataset"], pa.string()),
+            "complexity": pa.array(out["complexity"], pa.float64()),
+        }
+    )
 
 
 def html_features(html: str) -> dict[str, float]:
@@ -114,21 +119,25 @@ def features_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def _assembled(sf_dir: str, num_buckets: int = 32):
+def _assembled(sf_dir: str, num_buckets: int = 128):
     import ray.data
 
     path = build_spans_table(sf_dir)
-    return reassemble(ray.data.read_parquet(path), num_buckets=num_buckets)
+    cpus = (
+        int(ray.cluster_resources().get("CPU", 4))
+        if ray.is_initialized()
+        else 4
+    )
+    ds = ray.data.read_parquet(path, override_num_blocks=2 * cpus)
+    return reassemble(ds, num_buckets=num_buckets)
 
 
-def complexity_pipeline(sf_dir: str, num_buckets: int = 32):
+def complexity_pipeline(sf_dir: str, num_buckets: int = 128):
     truth_ref = ray.put(load_truth(sf_dir))
-    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
     return _assembled(sf_dir, num_buckets).map_batches(
-        ComplexityStage,
-        fn_constructor_kwargs={"truth_ref": truth_ref},
+        complexity_batch,
+        fn_kwargs={"truth_ref": truth_ref},
         batch_format="pyarrow",
-        concurrency=(1, max(2, cpus)),
     )
 
 
@@ -146,7 +155,7 @@ def complexity_quantiles(sf_dir: str, qs=(0.25, 0.33, 0.5, 0.66, 0.75)):
     )
 
 
-def features_pipeline(sf_dir: str, num_buckets: int = 32):
+def features_pipeline(sf_dir: str, num_buckets: int = 128):
     return _assembled(sf_dir, num_buckets).map_batches(
         features_batch, batch_format="pyarrow"
     )

@@ -2,24 +2,28 @@
 
 All stages are shuffle-conscious Ray Data compositions:
 
-- exact:    hash-partition by content hash -> per-group first
+- exact:    hash-partition by content hash -> NATIVE Min aggregate
             (the reference's dict-keyed dedup, extract.py:52-53, made
             distributed: groupby('h') IS the hash partition).
 - minhash:  signature map -> band flat-map (each band row CARRIES the full
             signature so bucket-local verification needs no broadcast and
-            no second join) -> groupby (band_id, band_key) -> in-bucket
-            pairs -> groupby pair for cross-band distinct.
+            no second join) -> bucketed candidate generation -> native
+            Max aggregate for cross-band pair distinct.
 - simhash:  5 prefix bands x 12 bits; hamming <= 4 implies at least one
             identical band (pigeonhole), so the candidate groupby is EXACT
             for the threshold — no all-pairs, no broadcast.
 - jaccard:  inverted-index join: explode distinct shingles (carrying the
-            doc's shingle count), groupby shingle emits co-occurrence rows,
-            groupby pair counts the intersection. Hot shingles are a skew
-            hazard at scale: groups above MAX_DF docs are dropped (df cut,
-            never triggered at test scale).
+            doc's shingle count), bucketed posting-list co-occurrence,
+            native Count aggregate for the intersection.  Hot shingles are
+            a skew hazard at scale: posting lists above MAX_DF docs are
+            dropped (df cut, never triggered at test scale).
 
-Group keys are content hashes -> uniformly distributed; bucket-count-free
-(group count scales with data, Ray's sort-based shuffle handles it).
+Tiny-group discipline: a ``map_groups`` fires one Python call PER GROUP,
+so grouping by a high-cardinality key (every shingle / band key / pair)
+is a per-row-Python trap — measured 9.5 s where ~2 s of work exists.  All
+high-cardinality groupbys here either (a) pre-bucket into ~PAIR_BUCKETS
+coarse groups and process each bucket's sub-groups in one call, or (b)
+use NATIVE aggregates (Min/Max/Count) that reduce C-side.
 """
 from __future__ import annotations
 
@@ -27,13 +31,12 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.text import round6
-
 from ..functions.hashing import (
     MINHASH_BANDS,
     MINHASH_K,
-    MINHASH_ROWS,
     band_keys,
     minhash_signature,
     shingle_base_hashes,
@@ -46,6 +49,7 @@ SIMHASH_NUM_BANDS = 5
 SIMHASH_MAX_HAMMING = SIMHASH_NUM_BANDS - 1  # pigeonhole-exact
 JACCARD_THRESHOLD = 0.5
 MAX_DF = 10_000  # df cut for pathological shingles (skew guard at scale)
+PAIR_BUCKETS = 256  # coarse buckets for candidate-pair generation
 
 
 # ---------------------------------------------------------------------- exact
@@ -57,22 +61,28 @@ def add_content_hash(batch: pa.Table) -> pa.Table:
     return batch.append_column("h", pa.array(hs, pa.string()))
 
 
-def first_per_hash(group: pa.Table) -> pa.Table:
-    """Survivor = min doc_id within one content-hash group."""
-    ids = group.column("doc_id").to_pylist()
-    return pa.table({"doc_id": pa.array([min(ids)], pa.int64())})
-
-
 def dedup_exact(ds):
-    """Dataset(doc_id, text) -> Dataset(doc_id) of surviving documents."""
+    """Dataset(doc_id, text) -> Dataset(doc_id) of surviving documents.
+
+    Survivor = min doc_id per content hash, via the NATIVE Min aggregate:
+    map-side combining plus C-level reduction — no per-group Python call
+    (a map_groups here would fire once per distinct document)."""
+    from ray.data.aggregate import Min
+
     ds = ds.map_batches(add_content_hash, batch_format="pyarrow")
-    return ds.groupby("h").map_groups(first_per_hash, batch_format="pyarrow")
+    agg = ds.groupby("h").aggregate(Min("doc_id"))
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": pc.cast(batch["min(doc_id)"], pa.int64())})
+
+    return agg.map_batches(project, batch_format="pyarrow")
 
 
 # -------------------------------------------------------------------- minhash
 def minhash_band_rows(batch: pa.Table) -> pa.Table:
-    """(doc_id, text) -> one row per (doc, band): band key + full signature."""
-    out_band, out_key, out_id, out_sig = [], [], [], []
+    """(doc_id, text) -> one row per (doc, band): band key + full signature
+    + the coarse candidate bucket (md5-prefix of the band key)."""
+    out_band, out_key, out_bucket, out_id, out_sig = [], [], [], [], []
     for doc_id, text in zip(
         batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
     ):
@@ -82,44 +92,46 @@ def minhash_band_rows(batch: pa.Table) -> pa.Table:
         for j in range(MINHASH_BANDS):
             out_band.append(j)
             out_key.append(keys[j])
+            out_bucket.append(int(keys[j][:4], 16) % PAIR_BUCKETS)
             out_id.append(int(doc_id))
             out_sig.append(sig_l)
     return pa.table(
         {
             "band_id": pa.array(out_band, pa.int32()),
             "band_key": pa.array(out_key, pa.string()),
+            "bucket": pa.array(out_bucket, pa.int32()),
             "doc_id": pa.array(out_id, pa.int64()),
             "sig": pa.array(out_sig, pa.list_(pa.int64())),
         }
     )
 
 
-def bucket_pairs(group: pa.Table) -> pa.Table:
-    """Within one LSH bucket: verified near-dup pairs (est_j >= threshold)."""
+def minhash_bucket_pairs(group: pa.Table) -> pa.Table:
+    """One coarse bucket: group its rows by (band_id, band_key) in one
+    call, emit verified pairs (est_j >= threshold)."""
+    bands = group.column("band_id").to_pylist()
+    keys = group.column("band_key").to_pylist()
     ids = group.column("doc_id").to_pylist()
-    if len(ids) < 2:
-        return pa.table(
-            {
-                "doc_id_a": pa.array([], pa.int64()),
-                "doc_id_b": pa.array([], pa.int64()),
-                "est_jaccard": pa.array([], pa.float64()),
-            }
-        )
-    sigs = np.array(group.column("sig").to_pylist(), dtype=np.int64)
-    order = np.argsort(np.array(ids, dtype=np.int64), kind="stable")
-    ids_s = [ids[i] for i in order]
-    sigs = sigs[order]
+    sigs = group.column("sig").to_pylist()
+    posting: dict = {}
+    for b, k, d, s in zip(bands, keys, ids, sigs):
+        posting.setdefault((b, k), []).append((d, tuple(s)))
     a_out, b_out, j_out = [], [], []
-    n = len(ids_s)
-    for i in range(n):
-        for j in range(i + 1, n):
-            if ids_s[i] == ids_s[j]:
-                continue  # same doc in one bucket twice cannot happen per band
-            est = float((sigs[i] == sigs[j]).sum()) / MINHASH_K
-            if est >= MINHASH_THRESHOLD:
-                a_out.append(ids_s[i])
-                b_out.append(ids_s[j])
-                j_out.append(round6(est))
+    for members in posting.values():
+        if len(members) < 2:
+            continue
+        members = sorted(set(members))
+        for i in range(len(members)):
+            di, si = members[i]
+            for j in range(i + 1, len(members)):
+                dj, sj = members[j]
+                if di == dj:
+                    continue
+                est = sum(x == y for x, y in zip(si, sj)) / MINHASH_K
+                if est >= MINHASH_THRESHOLD:
+                    a_out.append(di)
+                    b_out.append(dj)
+                    j_out.append(round6(est))
     return pa.table(
         {
             "doc_id_a": pa.array(a_out, pa.int64()),
@@ -129,20 +141,32 @@ def bucket_pairs(group: pa.Table) -> pa.Table:
     )
 
 
-def distinct_pair(group: pa.Table) -> pa.Table:
-    return group.slice(0, 1)
+def _distinct_pairs(pairs, value_col: str, out_type=pa.float64()):
+    """Cross-band/bucket distinct via the native Max aggregate (the value
+    is identical for every duplicate of a pair)."""
+    from ray.data.aggregate import Max
+
+    agg = pairs.groupby(["doc_id_a", "doc_id_b"]).aggregate(Max(value_col))
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id_a": pc.cast(batch["doc_id_a"], pa.int64()),
+                "doc_id_b": pc.cast(batch["doc_id_b"], pa.int64()),
+                value_col: pc.cast(batch[f"max({value_col})"], out_type),
+            }
+        )
+
+    return agg.map_batches(project, batch_format="pyarrow")
 
 
 def dedup_minhash_pairs(ds):
     """Dataset(doc_id, text) -> Dataset(doc_id_a, doc_id_b, est_jaccard)."""
     rows = ds.map_batches(minhash_band_rows, batch_format="pyarrow")
-    pairs = rows.groupby(["band_id", "band_key"]).map_groups(
-        bucket_pairs, batch_format="pyarrow"
+    pairs = rows.groupby("bucket").map_groups(
+        minhash_bucket_pairs, batch_format="pyarrow"
     )
-    # a pair found by several bands must appear once
-    return pairs.groupby(["doc_id_a", "doc_id_b"]).map_groups(
-        distinct_pair, batch_format="pyarrow"
-    )
+    return _distinct_pairs(pairs, "est_jaccard")
 
 
 # -------------------------------------------------------------------- simhash
@@ -159,17 +183,22 @@ def simhash_rows(batch: pa.Table) -> pa.Table:
 
 
 def simhash_band_rows(batch: pa.Table) -> pa.Table:
-    out_band, out_val, out_id, out_v = [], [], [], []
+    out_bucket, out_band, out_val, out_id, out_v = [], [], [], [], []
     for doc_id, v in zip(
         batch.column("doc_id").to_pylist(), batch.column("sim_v").to_pylist()
     ):
         for j in range(SIMHASH_NUM_BANDS):
+            bv = (v >> (SIMHASH_BAND_BITS * j)) & ((1 << SIMHASH_BAND_BITS) - 1)
             out_band.append(j)
-            out_val.append((v >> (SIMHASH_BAND_BITS * j)) & 0xFFF)
+            out_val.append(bv)
+            out_bucket.append(
+                (j * (1 << SIMHASH_BAND_BITS) + bv) % PAIR_BUCKETS
+            )
             out_id.append(doc_id)
             out_v.append(v)
     return pa.table(
         {
+            "bucket": pa.array(out_bucket, pa.int32()),
             "band_id": pa.array(out_band, pa.int32()),
             "band_val": pa.array(out_val, pa.int64()),
             "doc_id": pa.array(out_id, pa.int64()),
@@ -179,17 +208,28 @@ def simhash_band_rows(batch: pa.Table) -> pa.Table:
 
 
 def simhash_bucket_pairs(group: pa.Table) -> pa.Table:
-    ids = group.column("doc_id").to_pylist()
-    vs = group.column("sim_v").to_pylist()
-    pairs = sorted(set(zip(ids, vs)))
+    posting: dict = {}
+    for b, bv, d, v in zip(
+        group.column("band_id").to_pylist(),
+        group.column("band_val").to_pylist(),
+        group.column("doc_id").to_pylist(),
+        group.column("sim_v").to_pylist(),
+    ):
+        posting.setdefault((b, bv), set()).add((d, v))
     a_out, b_out, d_out = [], [], []
-    for i in range(len(pairs)):
-        for j in range(i + 1, len(pairs)):
-            ham = bin(pairs[i][1] ^ pairs[j][1]).count("1")
-            if ham <= SIMHASH_MAX_HAMMING:
-                a_out.append(pairs[i][0])
-                b_out.append(pairs[j][0])
-                d_out.append(ham)
+    for members in posting.values():
+        if len(members) < 2:
+            continue
+        ms = sorted(members)
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                if ms[i][0] == ms[j][0]:
+                    continue
+                ham = bin(ms[i][1] ^ ms[j][1]).count("1")
+                if ham <= SIMHASH_MAX_HAMMING:
+                    a_out.append(ms[i][0])
+                    b_out.append(ms[j][0])
+                    d_out.append(ham)
     return pa.table(
         {
             "doc_id_a": pa.array(a_out, pa.int64()),
@@ -211,19 +251,17 @@ def dedup_simhash_pairs(ds):
     hamming <= 4 — exact under the 5-band pigeonhole decomposition."""
     sigs = ds.map_batches(simhash_rows, batch_format="pyarrow")
     rows = sigs.map_batches(simhash_band_rows, batch_format="pyarrow")
-    pairs = rows.groupby(["band_id", "band_val"]).map_groups(
+    pairs = rows.groupby("bucket").map_groups(
         simhash_bucket_pairs, batch_format="pyarrow"
     )
-    return pairs.groupby(["doc_id_a", "doc_id_b"]).map_groups(
-        distinct_pair, batch_format="pyarrow"
-    )
+    return _distinct_pairs(pairs, "hamming", pa.int64())
 
 
 # -------------------------------------------------------- exact n-gram jaccard
 def shingle_rows(batch: pa.Table) -> pa.Table:
     """Explode distinct shingle hashes, carrying the doc's shingle count so
     downstream needs no join back to per-doc totals."""
-    out_sh, out_id, out_n = [], [], []
+    out_sh, out_bucket, out_id, out_n = [], [], [], []
     for doc_id, text in zip(
         batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
     ):
@@ -232,55 +270,68 @@ def shingle_rows(batch: pa.Table) -> pa.Table:
         n = int(hs.size)
         for h in hs:
             out_sh.append(int(h))
+            out_bucket.append(int(h) % PAIR_BUCKETS)
             out_id.append(int(doc_id))
             out_n.append(n)
     return pa.table(
         {
             "sh": pa.array(out_sh, pa.int64()),
+            "bucket": pa.array(out_bucket, pa.int32()),
             "doc_id": pa.array(out_id, pa.int64()),
             "n_sh": pa.array(out_n, pa.int64()),
         }
     )
 
 
-def cooccurrence_rows(group: pa.Table) -> pa.Table:
-    """One shingle's posting list -> co-occurring doc pairs (with sizes)."""
-    docs = sorted(
-        zip(group.column("doc_id").to_pylist(), group.column("n_sh").to_pylist())
-    )
-    empty = {
-        "doc_id_a": pa.array([], pa.int64()),
-        "doc_id_b": pa.array([], pa.int64()),
-        "n_a": pa.array([], pa.int64()),
-        "n_b": pa.array([], pa.int64()),
-    }
-    if len(docs) < 2 or len(docs) > MAX_DF:
-        return pa.table(empty)
-    a_out, b_out, na_out, nb_out = [], [], [], []
-    for i in range(len(docs)):
-        for j in range(i + 1, len(docs)):
-            a_out.append(docs[i][0])
-            b_out.append(docs[j][0])
-            na_out.append(docs[i][1])
-            nb_out.append(docs[j][1])
+def jaccard_bucket_pairs(group: pa.Table) -> pa.Table:
+    """One coarse bucket of the inverted index: co-occurring doc pairs for
+    every posting list inside it (lists above MAX_DF dropped — df cut)."""
+    posting: dict = {}
+    for sh, d, n in zip(
+        group.column("sh").to_pylist(),
+        group.column("doc_id").to_pylist(),
+        group.column("n_sh").to_pylist(),
+    ):
+        posting.setdefault(sh, []).append((d, n))
+    a_out, b_out, na_out, nb_out, pb_out = [], [], [], [], []
+    for docs in posting.values():
+        if len(docs) < 2 or len(docs) > MAX_DF:
+            continue
+        docs.sort()
+        for i in range(len(docs)):
+            for j in range(i + 1, len(docs)):
+                a, b = docs[i][0], docs[j][0]
+                a_out.append(a)
+                b_out.append(b)
+                na_out.append(docs[i][1])
+                nb_out.append(docs[j][1])
+                pb_out.append((a ^ (b * 1315423911)) % PAIR_BUCKETS)
     return pa.table(
         {
             "doc_id_a": pa.array(a_out, pa.int64()),
             "doc_id_b": pa.array(b_out, pa.int64()),
             "n_a": pa.array(na_out, pa.int64()),
             "n_b": pa.array(nb_out, pa.int64()),
+            "pbucket": pa.array(pb_out, pa.int32()),
         }
     )
 
 
-def pair_jaccard(group: pa.Table) -> pa.Table:
-    inter = group.num_rows
-    na = group.column("n_a")[0].as_py()
-    nb = group.column("n_b")[0].as_py()
-    a = group.column("doc_id_a")[0].as_py()
-    b = group.column("doc_id_b")[0].as_py()
-    jac = inter / (na + nb - inter)
-    if jac < JACCARD_THRESHOLD:
+def jaccard_pair_reduce(group: pa.Table) -> pa.Table:
+    """One pair-bucket: count co-occurrences per (a, b) in a single dict
+    pass, then vectorized jaccard + threshold.  A native multi-key
+    aggregate here hit millions of groups (22.9 s for ~2 s of work);
+    the coarse-bucket reduce is the same tiny-group discipline as the
+    candidate stage."""
+    a_arr = np.asarray(group.column("doc_id_a").to_pylist(), dtype=np.int64)
+    b_arr = np.asarray(group.column("doc_id_b").to_pylist(), dtype=np.int64)
+    na_arr = np.asarray(group.column("n_a").to_pylist(), dtype=np.float64)
+    nb_arr = np.asarray(group.column("n_b").to_pylist(), dtype=np.float64)
+    # vectorized group-count: sort by (a, b), run-length encode
+    order = np.lexsort((b_arr, a_arr))
+    a_s, b_s = a_arr[order], b_arr[order]
+    na_s, nb_s = na_arr[order], nb_arr[order]
+    if len(a_s) == 0:
         return pa.table(
             {
                 "doc_id_a": pa.array([], pa.int64()),
@@ -288,20 +339,32 @@ def pair_jaccard(group: pa.Table) -> pa.Table:
                 "jaccard": pa.array([], pa.float64()),
             }
         )
+    new_run = np.empty(len(a_s), dtype=bool)
+    new_run[0] = True
+    new_run[1:] = (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])
+    starts = np.nonzero(new_run)[0]
+    counts = np.diff(np.append(starts, len(a_s))).astype(np.float64)
+    na_g, nb_g = na_s[starts], nb_s[starts]
+    jac = counts / (na_g + nb_g - counts)
+    keep = jac >= JACCARD_THRESHOLD
+    jac_r = np.floor(jac * 1e6 + 0.5) / 1e6  # SQL-twin rounding
     return pa.table(
         {
-            "doc_id_a": pa.array([a], pa.int64()),
-            "doc_id_b": pa.array([b], pa.int64()),
-            "jaccard": pa.array([round6(jac)], pa.float64()),
+            "doc_id_a": pa.array(a_s[starts][keep], pa.int64()),
+            "doc_id_b": pa.array(b_s[starts][keep], pa.int64()),
+            "jaccard": pa.array(jac_r[keep], pa.float64()),
         }
     )
 
 
 def dedup_ngram_jaccard(ds):
     """Dataset(doc_id, text) -> (doc_id_a, doc_id_b, jaccard >= 0.5) exact
-    word-3-gram Jaccard via the inverted-index join."""
+    word-3-gram Jaccard via the inverted-index join.  Both shuffles are
+    coarse-bucket groupbys; all per-row work is numpy-vectorized."""
     rows = ds.map_batches(shingle_rows, batch_format="pyarrow")
-    co = rows.groupby("sh").map_groups(cooccurrence_rows, batch_format="pyarrow")
-    return co.groupby(["doc_id_a", "doc_id_b"]).map_groups(
-        pair_jaccard, batch_format="pyarrow"
+    co = rows.groupby("bucket").map_groups(
+        jaccard_bucket_pairs, batch_format="pyarrow"
+    )
+    return co.groupby("pbucket").map_groups(
+        jaccard_pair_reduce, batch_format="pyarrow"
     )

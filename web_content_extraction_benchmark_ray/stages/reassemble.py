@@ -198,52 +198,44 @@ def add_salt_bucket(
 def partial_assemble_group(group: pa.Table) -> pa.Table:
     """Phase 1: concat each (doc_id, salt) shard's html spans in offset
     order into ONE partial span (offset = shard's first offset); media
-    spans pass through with their original offsets."""
+    spans pass through with their original offsets.
+
+    Vectorized like assemble_group: sort -> arrow hash-group 'list'
+    aggregation (input order preserved per group) -> binary_join."""
     limit_arrow_threads()
     g = group.sort_by(
         [("doc_id", "ascending"), ("salt", "ascending"), ("offset", "ascending")]
     )
-    doc_ids = g.column("doc_id").to_pylist()
-    salts = g.column("salt").to_pylist()
-    kinds = g.column("kind").to_pylist()
-    texts = g.column("text").to_pylist()
-    refs = g.column("media_ref").to_pylist()
-    offs = g.column("offset").to_pylist()
+    kinds = g.column("kind")
+    html_t = g.filter(pc.equal(kinds, "html"))
+    media_t = g.filter(pc.equal(kinds, "media"))
 
-    out = {"doc_id": [], "kind": [], "text": [], "media_ref": [], "offset": []}
-    i, n = 0, len(doc_ids)
-    while i < n:
-        j = i
-        parts: list[str] = []
-        first_off = None
-        while j < n and doc_ids[j] == doc_ids[i] and salts[j] == salts[i]:
-            if kinds[j] == "html":
-                parts.append(texts[j])
-                if first_off is None:
-                    first_off = offs[j]
-            elif kinds[j] == "media":
-                out["doc_id"].append(doc_ids[j])
-                out["kind"].append("media")
-                out["text"].append("")
-                out["media_ref"].append(refs[j])
-                out["offset"].append(offs[j])
-            j += 1
-        if parts:
-            out["doc_id"].append(doc_ids[i])
-            out["kind"].append("html")
-            out["text"].append("".join(parts))
-            out["media_ref"].append("")
-            out["offset"].append(first_off)
-        i = j
-    return pa.table(
+    agg = pa.TableGroupBy(
+        html_t, ["doc_id", "salt"], use_threads=False
+    ).aggregate([("text", "list"), ("offset", "min")])
+    merged = pc.binary_join(
+        pc.cast(agg.column("text_list"), pa.list_(pa.string())), ""
+    )
+    n = len(agg)
+    partial = pa.table(
         {
-            "doc_id": pa.array(out["doc_id"], pa.string()),
-            "kind": pa.array(out["kind"], pa.string()),
-            "text": pa.array(out["text"], pa.large_string()),
-            "media_ref": pa.array(out["media_ref"], pa.string()),
-            "offset": pa.array(out["offset"], pa.int32()),
+            "doc_id": agg.column("doc_id"),
+            "kind": pa.array(["html"] * n, pa.string()),
+            "text": pc.cast(merged, pa.large_string()),
+            "media_ref": pa.array([""] * n, pa.string()),
+            "offset": pc.cast(agg.column("offset_min"), pa.int32()),
         }
     )
+    media = pa.table(
+        {
+            "doc_id": media_t.column("doc_id"),
+            "kind": media_t.column("kind"),
+            "text": pc.cast(media_t.column("text"), pa.large_string()),
+            "media_ref": media_t.column("media_ref"),
+            "offset": media_t.column("offset"),
+        }
+    )
+    return pa.concat_tables([partial, media])
 
 
 def reassemble_salted(
