@@ -195,8 +195,9 @@ def main() -> None:
     ap.add_argument("--headline-only", action="store_true")
     ap.add_argument("--repeat", type=int, default=None,
                     help="replicate the corpus N times (scaling default: 16)")
-    ap.add_argument("--trials", type=int, default=1,
-                    help="run each timed query N times, report the min")
+    ap.add_argument("--trials", type=int, default=2,
+                    help="run each timed query N times, report the min "
+                         "(min damps shared-host noise)")
     ap.add_argument("--single", action="store_true",
                     help="internal: one fresh-session bench run")
     args = ap.parse_args()

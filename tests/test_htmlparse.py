@@ -81,3 +81,42 @@ def test_pathological_depth_no_recursion_error():
 
 def test_truncated_tag_at_eof():
     assert parse("<p>ok<div clas").text() == "ok"
+
+
+# ---------------------------------------------------------------- fuzzing
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_html_chars = st.text(
+    alphabet='<>/="\'ab c&;!-\n\tp', min_size=0, max_size=200
+)
+
+
+@given(_html_chars)
+@settings(max_examples=150, deadline=None)
+def test_every_extractor_total_on_garbage(s):
+    """No extractor may hang or crash the parser on arbitrary byte soup —
+    the reference's error contract catches extractor exceptions per doc
+    (extract.py:106-119), but the parser itself must be total."""
+    from web_content_extraction_benchmark_ray.functions.extractors import (
+        get_extractor,
+        list_extractors,
+    )
+
+    for name in list_extractors():
+        out = get_extractor(name)(s)
+        assert isinstance(out, str)
+
+
+@given(_html_chars)
+@settings(max_examples=100, deadline=None)
+def test_parse_roundtrip_total(s):
+    from web_content_extraction_benchmark_ray.functions.htmlparse import (
+        body_or_root,
+        parse,
+        segment_blocks,
+    )
+
+    root = parse(s)
+    body_or_root(root).text(" ")
+    segment_blocks(root)

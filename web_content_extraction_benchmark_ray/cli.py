@@ -84,6 +84,20 @@ def cmd_complexity(args) -> dict:
     return {"complexity_rows": c.count(), "feature_rows": f.count()}
 
 
+def cmd_convert(args) -> dict:
+    """Normalize a raw annotated corpus into documents/ground-truth
+    parquet (reference ``wceb convert-datasets``, extract.py:41-78)."""
+    from .sources.readers import corpus_to_dataset, read_corpus
+
+    pages = corpus_to_dataset(read_corpus(args.kind, args.root))
+    truth = corpus_to_dataset(
+        read_corpus(args.kind, args.root, ground_truth=True)
+    )
+    pages.write_parquet(os.path.join(args.out, "documents"))
+    truth.write_parquet(os.path.join(args.out, "ground_truth"))
+    return {"documents": pages.count(), "ground_truth": truth.count()}
+
+
 def cmd_query(args) -> dict:
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import __ray_entry__ as entry
@@ -132,6 +146,13 @@ def main(argv=None) -> None:
     p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     p.add_argument("--out", required=True)
     p.set_defaults(fn=cmd_complexity)
+
+    p = sub.add_parser("convert")
+    p.add_argument("--kind", required=True,
+                   help="corpus layout: wrapped|paired|selector|jsontruth")
+    p.add_argument("--root", required=True)
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=cmd_convert)
 
     p = sub.add_parser("query")
     p.add_argument("name")
