@@ -262,3 +262,48 @@ def test_media_decode_stage_plumbing(ray_session):
     assert row["width"] == 1 + h % 1024
     assert row["height"] == 1 + (h >> 10) % 1024
     assert (out["error"] == "").all()
+
+
+def test_neardup_survivors_transitive(ray_session):
+    import ray
+
+    from web_content_extraction_benchmark_ray.stages.dedup import (
+        neardup_survivors,
+    )
+
+    docs = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(list(range(1, 26)), pa.int64())})
+    )
+    # component {2,5,9} via chain 2-5, 5-9 (NOT 2-9 directly) + pair {20,21}
+    pairs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id_a": pa.array([2, 5, 20], pa.int64()),
+                "doc_id_b": pa.array([5, 9, 21], pa.int64()),
+            }
+        )
+    )
+    out = sorted(r["doc_id"] for r in neardup_survivors(docs, pairs).take_all())
+    assert out == sorted(set(range(1, 26)) - {5, 9, 21})
+
+
+def test_neardup_survivors_no_pairs(ray_session):
+    import ray
+
+    from web_content_extraction_benchmark_ray.stages.dedup import (
+        neardup_survivors,
+    )
+
+    docs = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([3, 1, 2], pa.int64())})
+    )
+    empty = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id_a": pa.array([], pa.int64()),
+                "doc_id_b": pa.array([], pa.int64()),
+            }
+        )
+    )
+    out = sorted(r["doc_id"] for r in neardup_survivors(docs, empty).take_all())
+    assert out == [1, 2, 3]

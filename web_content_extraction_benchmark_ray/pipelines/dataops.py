@@ -74,6 +74,15 @@ def dedup_minhash_pairs(sf_dir: str):
     return dd.dedup_minhash_pairs(_aug_docs(sf_dir))
 
 
+def dedup_minhash_survivors(sf_dir: str):
+    """Near-dup clustering end-to-end: MinHash+LSH pairs -> connected
+    components (distributed min-label propagation) -> one canonical doc
+    per component + all unpaired docs."""
+    docs = _aug_docs(sf_dir)
+    pairs = dd.dedup_minhash_pairs(docs)
+    return dd.neardup_survivors(docs, pairs)
+
+
 def dedup_simhash(sf_dir: str):
     return dd.dedup_simhash(_aug_docs(sf_dir))
 
@@ -248,6 +257,7 @@ def dataops_queries() -> dict:
     return {
         "dedup_exact": dedup_exact,
         "dedup_minhash_pairs": dedup_minhash_pairs,
+        "dedup_minhash_survivors": dedup_minhash_survivors,
         "dedup_simhash": dedup_simhash,
         "dedup_simhash_pairs": dedup_simhash_pairs,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,

@@ -368,3 +368,143 @@ def dedup_ngram_jaccard(ds):
     return co.groupby("pbucket").map_groups(
         jaccard_pair_reduce, batch_format="pyarrow"
     )
+
+
+# --------------------------------------------- near-dup survivor selection
+def neardup_survivors(docs_ds, pairs_ds, num_buckets: int = 64,
+                      max_iters: int = 25):
+    """(documents, near-dup pairs) -> surviving doc_ids: one canonical
+    (min doc_id) per connected component of the near-dup graph, plus every
+    unpaired doc — the final step of a real dedup pipeline.
+
+    Distributed min-label propagation expressed as CO-GROUP message
+    passing (no join operator): each round unions the label table with the
+    edge table keyed by source node, a bucketed groupby delivers every
+    node's label to its neighbours, and a second bucketed groupby takes
+    the per-node min.  (Dataset.join was avoided deliberately: Ray 2.49's
+    hash join errors when one materialized dataset feeds two joins across
+    loop iterations.)  Rounds needed = component diameter; convergence is
+    the fixpoint of the strictly-decreasing global label sum.
+
+    The non-canonical set is small relative to the corpus (only dup
+    docs), so the final filter broadcasts it; at extreme dup rates use an
+    anti-join on the label table instead.
+    """
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_id_a").to_pylist()
+        b = batch.column("doc_id_b").to_pylist()
+        src = a + b
+        dst = b + a
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    [x % num_buckets for x in src], pa.int32()
+                ),
+                "key": pa.array(src, pa.int64()),
+                "kind": pa.array([1] * len(src), pa.int32()),
+                "val": pa.array(dst, pa.int64()),
+            }
+        )
+
+    edges = pairs_ds.map_batches(both_dirs, batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        return docs_ds.select_columns(["doc_id"])
+
+    def init_labels(group: pa.Table) -> pa.Table:
+        # label(node) = min(node, min direct neighbour) within this bucket
+        lab: dict = {}
+        for k, v in zip(
+            group.column("key").to_pylist(), group.column("val").to_pylist()
+        ):
+            lab[k] = min(lab.get(k, k), v, k)
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    [k % num_buckets for k in lab], pa.int32()
+                ),
+                "key": pa.array(list(lab.keys()), pa.int64()),
+                "kind": pa.array([0] * len(lab), pa.int32()),
+                "val": pa.array(list(lab.values()), pa.int64()),
+            }
+        )
+
+    labels = edges.groupby("bucket").map_groups(
+        init_labels, batch_format="pyarrow"
+    ).materialize()
+
+    def propagate(group: pa.Table) -> pa.Table:
+        """One bucket: deliver label(src) to every neighbour + keep own."""
+        lab: dict = {}
+        nbrs: dict = {}
+        for k, kind, v in zip(
+            group.column("key").to_pylist(),
+            group.column("kind").to_pylist(),
+            group.column("val").to_pylist(),
+        ):
+            if kind == 0:
+                lab[k] = v
+            else:
+                nbrs.setdefault(k, []).append(v)
+        out_k, out_v = [], []
+        for k, l in lab.items():
+            out_k.append(k)
+            out_v.append(l)
+            for d in nbrs.get(k, ()):
+                out_k.append(d)
+                out_v.append(l)
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    [k % num_buckets for k in out_k], pa.int32()
+                ),
+                "key": pa.array(out_k, pa.int64()),
+                "kind": pa.array([0] * len(out_k), pa.int32()),
+                "val": pa.array(out_v, pa.int64()),
+            }
+        )
+
+    def reduce_min(group: pa.Table) -> pa.Table:
+        lab: dict = {}
+        for k, v in zip(
+            group.column("key").to_pylist(), group.column("val").to_pylist()
+        ):
+            lab[k] = min(lab.get(k, v), v)
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    [k % num_buckets for k in lab], pa.int32()
+                ),
+                "key": pa.array(list(lab.keys()), pa.int64()),
+                "kind": pa.array([0] * len(lab), pa.int32()),
+                "val": pa.array(list(lab.values()), pa.int64()),
+            }
+        )
+
+    prev_sum = None
+    for _ in range(max_iters):
+        messages = labels.union(edges).groupby("bucket").map_groups(
+            propagate, batch_format="pyarrow"
+        )
+        labels = messages.groupby("bucket").map_groups(
+            reduce_min, batch_format="pyarrow"
+        ).materialize()
+        cur_sum = labels.sum("val")
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    noncanon = {
+        r["key"]
+        for r in labels.take_all()
+        if r["key"] != r["val"]
+    }
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        mask = pa.array([i not in noncanon for i in ids])
+        return pa.table(
+            {"doc_id": pc.cast(batch.column("doc_id"), pa.int64())}
+        ).filter(mask)
+
+    return docs_ds.map_batches(keep, batch_format="pyarrow")

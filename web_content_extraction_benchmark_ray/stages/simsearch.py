@@ -79,24 +79,34 @@ def _partial_topk(
     )
 
 
-class PartialTopK:
-    """Actor-pool batch stage: broadcast query matrix bound in __init__."""
+_BCAST_CACHE: dict = {}
 
-    def __init__(self, queries_ref):
-        self.qids, self.qmat = ray.get(queries_ref)
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        vec_ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-        vecs = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
-        if vecs.size == 0:
-            return pa.table(
-                {
-                    "query_id": pa.array([], pa.int64()),
-                    "vec_id": pa.array([], pa.int64()),
-                    "cos_r": pa.array([], pa.float64()),
-                }
-            )
-        return _partial_topk(self.qids, self.qmat, vec_ids, vecs)
+def _get_broadcast(ref):
+    """ray.get a broadcast object once per worker process (cached by ref)
+    — the actor-__init__ benefit without a standing CPU reservation."""
+    key = ref.hex() if hasattr(ref, "hex") else id(ref)
+    val = _BCAST_CACHE.get(key)
+    if val is None:
+        val = _BCAST_CACHE[key] = ray.get(ref)
+    return val
+
+
+def partial_topk_batch(batch: pa.Table, queries_ref) -> pa.Table:
+    """Task-pool batch stage: broadcast query matrix fetched once per
+    worker process."""
+    qids, qmat = _get_broadcast(queries_ref)
+    vec_ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+    vecs = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+    if vecs.size == 0:
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "cos_r": pa.array([], pa.float64()),
+            }
+        )
+    return _partial_topk(qids, qmat, vec_ids, vecs)
 
 
 def merge_topk(group: pa.Table) -> pa.Table:
@@ -115,21 +125,20 @@ def merge_topk(group: pa.Table) -> pa.Table:
     )
 
 
-def knn_bruteforce(ds, queries_ref, concurrency=(1, 8), batch_size: int = 512):
+def knn_bruteforce(ds, queries_ref, batch_size: int = 512):
     """Dataset(vec_id, embedding) -> (query_id, vec_id, rank, cos_r)."""
     partial = ds.map_batches(
-        PartialTopK,
-        fn_constructor_kwargs={"queries_ref": queries_ref},
+        partial_topk_batch,
+        fn_kwargs={"queries_ref": queries_ref},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
     )
     return partial.groupby("query_id").map_groups(
         merge_topk, batch_format="pyarrow"
     )
 
 
-def knn_ivf(ds, queries_ref, concurrency=(1, 8)):
+def knn_ivf(ds, queries_ref):
     """IVF path: per-list partial top-k via groupby(label), then the same
     global merge.  nprobe = all lists -> exact (same oracle as brute force).
     """
@@ -146,40 +155,40 @@ def knn_ivf(ds, queries_ref, concurrency=(1, 8)):
     )
 
 
-class CosinePairs:
+def cosine_pairs_batch(batch: pa.Table, corpus_ref,
+                       threshold: float = COS_DUP_THRESHOLD) -> pa.Table:
     """Near-dup pairs: batch x broadcast-corpus matmul, emit i<j pairs with
-    round(cos, 6) >= threshold."""
-
-    def __init__(self, corpus_ref, threshold: float = COS_DUP_THRESHOLD):
-        self.ids, mat = ray.get(corpus_ref)
-        self.mat = _norm(np.asarray(mat, dtype=np.float64))
-        self.threshold = threshold
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        vec_ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-        vecs = _norm(np.array(batch.column("embedding").to_pylist(), dtype=np.float64))
-        cos = np.floor((vecs @ self.mat.T) * 1e6 + 0.5) / 1e6  # (b, N), SQL-twin rounding
-        a_out, b_out = [], []
-        for r in range(cos.shape[0]):
-            hits = np.nonzero(cos[r] >= self.threshold)[0]
-            for c in hits:
-                if vec_ids[r] < self.ids[c]:  # i<j once, no self
-                    a_out.append(int(vec_ids[r]))
-                    b_out.append(int(self.ids[c]))
-        return pa.table(
-            {
-                "vec_id_a": pa.array(a_out, pa.int64()),
-                "vec_id_b": pa.array(b_out, pa.int64()),
-            }
-        )
+    round(cos, 6) >= threshold.  Normalized corpus cached per worker."""
+    key = (corpus_ref.hex() if hasattr(corpus_ref, "hex") else id(corpus_ref),
+           "normed")
+    cached = _BCAST_CACHE.get(key)
+    if cached is None:
+        ids, mat = ray.get(corpus_ref)
+        cached = _BCAST_CACHE[key] = (ids, _norm(np.asarray(mat, dtype=np.float64)))
+    ids, mat = cached
+    vec_ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+    vecs = _norm(np.array(batch.column("embedding").to_pylist(), dtype=np.float64))
+    cos = np.floor((vecs @ mat.T) * 1e6 + 0.5) / 1e6  # SQL-twin rounding
+    a_out, b_out = [], []
+    for r in range(cos.shape[0]):
+        hits = np.nonzero(cos[r] >= threshold)[0]
+        for c in hits:
+            if vec_ids[r] < ids[c]:  # i<j once, no self
+                a_out.append(int(vec_ids[r]))
+                b_out.append(int(ids[c]))
+    return pa.table(
+        {
+            "vec_id_a": pa.array(a_out, pa.int64()),
+            "vec_id_b": pa.array(b_out, pa.int64()),
+        }
+    )
 
 
 def cosine_dup_pairs(ds, corpus_ref, threshold: float = COS_DUP_THRESHOLD,
-                     concurrency=(1, 8), batch_size: int = 512):
+                     batch_size: int = 512):
     return ds.map_batches(
-        CosinePairs,
-        fn_constructor_kwargs={"corpus_ref": corpus_ref, "threshold": threshold},
+        cosine_pairs_batch,
+        fn_kwargs={"corpus_ref": corpus_ref, "threshold": threshold},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
     )
