@@ -13,6 +13,14 @@ from collections.abc import Callable
 
 _REGISTRY: dict[str, Callable[[str], str]] = {}
 
+# Shared-input fast path: extractors that can consume a pre-parsed DOM
+# ("root") or pre-segmented blocks ("blocks") register a second, read-only
+# form here; the extraction stage then parses/segments each document ONCE
+# for all such models (a re-parse per model was ~30% of extraction time).
+# Only NON-MUTATING consumers may register (tagclean drop_tags the tree,
+# so it re-parses).
+SHARED_FORMS: dict[str, tuple[str, Callable]] = {}
+
 
 def register_extractor(name: str):
     def deco(fn):
@@ -20,6 +28,11 @@ def register_extractor(name: str):
         return fn
 
     return deco
+
+
+def register_shared(name: str, kind: str, fn) -> None:
+    assert kind in ("root", "blocks")
+    SHARED_FORMS[name] = (kind, fn)
 
 
 def get_extractor(name: str) -> Callable[[str], str]:

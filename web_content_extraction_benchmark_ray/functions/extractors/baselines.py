@@ -20,7 +20,10 @@ _DROP = frozenset(("script", "style", "noscript"))
 
 @register_extractor("whole_text")
 def whole_text(html: str) -> str:
-    root = parse(html)
+    return whole_text_from_root(parse(html))
+
+
+def whole_text_from_root(root) -> str:
     parts = [
         squeeze_ws(sub_common_entities(t))
         for t in root.text_chunks(skip_tags=_DROP)
@@ -30,9 +33,19 @@ def whole_text(html: str) -> str:
 
 @register_extractor("body_text")
 def body_text(html: str) -> str:
-    body = body_or_root(parse(html))
+    return body_text_from_root(parse(html))
+
+
+def body_text_from_root(root) -> str:
+    body = body_or_root(root)
     parts = [
         squeeze_ws(sub_common_entities(t))
         for t in body.text_chunks(skip_tags=_DROP)
     ]
     return " ".join(p for p in parts if p)
+
+
+from . import register_shared  # noqa: E402
+
+register_shared("whole_text", "root", whole_text_from_root)
+register_shared("body_text", "root", body_text_from_root)

@@ -25,7 +25,10 @@ MIN_NEXT_WORDS = 15
 
 
 def density_blocks(html: str) -> list[tuple[bool, str]]:
-    blocks = segment_blocks(body_or_root(parse(html)))
+    return density_from_segments(segment_blocks(body_or_root(parse(html))))
+
+
+def density_from_segments(blocks) -> list[tuple[bool, str]]:
     feats = []
     for b in blocks:
         text = sub_common_entities(b.text())
@@ -57,3 +60,13 @@ def density_blocks(html: str) -> list[tuple[bool, str]]:
 @register_extractor("density")
 def density(html: str) -> str:
     return "\n".join(t for keep, t in density_blocks(html) if keep)
+
+
+from . import register_shared  # noqa: E402
+
+register_shared(
+    "density", "blocks",
+    lambda blocks: "\n".join(
+        t for keep, t in density_from_segments(blocks) if keep
+    ),
+)

@@ -110,7 +110,12 @@ def revise_classification(cf: list[str]) -> list[str]:
 
 def justext_blocks(html: str, stoplist=ENGLISH_STOPWORDS) -> list[tuple[str, str]]:
     """Return [(final_class, text)] for each paragraph block."""
-    blocks = segment_blocks(body_or_root(parse(html)))
+    return justext_from_segments(
+        segment_blocks(body_or_root(parse(html))), stoplist
+    )
+
+
+def justext_from_segments(blocks, stoplist=ENGLISH_STOPWORDS):
     texts = [sub_common_entities(b.text()) for b in blocks]
     cf = [
         classify_contextfree(t, b.link_chars, b.is_heading, stoplist)
@@ -123,3 +128,13 @@ def justext_blocks(html: str, stoplist=ENGLISH_STOPWORDS) -> list[tuple[str, str
 @register_extractor("justext")
 def justext(html: str) -> str:
     return " ".join(t for c, t in justext_blocks(html) if c == GOOD)
+
+
+from . import register_shared  # noqa: E402
+
+register_shared(
+    "justext", "blocks",
+    lambda blocks: " ".join(
+        t for c, t in justext_from_segments(blocks) if c == GOOD
+    ),
+)

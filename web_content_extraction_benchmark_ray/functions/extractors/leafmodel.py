@@ -48,8 +48,14 @@ def block_score(words: int, link_ratio: float, is_heading: bool,
 @register_extractor("leafmodel")
 def leafmodel(html: str, weights: dict = WEIGHTS) -> str:
     """Keep blocks the logistic unit scores > 0.5; join with newlines."""
+    return leafmodel_from_segments(
+        segment_blocks(body_or_root(parse(html))), weights
+    )
+
+
+def leafmodel_from_segments(blocks, weights: dict = WEIGHTS) -> str:
     kept = []
-    for b in segment_blocks(body_or_root(parse(html))):
+    for b in blocks:
         text = sub_common_entities(b.text())
         if not text:
             continue
@@ -58,3 +64,8 @@ def leafmodel(html: str, weights: dict = WEIGHTS) -> str:
         if block_score(words, link_ratio, b.is_heading, weights) > 0.5:
             kept.append(text)
     return "\n".join(kept)
+
+
+from . import register_shared  # noqa: E402
+
+register_shared("leafmodel", "blocks", leafmodel_from_segments)

@@ -121,7 +121,11 @@ def best_candidate(body: Node) -> Node | None:
 
 @register_extractor("readability")
 def readability(html: str) -> str:
-    body = body_or_root(parse(html))
+    return readability_from_root(parse(html))
+
+
+def readability_from_root(root) -> str:
+    body = body_or_root(root)
     cand = best_candidate(body)
     if cand is None:
         return ""
@@ -129,3 +133,8 @@ def readability(html: str) -> str:
     return "\n".join(
         t for t in (sub_common_entities(b.text()) for b in blocks) if t
     )
+
+
+from . import register_shared  # noqa: E402
+
+register_shared("readability", "root", readability_from_root)

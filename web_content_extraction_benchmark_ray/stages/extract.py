@@ -73,14 +73,28 @@ def extract_batch(batch: pa.Table, models=DEFAULT_MODELS) -> pa.Table:
 
 class ExtractStage:
     def __init__(self, models=DEFAULT_MODELS):
+        from ..functions.extractors import SHARED_FORMS
+
         # entries are registry names or explicit (name, callable) pairs —
         # names resolve in the worker process, callables ship by value
         self.models = [
             (m, get_extractor(m)) if isinstance(m, str) else (m[0], m[1])
             for m in models
         ]
+        # shared-input fast path: parse (and segment) each document ONCE
+        # for all read-only consumers instead of once per model (~30% of
+        # extraction time was redundant re-parsing)
+        shared = {
+            name: SHARED_FORMS[name]
+            for name, _ in self.models
+            if isinstance(name, str) and name in SHARED_FORMS
+        }
+        self.shared = shared if len(shared) >= 2 else {}
+        self.need_blocks = any(k == "blocks" for k, _ in self.shared.values())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.htmlparse import body_or_root, parse, segment_blocks
+
         doc_ids = batch.column("doc_id").to_pylist()
         htmls = batch.column("html").to_pylist()
         media = (
@@ -90,9 +104,24 @@ class ExtractStage:
         )
         out_id, out_model, out_text, out_spans, out_err = [], [], [], [], []
         for doc_id, html, refs in zip(doc_ids, htmls, media):
+            root = blocks = None
+            if self.shared:
+                try:
+                    root = parse(html)
+                    if self.need_blocks:
+                        blocks = segment_blocks(body_or_root(root))
+                except Exception:
+                    root = blocks = None  # fall back to per-model fn(html)
             for name, fn in self.models:
                 try:
-                    plaintext = fn(html) or ""
+                    form = self.shared.get(name) if root is not None else None
+                    if form is not None:
+                        kind, sfn = form
+                        plaintext = (
+                            sfn(blocks) if kind == "blocks" else sfn(root)
+                        ) or ""
+                    else:
+                        plaintext = fn(html) or ""
                     err = ""
                 except Exception as exc:  # never fail the job for one doc
                     plaintext = ""
