@@ -145,11 +145,11 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
 def run_scaling(sf_dir: str, lo: int, hi: int, repeat: int | None = None) -> dict:
     """Same headline job at two parallelism levels in FRESH processes.
 
-    The corpus is replicated (default 16x -> 80k docs at sf0.1) so that
+    The corpus is replicated (default 32x -> 160k docs at sf0.1) so that
     useful compute, not fixed startup/shuffle latency, dominates at the
     higher parallelism — mirroring the per-node data volume a real
     multi-node run would carry."""
-    repeat = 16 if repeat is None else repeat
+    repeat = 32 if repeat is None else repeat
     results = {}
     for cpus in (lo, hi):
         proc = subprocess.run(
@@ -194,7 +194,7 @@ def main() -> None:
     ap.add_argument("--scaling-cpus", default="4,16")
     ap.add_argument("--headline-only", action="store_true")
     ap.add_argument("--repeat", type=int, default=None,
-                    help="replicate the corpus N times (scaling default: 16)")
+                    help="replicate the corpus N times (scaling default: 32)")
     ap.add_argument("--trials", type=int, default=2,
                     help="run each timed query N times, report the min "
                          "(min damps shared-host noise)")
