@@ -25,3 +25,26 @@ point at the behavior being matched.
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level API (keeps `import web_content_extraction_benchmark_ray`
+    light; nothing here touches Ray until called)."""
+    _API = {
+        "extraction_pipeline": ("pipelines.extraction", "extraction_pipeline"),
+        "scores_pipeline": ("pipelines.evalpipe", "scores_pipeline"),
+        "reassemble": ("stages.reassemble", "reassemble"),
+        "reassemble_salted": ("stages.reassemble", "reassemble_salted"),
+        "run_checkpointed": ("state.checkpoint", "run_checkpointed"),
+        "read_corpus": ("sources.readers", "read_corpus"),
+        "build_spans_table": ("sources.synth", "build_spans_table"),
+        "list_extractors": ("functions.extractors", "list_extractors"),
+        "get_extractor": ("functions.extractors", "get_extractor"),
+        "register_extractor": ("functions.extractors", "register_extractor"),
+    }
+    if name in _API:
+        import importlib
+
+        mod, attr = _API[name]
+        return getattr(importlib.import_module(f".{mod}", __name__), attr)
+    raise AttributeError(name)
