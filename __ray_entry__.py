@@ -44,8 +44,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out: dict[str, Callable[[str], Any]] = {}
     out.update(extraction_queries())
     out.update(eval_queries())
+    from web_content_extraction_benchmark_ray.pipelines.events import (
+        events_queries,
+    )
+
     out.update(dataops_queries())
     out.update(analytics_queries())
+    out.update(events_queries())
     return out
 
 
@@ -70,4 +75,9 @@ def oracle_sql() -> dict[str, str]:
     )
 
     out.update(analytics_oracle_sql())
+    from web_content_extraction_benchmark_ray.pipelines.events import (
+        events_oracle_sql,
+    )
+
+    out.update(events_oracle_sql())
     return out

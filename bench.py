@@ -125,6 +125,15 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
             timed("kmeans_iterate", lambda: _consume(an.kmeans_iterate(sf_dir)))
         except ImportError:
             pass
+        try:
+            from web_content_extraction_benchmark_ray.pipelines import events as ev
+
+            timed("events_window", lambda: _consume(ev.events_window(sf_dir)))
+            timed("events_sessionize",
+                  lambda: _consume(ev.events_sessionize(sf_dir)))
+            timed("events_asof", lambda: _consume(ev.events_asof(sf_dir)))
+        except ImportError:
+            pass
 
     extract_sec = timings["extract_multi"]
     docs_per_sec = round(n_docs / extract_sec, 2) if extract_sec else 0.0

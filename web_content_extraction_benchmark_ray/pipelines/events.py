@@ -1,0 +1,243 @@
+"""Event-stream operators: tumbling-window aggregate, sessionization,
+as-of join — the "custom operators Ray Data lacks" family (windowed
+aggregate / streaming window / as-of join), each expressed as a
+composition of map_batches + bucketed groupby + in-group sort, with the
+partitioning assumption documented and a DuckDB oracle.
+
+The reference is strictly batch with no windowing (SURVEY.md §2.9); these
+operators extend the engine to the event/stream tables a training-data
+platform also processes.  All are BATCH implementations of the streaming
+semantics (processing-time completeness assumed: no watermarks / late
+data — the input table is closed).
+
+Partitioning assumptions:
+- window aggregate: none (commutative partial aggregation per batch; the
+  final reduce moves one row per (window, type) per block).
+- sessionization / as-of: all events of one ``user_id`` must meet in one
+  group — the groupby key is ``user_id % USER_BUCKETS`` (two-level
+  grouping, same discipline as the reassembly shuffle); per-user work is
+  a sorted linear scan.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..functions.text import round6
+
+WINDOW_S = 3600  # tumbling window width (seconds)
+SESSION_GAP_S = 1800  # sessionization gap threshold (30 min)
+USER_BUCKETS = 64
+ASOF_TYPE = "error"  # as-of join: latest prior event of this type per user
+
+
+def _events(sf_dir: str, columns=None):
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=columns
+    )
+
+
+def _epoch_s(ts_col: pa.ChunkedArray) -> np.ndarray:
+    """timestamp[us] -> int64 epoch seconds (floor)."""
+    us = np.asarray(pc.cast(ts_col, pa.int64()).to_pylist(), dtype=np.int64)
+    return us // 1_000_000
+
+
+# ------------------------------------------------------- tumbling windows
+def events_window(sf_dir: str):
+    """Per (hour window, event_type): count, sum(value), mean(value).
+
+    Map-side partial aggregation (combiner) inside each batch; the global
+    reduce is a native Sum/Count groupby over the tiny (window x type)
+    key space — the shuffle never moves raw events."""
+    from ray.data.aggregate import Count, Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        win = (_epoch_s(batch.column("ts")) // WINDOW_S) * WINDOW_S
+        etype = batch.column("event_type").to_pylist()
+        val = np.asarray(batch.column("value").to_pylist(), dtype=np.float64)
+        agg: dict = {}
+        for w, t, v in zip(win, etype, val):
+            key = (int(w), t)
+            if key in agg:
+                a = agg[key]
+                a[0] += 1
+                a[1] += v
+            else:
+                agg[key] = [1, v]
+        keys = list(agg.keys())
+        return pa.table(
+            {
+                "window_start_s": pa.array([k[0] for k in keys], pa.int64()),
+                "event_type": pa.array([k[1] for k in keys], pa.string()),
+                "n_part": pa.array([agg[k][0] for k in keys], pa.int64()),
+                "sum_part": pa.array([agg[k][1] for k in keys], pa.float64()),
+            }
+        )
+
+    ds = _events(sf_dir, columns=["ts", "event_type", "value"])
+    parts = ds.map_batches(partials, batch_format="pyarrow")
+    agg = parts.groupby(["window_start_s", "event_type"]).aggregate(
+        Sum("n_part"), Sum("sum_part")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = np.asarray(batch["sum(n_part)"].to_pylist(), dtype=np.int64)
+        s = np.asarray(batch["sum(sum_part)"].to_pylist(), dtype=np.float64)
+        return pa.table(
+            {
+                "window_start_s": pc.cast(batch["window_start_s"], pa.int64()),
+                "event_type": batch["event_type"],
+                "n": pa.array(n, pa.int64()),
+                "sum_value": pa.array(
+                    np.floor(s * 1e6 + 0.5) / 1e6, pa.float64()
+                ),
+                "mean_value": pa.array(
+                    np.floor((s / n) * 1e6 + 0.5) / 1e6, pa.float64()
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# --------------------------------------------------------- sessionization
+def _add_user_bucket(batch: pa.Table) -> pa.Table:
+    users = np.asarray(batch.column("user_id").to_pylist(), dtype=np.int64)
+    return batch.append_column(
+        "bucket", pa.array(users % USER_BUCKETS, pa.int64())
+    )
+
+
+def events_sessionize(sf_dir: str):
+    """Per user: maximal event runs with inter-event gap <= 30 min.
+    Output one row per session: (user_id, session_id = min event_id,
+    n_events, duration_s)."""
+
+    def sessions(group: pa.Table) -> pa.Table:
+        users = np.asarray(group.column("user_id").to_pylist(), dtype=np.int64)
+        ids = np.asarray(group.column("event_id").to_pylist(), dtype=np.int64)
+        secs = _epoch_s(group.column("ts"))
+        order = np.lexsort((ids, secs, users))
+        users, ids, secs = users[order], ids[order], secs[order]
+        out = {"user_id": [], "session_id": [], "n_events": [], "duration_s": []}
+        i, n = 0, len(users)
+        while i < n:
+            j = i + 1
+            while (
+                j < n
+                and users[j] == users[i]
+                and secs[j] - secs[j - 1] <= SESSION_GAP_S
+            ):
+                j += 1
+            out["user_id"].append(int(users[i]))
+            out["session_id"].append(int(ids[i:j].min()))
+            out["n_events"].append(j - i)
+            out["duration_s"].append(int(secs[j - 1] - secs[i]))
+            i = j
+        return pa.table(
+            {
+                "user_id": pa.array(out["user_id"], pa.int64()),
+                "session_id": pa.array(out["session_id"], pa.int64()),
+                "n_events": pa.array(out["n_events"], pa.int64()),
+                "duration_s": pa.array(out["duration_s"], pa.int64()),
+            }
+        )
+
+    ds = _events(sf_dir, columns=["event_id", "ts", "user_id"])
+    ds = ds.map_batches(_add_user_bucket, batch_format="pyarrow")
+    return ds.groupby("bucket").map_groups(sessions, batch_format="pyarrow")
+
+
+# -------------------------------------------------------------- as-of join
+def events_asof(sf_dir: str):
+    """For every event: the most recent prior-or-equal '{ASOF_TYPE}' event
+    of the same user (backward as-of join on (user_id, ts)).  Output
+    (event_id, err_event_id nullable).
+
+    Implementation: co-locate each user's events in one bucket group,
+    sort by (ts, event_id), single forward scan carrying the latest
+    matching event — the sort-merge form of ASOF JOIN."""
+
+    def asof(group: pa.Table) -> pa.Table:
+        users = np.asarray(group.column("user_id").to_pylist(), dtype=np.int64)
+        ids = np.asarray(group.column("event_id").to_pylist(), dtype=np.int64)
+        secs_us = np.asarray(
+            pc.cast(group.column("ts"), pa.int64()).to_pylist(), dtype=np.int64
+        )
+        types = group.column("event_type").to_pylist()
+        order = np.lexsort((ids, secs_us, users))
+        out_id, out_err = [], []
+        last_err = {}  # user -> err event_id
+        for k in order:
+            u = users[k]
+            if types[k] == ASOF_TYPE:
+                last_err[u] = int(ids[k])
+            out_id.append(int(ids[k]))
+            out_err.append(last_err.get(u))
+        return pa.table(
+            {
+                "event_id": pa.array(out_id, pa.int64()),
+                "err_event_id": pa.array(out_err, pa.int64()),
+            }
+        )
+
+    ds = _events(sf_dir, columns=["event_id", "ts", "user_id", "event_type"])
+    ds = ds.map_batches(_add_user_bucket, batch_format="pyarrow")
+    return ds.groupby("bucket").map_groups(asof, batch_format="pyarrow")
+
+
+def events_queries() -> dict:
+    return {
+        "events_window": events_window,
+        "events_sessionize": events_sessionize,
+        "events_asof": events_asof,
+    }
+
+
+def events_oracle_sql() -> dict[str, str]:
+    sqls = {}
+    r6 = "floor(({}) * 1000000 + 0.5) / 1000000"
+    sqls["events_window"] = f"""
+SELECT ((epoch_us(ts) // 1000000) // {WINDOW_S}) * {WINDOW_S} AS window_start_s,
+       event_type,
+       count(*) AS n,
+       {r6.format('sum(value)')} AS sum_value,
+       {r6.format('sum(value) / count(*)')} AS mean_value
+FROM events GROUP BY 1, 2"""
+    sqls["events_sessionize"] = f"""
+WITH o AS (
+  SELECT event_id, user_id, epoch_us(ts) // 1000000 AS s,
+         lag(epoch_us(ts) // 1000000) OVER (PARTITION BY user_id
+                                      ORDER BY epoch_us(ts) // 1000000, event_id)
+           AS prev_s
+  FROM events
+),
+f AS (
+  SELECT *, CASE WHEN prev_s IS NULL OR s - prev_s > {SESSION_GAP_S}
+                 THEN 1 ELSE 0 END AS new_session
+  FROM o
+),
+g AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id
+                                   ORDER BY s, event_id) AS sess_no
+  FROM f
+)
+SELECT user_id, min(event_id) AS session_id, count(*) AS n_events,
+       max(s) - min(s) AS duration_s
+FROM g GROUP BY user_id, sess_no"""
+    sqls["events_asof"] = f"""
+WITH errs AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id FROM events
+  WHERE event_type = '{ASOF_TYPE}'
+)
+SELECT e.event_id,
+       (SELECT x.event_id FROM errs x
+        WHERE x.user_id = e.user_id AND x.us <= epoch_us(e.ts)
+        ORDER BY x.us DESC, x.event_id DESC LIMIT 1) AS err_event_id
+FROM events e"""
+    return sqls
