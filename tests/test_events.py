@@ -1,0 +1,124 @@
+"""Event-stream operator tests: property checks of window/session/as-of
+semantics against brute-force in-process oracles on random streams."""
+import numpy as np
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from web_content_extraction_benchmark_ray.pipelines.events import (
+    ASOF_TYPE,
+    SESSION_GAP_S,
+    WINDOW_S,
+)
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 5),  # user
+        st.integers(0, 5 * WINDOW_S),  # epoch second
+        st.sampled_from(["view", "click", ASOF_TYPE]),
+        st.floats(0, 100, allow_nan=False, width=32),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+def _events_table(rows):
+    return pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array(
+                [r[1] * 1_000_000 for r in rows], pa.timestamp("us")
+            ),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+            "value": pa.array([float(r[3]) for r in rows], pa.float64()),
+        }
+    )
+
+
+def _write_sf(tmp_path, rows):
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "sf"
+    d.mkdir(exist_ok=True)
+    pq.write_table(_events_table(rows), str(d / "events.parquet"))
+    return str(d)
+
+
+def test_window_counts_and_sums(ray_session, tmp_path):
+    from web_content_extraction_benchmark_ray.pipelines.events import (
+        events_window,
+    )
+
+    rows = [(1, 10, "view", 2.0), (1, WINDOW_S + 5, "view", 3.0),
+            (2, 20, "click", 4.0), (3, 30, "view", 6.0)]
+    sf = _write_sf(tmp_path, rows)
+    out = events_window(sf).to_pandas().set_index(["window_start_s", "event_type"])
+    assert out.loc[(0, "view")]["n"] == 2
+    assert out.loc[(0, "view")]["sum_value"] == pytest.approx(8.0)
+    assert out.loc[(WINDOW_S, "view")]["n"] == 1
+    assert out.loc[(0, "click")]["mean_value"] == pytest.approx(4.0)
+
+
+@given(events_strategy)
+@settings(max_examples=10, deadline=None)
+def test_sessionize_matches_bruteforce(ray_session, tmp_path_factory, rows):
+    from web_content_extraction_benchmark_ray.pipelines.events import (
+        events_sessionize,
+    )
+
+    sf = _write_sf(tmp_path_factory.mktemp("ev"), rows)
+    got = (
+        events_sessionize(sf)
+        .to_pandas()
+        .sort_values(["user_id", "session_id"])
+        .reset_index(drop=True)
+    )
+    # brute force: per user sort by (ts, event_id), split on gap
+    expected = []
+    per_user: dict = {}
+    for eid, (u, s, _, _) in enumerate(rows):
+        per_user.setdefault(u, []).append((s, eid))
+    for u, evs in per_user.items():
+        evs.sort()
+        cur = [evs[0]]
+        for prev, nxt in zip(evs, evs[1:]):
+            if nxt[0] - prev[0] <= SESSION_GAP_S:
+                cur.append(nxt)
+            else:
+                expected.append((u, min(e for _, e in cur), len(cur),
+                                 cur[-1][0] - cur[0][0]))
+                cur = [nxt]
+        expected.append((u, min(e for _, e in cur), len(cur),
+                         cur[-1][0] - cur[0][0]))
+    expected.sort()
+    got_tuples = [
+        (int(r.user_id), int(r.session_id), int(r.n_events), int(r.duration_s))
+        for r in got.itertuples()
+    ]
+    assert got_tuples == expected
+
+
+@given(events_strategy)
+@settings(max_examples=10, deadline=None)
+def test_asof_matches_bruteforce(ray_session, tmp_path_factory, rows):
+    from web_content_extraction_benchmark_ray.pipelines.events import (
+        events_asof,
+    )
+
+    sf = _write_sf(tmp_path_factory.mktemp("ev"), rows)
+    got = {
+        r["event_id"]: r["err_event_id"]
+        for r in events_asof(sf).take_all()
+    }
+    for eid, (u, s, _, _) in enumerate(rows):
+        cands = [
+            (s2, e2)
+            for e2, (u2, s2, t2, _) in enumerate(rows)
+            if u2 == u and t2 == ASOF_TYPE
+            and (s2, e2) <= (s, eid)
+        ]
+        expected = max(cands)[1] if cands else None
+        assert got[eid] == expected, (eid, rows)
