@@ -307,3 +307,34 @@ def test_neardup_survivors_no_pairs(ray_session):
     )
     out = sorted(r["doc_id"] for r in neardup_survivors(docs, empty).take_all())
     assert out == [1, 2, 3]
+
+
+def test_jaccard_prefix_equals_full(ray_session):
+    """Prefix filtering is lossless at the threshold: identical output."""
+    from web_content_extraction_benchmark_ray.stages.dedup import (
+        dedup_ngram_jaccard,
+        dedup_ngram_jaccard_prefix,
+    )
+
+    base = " ".join(f"w{i}" for i in range(40))
+    rows = [
+        (1, base),
+        (2, base + " tail"),
+        (3, " ".join(f"z{i}" for i in range(40))),
+        (4, base),
+        (5, " ".join(f"w{i}" for i in range(20))),  # J vs base = 18/56 < 0.5
+    ]
+    ds = _docs_ds(ray_session, rows)
+    full = (
+        dedup_ngram_jaccard(ds).to_pandas()
+        .sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True)
+    )
+    ds2 = _docs_ds(ray_session, rows)
+    pref = (
+        dedup_ngram_jaccard_prefix(ds2).to_pandas()
+        .sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True)
+    )
+    assert full.equals(pref)
+    assert {(1, 2), (1, 4), (2, 4)} <= set(
+        zip(full["doc_id_a"], full["doc_id_b"])
+    )

@@ -95,6 +95,12 @@ def dedup_ngram_jaccard(sf_dir: str):
     return dd.dedup_ngram_jaccard(_aug_docs(sf_dir))
 
 
+def dedup_jaccard_prefix(sf_dir: str):
+    """Prefix-filtered variant — identical output (lossless at the
+    threshold), scale path with the ~2x smaller index."""
+    return dd.dedup_ngram_jaccard_prefix(_aug_docs(sf_dir))
+
+
 # -------------------------------------------------------- similarity search
 def _emb(sf_dir: str):
     return ray.data.read_parquet(
@@ -261,6 +267,7 @@ def dataops_queries() -> dict:
         "dedup_simhash": dedup_simhash,
         "dedup_simhash_pairs": dedup_simhash_pairs,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_jaccard_prefix": dedup_jaccard_prefix,
         "knn_cosine": knn_cosine,
         "knn_ivf": knn_ivf,
         "embedding_dup_pairs": embedding_dup_pairs,

@@ -221,6 +221,9 @@ SELECT da AS doc_id_a, db AS doc_id_b,
 FROM inter JOIN ns x ON x.doc_id = da JOIN ns y ON y.doc_id = db
 WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= {JACCARD_THRESHOLD}"""
 
+    # prefix-filtered variant: lossless at the threshold -> same oracle
+    sqls["dedup_jaccard_prefix"] = sqls["dedup_ngram_jaccard"]
+
     _knn = f"""WITH q AS (
   SELECT vec_id AS query_id, embedding FROM embeddings
   WHERE vec_id < {N_QUERIES}

@@ -191,11 +191,41 @@ def events_asof(sf_dir: str):
     return ds.groupby("bucket").map_groups(asof, batch_format="pyarrow")
 
 
+# ------------------------------------------------- semi-structured props
+def events_props(sf_dir: str):
+    """Parse the JSON ``props`` column (semi-structured payloads are
+    routine in event/training-data tables): extract the integer field
+    ``k`` per event.  Vectorizable with Arrow's JSON kernels when
+    available; here a per-batch json.loads loop (the payloads are tiny)."""
+    import json
+
+    def parse(batch: pa.Table) -> pa.Table:
+        ids = batch.column("event_id").to_pylist()
+        out = []
+        for s in batch.column("props").to_pylist():
+            try:
+                v = json.loads(s).get("k")
+                out.append(int(v) if v is not None else None)
+            except (ValueError, TypeError):
+                out.append(None)
+        return pa.table(
+            {
+                "event_id": pa.array(ids, pa.int64()),
+                "k": pa.array(out, pa.int64()),
+            }
+        )
+
+    return _events(sf_dir, columns=["event_id", "props"]).map_batches(
+        parse, batch_format="pyarrow"
+    )
+
+
 def events_queries() -> dict:
     return {
         "events_window": events_window,
         "events_sessionize": events_sessionize,
         "events_asof": events_asof,
+        "events_props": events_props,
     }
 
 
@@ -240,4 +270,8 @@ SELECT e.event_id,
         WHERE x.user_id = e.user_id AND x.us <= epoch_us(e.ts)
         ORDER BY x.us DESC, x.event_id DESC LIMIT 1) AS err_event_id
 FROM events e"""
+    sqls["events_props"] = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events"""
     return sqls

@@ -283,6 +283,121 @@ def shingle_rows(batch: pa.Table) -> pa.Table:
     )
 
 
+def prefix_rows(batch: pa.Table) -> pa.Table:
+    """Prefix-filter explode (PPJoin-style): only the first
+    ``n - ceil(t*n) + 1`` shingles (ascending-hash canonical order) index a
+    document; any pair with Jaccard >= t MUST share a prefix shingle, so
+    candidate recall is exact while the inverted index shrinks ~2x at
+    t=0.5.  Each row carries the doc's FULL sorted shingle array for exact
+    in-bucket verification (no second join)."""
+    import math
+
+    out_sh, out_bucket, out_id, out_set = [], [], [], []
+    for doc_id, text in zip(
+        batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+    ):
+        hs = np.unique(shingle_base_hashes(text))  # sorted ascending
+        n = int(hs.size)
+        if n == 0:
+            continue
+        p = n - math.ceil(JACCARD_THRESHOLD * n) + 1
+        full = [int(h) for h in hs]
+        for h in hs[:p]:
+            out_sh.append(int(h))
+            out_bucket.append(int(h) % PAIR_BUCKETS)
+            out_id.append(int(doc_id))
+            out_set.append(full)
+    return pa.table(
+        {
+            "sh": pa.array(out_sh, pa.int64()),
+            "bucket": pa.array(out_bucket, pa.int32()),
+            "doc_id": pa.array(out_id, pa.int64()),
+            "shingles": pa.array(out_set, pa.list_(pa.int64())),
+        }
+    )
+
+
+def prefix_bucket_pairs(group: pa.Table) -> pa.Table:
+    """One coarse bucket of the prefix index: verify candidates exactly
+    via sorted-array intersection; emit (pair, jaccard) rows (duplicates
+    across buckets removed by the downstream pair-bucket reduce)."""
+    posting: dict = {}
+    for sh, d, arr in zip(
+        group.column("sh").to_pylist(),
+        group.column("doc_id").to_pylist(),
+        group.column("shingles").to_pylist(),
+    ):
+        posting.setdefault(sh, []).append((d, arr))
+    seen = set()
+    a_out, b_out, j_out, pb_out = [], [], [], []
+    for docs in posting.values():
+        if len(docs) < 2 or len(docs) > MAX_DF:
+            continue
+        docs.sort(key=lambda x: x[0])
+        for i in range(len(docs)):
+            di, si = docs[i]
+            for j in range(i + 1, len(docs)):
+                dj, sj = docs[j]
+                if di == dj or (di, dj) in seen:
+                    continue
+                seen.add((di, dj))
+                inter = np.intersect1d(
+                    np.asarray(si, dtype=np.int64),
+                    np.asarray(sj, dtype=np.int64),
+                    assume_unique=True,
+                ).size
+                jac = inter / (len(si) + len(sj) - inter)
+                if jac >= JACCARD_THRESHOLD:
+                    a_out.append(di)
+                    b_out.append(dj)
+                    j_out.append(round6(jac))
+                    pb_out.append((di ^ (dj * 1315423911)) % PAIR_BUCKETS)
+    return pa.table(
+        {
+            "doc_id_a": pa.array(a_out, pa.int64()),
+            "doc_id_b": pa.array(b_out, pa.int64()),
+            "jaccard": pa.array(j_out, pa.float64()),
+            "pbucket": pa.array(pb_out, pa.int32()),
+        }
+    )
+
+
+def _distinct_first(group: pa.Table) -> pa.Table:
+    """Per pair-bucket: one row per (a, b) (the jaccard value is identical
+    on every duplicate)."""
+    seen = set()
+    keep = []
+    for idx, (a, b) in enumerate(
+        zip(group.column("doc_id_a").to_pylist(),
+            group.column("doc_id_b").to_pylist())
+    ):
+        if (a, b) not in seen:
+            seen.add((a, b))
+            keep.append(idx)
+    out = group.take(keep)
+    return pa.table(
+        {
+            "doc_id_a": out.column("doc_id_a"),
+            "doc_id_b": out.column("doc_id_b"),
+            "jaccard": out.column("jaccard"),
+        }
+    )
+
+
+def dedup_ngram_jaccard_prefix(ds):
+    """Prefix-filtered exact Jaccard join — same output as
+    dedup_ngram_jaccard (lossless filter at the threshold), ~2x smaller
+    inverted index and no O(co-occurrence) pair-row shuffle: verification
+    happens in-bucket against the carried shingle arrays."""
+    rows = ds.map_batches(prefix_rows, batch_format="pyarrow")
+    pairs = rows.groupby("bucket").map_groups(
+        prefix_bucket_pairs, batch_format="pyarrow"
+    )
+    return pairs.groupby("pbucket").map_groups(
+        _distinct_first, batch_format="pyarrow"
+    )
+
+
 def jaccard_bucket_pairs(group: pa.Table) -> pa.Table:
     """One coarse bucket of the inverted index: co-occurring doc pairs for
     every posting list inside it (lists above MAX_DF dropped — df cut)."""
