@@ -102,6 +102,36 @@ def extraction_oracle_sql() -> dict[str, str]:
         "tagclean",
         f"{_q(pg.H1_TEXT)} || ' ' || m.main_text || ' ' || {_q(_REPLY)}",
     )
+    # span-sequence invariant (north rule): reconstruct bte's output span
+    # sequence — one 'text' span per main paragraph in order, then for
+    # every 10th doc one 'media' span with the deterministic layout text —
+    # serialized with US/RS separators exactly like the Ray side
+    rs, us = "chr(30)", "chr(31)"
+    sqls["extract_spans_signature"] = _main_cte("'\x01'") + f""",
+par AS (
+  SELECT doc_id,
+         CAST(floor((i - 1) / {pg.CHUNK_WORDS}) AS INTEGER) AS ci,
+         {_q(pg.PAR_PREFIX)} || ' ' || string_agg(tok, ' ' ORDER BY i)
+           || ' ' || {_q(pg.PAR_SUFFIX)} AS ptext
+  FROM toks GROUP BY doc_id, ci
+),
+sigs AS (
+  SELECT doc_id,
+         string_agg('text' || {us} || ptext || {us} || {us} || ci,
+                    {rs} ORDER BY ci) AS body_sig,
+         max(ci) + 1 AS npars
+  FROM par GROUP BY doc_id
+)
+SELECT d.doc_id AS doc_id, 'bte' AS model,
+       s.body_sig ||
+       CASE WHEN d.doc_id % 10 = 0
+            THEN {rs} || 'media' || {us} ||
+                 '[media pdf://' || CAST(d.doc_id AS VARCHAR) || '/0 layout]'
+                 || {us} || 'pdf://' || CAST(d.doc_id AS VARCHAR) || '/0'
+                 || {us} || CAST(s.npars AS VARCHAR)
+            ELSE '' END AS spans_sig
+FROM documents d JOIN sigs s ON d.doc_id = s.doc_id"""
+
     # media path: every 10th doc carries one media span; the layout-parse
     # stub's output is deterministic from the ref (functions/media.py)
     sqls["extract_subproc"] = _main_cte(space) + _select(

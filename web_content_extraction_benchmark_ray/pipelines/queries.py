@@ -149,12 +149,43 @@ def ingest_decode(sf_dir: str):
     )
 
 
+def extract_spans_signature(sf_dir: str):
+    """THE north-rule invariant, driver-verified: per (doc, model) the
+    extracted span sequence serialized as kind|text|media_ref|order records
+    (unit-separator joined) — span-sequence equality becomes a plain string
+    hash-compare against the SQL oracle's reconstruction."""
+    path = build_spans_table(sf_dir)
+    ds = extraction_pipeline(path, models=("bte",), num_buckets=QUERY_NUM_BUCKETS)
+
+    def serialize(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        models = batch.column("model").to_pylist()
+        spans_col = batch.column("spans").to_pylist()
+        sigs = [
+            "\x1e".join(
+                f"{s['kind']}\x1f{s['text']}\x1f{s['media_ref']}\x1f{s['order']}"
+                for s in spans
+            )
+            for spans in spans_col
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array([int(d) for d in doc_ids], pa.int64()),
+                "model": pa.array(models, pa.string()),
+                "spans_sig": pa.array(sigs, pa.string()),
+            }
+        )
+
+    return ds.map_batches(serialize, batch_format="pyarrow")
+
+
 def extraction_queries() -> dict:
     from ..functions.extractors import list_extractors
 
     q = {f"extract_{m}": extraction_query(m) for m in list_extractors()}
     q["media_spans"] = media_spans
     q["extract_subproc"] = extract_subproc
+    q["extract_spans_signature"] = extract_spans_signature
     q["ingest_decode"] = ingest_decode
     return q
 
