@@ -19,7 +19,6 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from ..functions.hashing import hash60
 from ..functions.text import tokenize_ws
 from ..functions.textstats import lang_id, quality_features, token_counts
 from ..stages import dedup as dd

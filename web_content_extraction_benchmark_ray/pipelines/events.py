@@ -27,8 +27,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-from ..functions.text import round6
-
 WINDOW_S = 3600  # tumbling window width (seconds)
 SESSION_GAP_S = 1800  # sessionization gap threshold (30 min)
 USER_BUCKETS = 64
@@ -54,7 +52,7 @@ def events_window(sf_dir: str):
     Map-side partial aggregation (combiner) inside each batch; the global
     reduce is a native Sum/Count groupby over the tiny (window x type)
     key space — the shuffle never moves raw events."""
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     def partials(batch: pa.Table) -> pa.Table:
         win = (_epoch_s(batch.column("ts")) // WINDOW_S) * WINDOW_S

@@ -68,8 +68,6 @@ def extraction_pipeline(
         # shuffle representation; at production scale prefer splitting by a
         # partition predicate on the checkpoint layout instead).
         assembled = assembled.materialize()
-        import pyarrow.compute as pc
-
         light = assembled.filter(expr=f"n_bytes < {heavy_lane_bytes}")
         heavy = assembled.filter(expr=f"n_bytes >= {heavy_lane_bytes}")
         out_light = light.map_batches(

@@ -17,7 +17,6 @@ stage's output has the same hash-verified oracle as ``whole_text``.
 from __future__ import annotations
 
 import base64
-import json
 import subprocess
 import sys
 
