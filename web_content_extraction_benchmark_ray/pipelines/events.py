@@ -265,7 +265,9 @@ WITH errs AS (
 )
 SELECT e.event_id,
        (SELECT x.event_id FROM errs x
-        WHERE x.user_id = e.user_id AND x.us <= epoch_us(e.ts)
+        WHERE x.user_id = e.user_id
+          AND (x.us < epoch_us(e.ts)
+               OR (x.us = epoch_us(e.ts) AND x.event_id <= e.event_id))
         ORDER BY x.us DESC, x.event_id DESC LIMIT 1) AS err_event_id
 FROM events e"""
     sqls["events_props"] = """

@@ -199,14 +199,33 @@ _SCORES_CACHE: dict[str, str] = {}
 def _scores_parquet(sf_dir: str) -> str:
     """Score once per sf_dir, cache as parquet under /tmp (several queries
     consume the same scores table)."""
+    import hashlib
     import os
 
     if sf_dir not in _SCORES_CACHE:
         from .evalpipe import scores_pipeline
 
-        out = f"/tmp/wceb_cache/scores-{abs(hash(os.path.abspath(sf_dir)))}"
-        if not os.path.isdir(out) or not os.listdir(out):
+        # stable content digest (builtin hash() is per-process randomized);
+        # a marker file records the source path so a stale/foreign dir is
+        # never silently reused
+        src = os.path.abspath(sf_dir)
+        tag = hashlib.md5(src.encode()).hexdigest()[:16]
+        out = f"/tmp/wceb_cache/scores-{tag}"
+        marker = os.path.join(out, "_SOURCE")
+        valid = False
+        if os.path.isdir(out) and os.listdir(out):
+            try:
+                with open(marker) as f:
+                    valid = f.read().strip() == src
+            except OSError:
+                valid = False
+        if not valid:
+            import shutil
+
+            shutil.rmtree(out, ignore_errors=True)
             scores_pipeline(sf_dir).write_parquet(out)
+            with open(marker, "w") as f:
+                f.write(src)
         _SCORES_CACHE[sf_dir] = out
     return _SCORES_CACHE[sf_dir]
 

@@ -35,6 +35,16 @@ def detect_encoding(data: bytes) -> str:
         if data.startswith(bom):
             return enc
     window = data[:SNIFF_BYTES]
+    if len(data) > SNIFF_BYTES:
+        # the window may cut a multi-byte utf-8 sequence: trim up to 3
+        # trailing continuation bytes plus the lead byte so a valid long
+        # document is not misdetected as cp1252
+        end = len(window)
+        while end > 0 and end > len(window) - 4 and window[end - 1] & 0xC0 == 0x80:
+            end -= 1
+        if end > 0 and window[end - 1] & 0xC0 == 0xC0:
+            end -= 1
+        window = window[:end]
     try:
         window.decode("utf-8")
         return "utf-8"

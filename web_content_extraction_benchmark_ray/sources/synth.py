@@ -120,7 +120,21 @@ def build_spans_table(
                 os.path.join(tmp, f"part-{k:04d}.parquet"),
                 row_group_size=max(1000, per // 4),
             )
-    os.replace(tmp, out)
+    # os.replace(dir, dir) fails with ENOTEMPTY if out exists (force=True
+    # rebuild or a concurrent builder won the race): clear it first, and
+    # fall back to the winner's dir if the rename still loses a race
+    if os.path.isdir(out):
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+    try:
+        os.replace(tmp, out)
+    except OSError:
+        if not os.path.isdir(out):
+            raise
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
     return out
 
 

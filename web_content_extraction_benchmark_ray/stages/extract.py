@@ -64,7 +64,10 @@ def extract_batch(batch: pa.Table, models=DEFAULT_MODELS) -> pa.Table:
     from .reassemble import limit_arrow_threads
 
     limit_arrow_threads()
-    key = tuple(m if isinstance(m, str) else m[0] for m in models)
+    # explicit (name, callable) pairs key on the callable's identity too —
+    # a reused name with a different shipped-by-value callable must not hit
+    # the first callable's cached stage
+    key = tuple(m if isinstance(m, str) else (m[0], id(m[1])) for m in models)
     stage = _STAGE_CACHE.get(key)
     if stage is None:
         stage = _STAGE_CACHE[key] = ExtractStage(models)
