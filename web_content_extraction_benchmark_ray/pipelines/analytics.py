@@ -47,14 +47,14 @@ BAND_LO, BAND_HI = 0.25, 0.75
 def eval_agg_by_complexity(sf_dir: str):
     """Per-(model, dataset) mean rouge-F1 over docs whose complexity lies
     in the global [q25, q75] band.  scores ⋈ complexity is a hash join."""
-    from .complexity import complexity_pipeline, complexity_quantiles
+    from .complexity import complexity_ds, complexity_quantiles
     from .queries import eval_rouge
 
     qdf = complexity_quantiles(sf_dir, qs=(BAND_LO, BAND_HI))
     lo, hi = float(qdf["value"][0]), float(qdf["value"][1])
 
     scores = eval_rouge(sf_dir)  # (doc_id int64, model, dataset, prec, rec, f1)
-    compl = complexity_pipeline(sf_dir).drop_columns(["dataset"])
+    compl = complexity_ds(sf_dir).drop_columns(["dataset"])
 
     joined = scores.join(
         compl, join_type="inner", num_partitions=8, on=("doc_id",)

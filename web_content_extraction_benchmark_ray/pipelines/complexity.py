@@ -4,28 +4,31 @@
   where src tokens are \\w+ tokens of the script/style-stripped body text
   (complexity.py:54-74).
 - global quantiles (A7): [0.25, 0.33, 0.5, 0.66, 0.75]
-  (complexity.py:46,76-84).
+  (complexity.py:46,76-84) — distributed two-pass exact selection
+  (stages/quantiles.py), no per-row driver pull.
 - HTML tag-ratio features (A8): counts of h1..h6, p, li('ul'), table, a,
   div, br, strong, em over total body tags, plus ``html_to_non_html`` =
   tags per word (complexity.py:93-122 — including the reference's quirk of
   naming the li-count feature 'ul').
 
-All stages are real DOM computations over the assembled documents — the
-oracle SQL (pipelines/oracles.py) independently predicts them from the
-provable template.
+Distribution shape: the expensive DOM walk reduces each page to ONE int
+(src token count) **before** any shuffle; the truth side reduces to its
+token count the same way; the join then moves two tiny int columns, never
+html or truth text (reduce-early / join-small — the round-1 broadcast
+truth dict is gone).
 """
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 
 from ..functions.htmlparse import body_or_root, parse
 from ..functions.text import squeeze_ws, sub_common_entities, tokenize_words
 from ..sources.synth import build_spans_table
 from ..stages.reassemble import reassemble
-from .evalpipe import _quantile_interp, _round6, load_truth
+from .evalpipe import _round6, join_partitions, truth_plaintext
 
 FEATURE_TAGS = (
     "h1", "h2", "h3", "h4", "h5", "h6", "p", "ul", "table", "a", "div",
@@ -43,35 +46,62 @@ def _src_word_count(html: str) -> int:
     return _src_word_count_from_body(body)
 
 
-_TRUTH_CACHE: dict = {}
-
-
-def complexity_batch(batch: pa.Table, truth_ref) -> pa.Table:
-    """Task-pool form: broadcast truth ray.get-ed once per worker process
-    (actor pools starve co-scheduled all-to-alls — see stages/extract.py)."""
-    key = truth_ref.hex() if hasattr(truth_ref, "hex") else id(truth_ref)
-    truth = _TRUTH_CACHE.get(key)
-    if truth is None:
-        truth = _TRUTH_CACHE[key] = ray.get(truth_ref)
-    out = {"doc_id": [], "dataset": [], "complexity": []}
+def src_tokens_batch(batch: pa.Table) -> pa.Table:
+    """Assembled page -> (doc_id int64, src_tokens) — the per-page DOM
+    reduce that runs BEFORE the join shuffle."""
+    out_id, out_n = [], []
     for doc_id, html in zip(
         batch.column("doc_id").to_pylist(), batch.column("html").to_pylist()
     ):
-        hit = truth.get(doc_id)
-        if hit is None:
-            continue
-        target, dataset = hit
-        truth_tokens = len(tokenize_words(target))
-        src_tokens = _src_word_count(html)
-        ratio = truth_tokens / src_tokens if src_tokens else 0.0
-        out["doc_id"].append(int(doc_id))
-        out["dataset"].append(dataset)
-        out["complexity"].append(1.0 - min(1.0, max(0.0, ratio)))
+        out_id.append(int(doc_id))
+        out_n.append(_src_word_count(html))
     return pa.table(
         {
-            "doc_id": pa.array(out["doc_id"], pa.int64()),
-            "dataset": pa.array(out["dataset"], pa.string()),
-            "complexity": pa.array(out["complexity"], pa.float64()),
+            "doc_id": pa.array(out_id, pa.int64()),
+            "src_tokens": pa.array(out_n, pa.int64()),
+        }
+    )
+
+
+def truth_tokens_dataset(sf_dir: str):
+    """Truth side reduced to token counts: (doc_id int64, truth_tokens,
+    dataset).  Streams from parquet — nothing on the driver."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+
+    def mk(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "truth_tokens": pa.array(
+                    [
+                        len(tokenize_words(truth_plaintext(t)))
+                        for t in batch.column("text").to_pylist()
+                    ],
+                    pa.int64(),
+                ),
+                "dataset": pc.cast(batch["lang"], pa.string()),
+            }
+        )
+
+    return ds.map_batches(mk, batch_format="pyarrow")
+
+
+def _finish_complexity(batch: pa.Table) -> pa.Table:
+    tt = batch.column("truth_tokens").to_pylist()
+    st = batch.column("src_tokens").to_pylist()
+    compl = [
+        1.0 - min(1.0, max(0.0, (t / s) if s else 0.0))
+        for t, s in zip(tt, st)
+    ]
+    return pa.table(
+        {
+            "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+            "dataset": pc.cast(batch["dataset"], pa.string()),
+            "complexity": pa.array(compl, pa.float64()),
         }
     )
 
@@ -133,26 +163,66 @@ def _assembled(sf_dir: str, num_buckets: int = 128):
 
 
 def complexity_pipeline(sf_dir: str, num_buckets: int = 128):
-    truth_ref = ray.put(load_truth(sf_dir))
-    return _assembled(sf_dir, num_buckets).map_batches(
-        complexity_batch,
-        fn_kwargs={"truth_ref": truth_ref},
-        batch_format="pyarrow",
+    """(doc_id, dataset, complexity) — src-token reduce ⋈ truth-token
+    reduce on doc_id, both sides pre-reduced to one int per page."""
+    src = _assembled(sf_dir, num_buckets).map_batches(
+        src_tokens_batch, batch_format="pyarrow"
     )
+    joined = src.join(
+        truth_tokens_dataset(sf_dir),
+        join_type="inner",
+        num_partitions=join_partitions(),
+        on=("doc_id",),
+    )
+    return joined.map_batches(_finish_complexity, batch_format="pyarrow")
+
+
+_COMPL_CACHE: dict[str, str] = {}
+
+
+def complexity_parquet(sf_dir: str) -> str:
+    """Compute the per-doc complexity table once per sf_dir and cache it
+    as parquet under /tmp (quantiles need a second pass; the banded eval
+    aggregation reuses it too).  Stable md5 key + source marker."""
+    import hashlib
+    import os
+    import shutil
+
+    if sf_dir not in _COMPL_CACHE:
+        src = os.path.abspath(sf_dir)
+        tag = hashlib.md5(src.encode()).hexdigest()[:16]
+        out = f"/tmp/wceb_cache/complexity-{tag}"
+        marker = os.path.join(out, "_SOURCE")
+        valid = False
+        if os.path.isdir(out) and os.listdir(out):
+            try:
+                with open(marker) as f:
+                    valid = f.read().strip() == src
+            except OSError:
+                valid = False
+        if not valid:
+            shutil.rmtree(out, ignore_errors=True)
+            complexity_pipeline(sf_dir).write_parquet(out)
+            with open(marker, "w") as f:
+                f.write(src)
+        _COMPL_CACHE[sf_dir] = out
+    return _COMPL_CACHE[sf_dir]
+
+
+def complexity_ds(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(complexity_parquet(sf_dir))
 
 
 def complexity_quantiles(sf_dir: str, qs=(0.25, 0.33, 0.5, 0.66, 0.75)):
-    """Global exact quantiles of the complexity distribution (tiny result:
-    one driver-side interpolation over the collected column)."""
-    values = (
-        complexity_pipeline(sf_dir)
-        .select_columns(["complexity"])
-        .to_pandas()["complexity"]
-        .to_numpy(dtype=np.float64)
-    )
-    return pd.DataFrame(
-        {"q": list(qs), "value": [_round6(_quantile_interp(values, q)) for q in qs]}
-    )
+    """Global exact quantiles of the complexity distribution via the
+    distributed two-pass selection (stages/quantiles.py) — the driver sees
+    histogram rows and the two needed buckets, never the full column."""
+    from ..stages.quantiles import exact_quantiles
+
+    vals = exact_quantiles(complexity_ds(sf_dir), "complexity", qs)
+    return pd.DataFrame({"q": list(qs), "value": [_round6(v) for v in vals]})
 
 
 def features_pipeline(sf_dir: str, num_buckets: int = 128):

@@ -1,11 +1,14 @@
 """Evaluation pipeline: extractions × ground truth -> score records ->
 aggregations.
 
-Ray shape (SURVEY.md §3.3): the truth side is small per partition and is
-**broadcast** (``ray.put`` once, ``ray.get`` in each actor's ``__init__``)
-instead of shuffled — the reference loads the truth dict per process the
-same way (eval.py:84-91).  Scoring is an actor-pool ``map_batches`` stage;
-aggregation pre-reduces per batch before the tiny groupby.
+Ray shape (SURVEY.md §3.3): the truth side is a **Dataset hash-joined on
+``doc_id``** — the distributed analogue of the reference's per-dataset
+truth-dict load + semi-join (eval.py:84-91).  Round 1 broadcast the whole
+truth table from the driver via ``ray.put``; at corpus scale the truth
+side neither fits the driver nor should it ship to every worker, so the
+join replaced it (the inner join IS the reference's semi-join: answers
+without truth drop out).  Scoring is then a pure per-batch map over the
+joined rows; aggregation pre-reduces per batch before the tiny groupby.
 
 Ground truth is exact by construction: the page template's main content
 (pagegen.truth_plaintext), the analogue of the reference's ground-truth
@@ -16,7 +19,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.parquet as pq
+import pyarrow.compute as pc
 import ray
 
 from ..functions.evalx import levenshtein_token_ratio, rouge_lsum
@@ -33,100 +36,106 @@ def truth_plaintext(text: str) -> str:
     return " ".join(pg.main_paragraphs(text))
 
 
-def load_truth(sf_dir: str) -> dict[str, tuple[str, str]]:
-    """doc_id -> (truth_plaintext, dataset).  The 'dataset' label is the
-    document's lang (the synthetic sub-corpus axis)."""
-    t = pq.read_table(
+def _cpus() -> int:
+    return int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+
+
+def join_partitions(cpus: int | None = None) -> int:
+    """Hash-join partition count scaled to the session's cores (a fixed
+    constant would size partitions at data_size/K on a big cluster)."""
+    c = cpus if cpus is not None else _cpus()
+    return max(8, min(256, 2 * c))
+
+
+def truth_dataset(sf_dir: str):
+    """Truth side as a Dataset ``(doc_id int64, truth, dataset)`` — the
+    'dataset' label is the document's lang (the synthetic sub-corpus axis).
+    Streams from parquet; nothing materializes on the driver."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
     )
-    return {
-        str(d): (truth_plaintext(x), lang)
-        for d, x, lang in zip(
-            t.column("doc_id").to_pylist(),
-            t.column("text").to_pylist(),
-            t.column("lang").to_pylist(),
+
+    def mk(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "truth": pa.array(
+                    [
+                        truth_plaintext(t)
+                        for t in batch.column("text").to_pylist()
+                    ],
+                    pa.large_string(),
+                ),
+                "dataset": pc.cast(batch["lang"], pa.string()),
+            }
         )
-    }
+
+    return ds.map_batches(mk, batch_format="pyarrow")
 
 
-_TRUTH_CACHE: dict = {}
+def score_joined_batch(batch: pa.Table) -> pa.Table:
+    """Per-row scorers over the (extraction ⋈ truth) rows: ROUGE-LSum and
+    Levenshtein token ratio, two score records per (doc, model)."""
+    rows = {k: [] for k in SCORES.names}
+    for doc_id, model, pred, target, dataset in zip(
+        batch.column("doc_id").to_pylist(),
+        batch.column("model").to_pylist(),
+        batch.column("plaintext").to_pylist(),
+        batch.column("truth").to_pylist(),
+        batch.column("dataset").to_pylist(),
+    ):
+        prec, rec, f1 = rouge_lsum(target, pred)
+        rows["doc_id"].append(doc_id)
+        rows["model"].append(model)
+        rows["dataset"].append(dataset)
+        rows["scorer"].append("rouge")
+        rows["prec"].append(prec)
+        rows["rec"].append(rec)
+        rows["f1"].append(f1)
+        rows["dist"].append(None)
+        dist = levenshtein_token_ratio(tokenize_ws(target), tokenize_ws(pred))
+        rows["doc_id"].append(doc_id)
+        rows["model"].append(model)
+        rows["dataset"].append(dataset)
+        rows["scorer"].append("levenshtein")
+        rows["prec"].append(None)
+        rows["rec"].append(None)
+        rows["f1"].append(None)
+        rows["dist"].append(dist)
+    return pa.table(rows, schema=SCORES)
 
 
-def score_batch(batch: pa.Table, truth_ref) -> pa.Table:
-    """Task-pool scorer: the broadcast truth table is ``ray.get``-ed once
-    per worker process (cached by ref) — the broadcast-join benefit of an
-    actor pool without actors' standing CPU reservation, which starved the
-    upstream extraction sort (same pathology as stages/extract.py)."""
-    key = truth_ref.hex() if hasattr(truth_ref, "hex") else id(truth_ref)
-    truth = _TRUTH_CACHE.get(key)
-    if truth is None:
-        truth = _TRUTH_CACHE[key] = ray.get(truth_ref)
-    return ScoreStage.score(truth, batch)
-
-
-class ScoreStage:
-    """Actor-pool scorer: truth lookup fetched from the object store once
-    per actor (broadcast join, no shuffle).  Kept for callers that want a
-    standing pool; the pipeline default is the task form above."""
-
-    def __init__(self, truth_ref):
-        self.truth = ray.get(truth_ref)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        return ScoreStage.score(self.truth, batch)
-
-    @staticmethod
-    def score(truth, batch: pa.Table) -> pa.Table:
-        rows = {k: [] for k in SCORES.names}
-        for doc_id, model, pred in zip(
-            batch.column("doc_id").to_pylist(),
-            batch.column("model").to_pylist(),
-            batch.column("plaintext").to_pylist(),
-        ):
-            hit = truth.get(doc_id)
-            if hit is None:  # semi-join: answers without truth are skipped
-                continue
-            target, dataset = hit
-            prec, rec, f1 = rouge_lsum(target, pred)
-            rows["doc_id"].append(doc_id)
-            rows["model"].append(model)
-            rows["dataset"].append(dataset)
-            rows["scorer"].append("rouge")
-            rows["prec"].append(prec)
-            rows["rec"].append(rec)
-            rows["f1"].append(f1)
-            rows["dist"].append(None)
-            dist = levenshtein_token_ratio(
-                tokenize_ws(target), tokenize_ws(pred)
-            )
-            rows["doc_id"].append(doc_id)
-            rows["model"].append(model)
-            rows["dataset"].append(dataset)
-            rows["scorer"].append("levenshtein")
-            rows["prec"].append(None)
-            rows["rec"].append(None)
-            rows["f1"].append(None)
-            rows["dist"].append(dist)
-        return pa.table(rows, schema=SCORES)
+def _ext_project(batch: pa.Table) -> pa.Table:
+    """Normalize extraction output for the join: int64 key, answer text
+    only (spans/error columns are not needed by the scorers — prune before
+    the shuffle, not after)."""
+    return pa.table(
+        {
+            "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+            "model": batch["model"],
+            "plaintext": batch["plaintext"],
+        }
+    )
 
 
 def scores_pipeline(sf_dir: str, models=EVAL_MODELS, num_buckets: int = 128):
-    truth_ref = ray.put(load_truth(sf_dir))
     spans = build_spans_table(sf_dir)
-    cpus = (
-        int(ray.cluster_resources().get("CPU", 4))
-        if ray.is_initialized()
-        else 4
-    )
+    cpus = _cpus()
     ds = extraction_pipeline(
         spans, models=models, num_buckets=num_buckets,
         override_num_blocks=2 * cpus,
     )
-    return ds.map_batches(
-        score_batch,
-        fn_kwargs={"truth_ref": truth_ref},
-        batch_format="pyarrow",
-        batch_size=64,
+    ext = ds.map_batches(_ext_project, batch_format="pyarrow")
+    joined = ext.join(
+        truth_dataset(sf_dir),
+        join_type="inner",
+        num_partitions=join_partitions(cpus),
+        on=("doc_id",),
+    )
+    return joined.map_batches(
+        score_joined_batch, batch_format="pyarrow", batch_size=64
     )
 
 

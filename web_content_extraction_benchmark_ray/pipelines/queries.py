@@ -295,9 +295,11 @@ def eval_quantiles(sf_dir: str):
 
 
 def complexity(sf_dir: str):
-    from .complexity import complexity_pipeline
+    # cached form: quantiles and the banded aggregation reuse the same
+    # per-doc table, so the DOM walk runs once per sf_dir
+    from .complexity import complexity_ds
 
-    return complexity_pipeline(sf_dir)
+    return complexity_ds(sf_dir)
 
 
 def complexity_quantiles(sf_dir: str):

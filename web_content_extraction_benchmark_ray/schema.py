@@ -56,9 +56,11 @@ EXTRACTIONS = pa.schema(
 )
 
 # Score records (FIXTURES.md §4; reference eval.py:41-48, 65-71).
+# doc_id is int64: the scorer runs on the truth-join output whose key is
+# already normalized to the integer id space.
 SCORES = pa.schema(
     [
-        ("doc_id", pa.string()),
+        ("doc_id", pa.int64()),
         ("model", pa.string()),
         ("dataset", pa.string()),
         ("scorer", pa.string()),
