@@ -137,25 +137,12 @@ def knn_ivf(sf_dir: str):
 
 
 def embedding_dup_pairs(sf_dir: str):
-    import numpy as np
-    import pyarrow.parquet as pq
-
-    path = os.path.join(sf_dir, "embeddings.parquet")
-    # broadcast the (augmented) corpus matrix once
-    t = pq.read_table(path, columns=["vec_id", "embedding"])
-    ids = t.column("vec_id").to_pylist()
-    embs = t.column("embedding").to_pylist()
-    aug_ids = list(ids) + [
-        i + EMB_COPY_OFFSET for i in ids if i % EMB_COPY_EVERY == 0
-    ]
-    aug_embs = list(embs) + [
-        e for i, e in zip(ids, embs) if i % EMB_COPY_EVERY == 0
-    ]
-    corpus_ref = ray.put(
-        (np.asarray(aug_ids, dtype=np.int64), np.array(aug_embs, dtype=np.float64))
-    )
+    """Embedding near-dup pairs via random-hyperplane LSH banding +
+    in-bucket exact cosine (stages/simsearch.py:cosine_dup_pairs_lsh) —
+    no corpus broadcast, no all-pairs matmul (the round-1 broadcast form
+    did not scale past a worker's heap)."""
     ds = _emb(sf_dir).map_batches(_augment_emb, batch_format="pyarrow")
-    return ss.cosine_dup_pairs(ds, corpus_ref)
+    return ss.cosine_dup_pairs_lsh(ds)
 
 
 # ------------------------------------------------------------ text analysis

@@ -501,9 +501,10 @@ def neardup_survivors(docs_ds, pairs_ds, num_buckets: int = 64,
     loop iterations.)  Rounds needed = component diameter; convergence is
     the fixpoint of the strictly-decreasing global label sum.
 
-    The non-canonical set is small relative to the corpus (only dup
-    docs), so the final filter broadcasts it; at extreme dup rates use an
-    anti-join on the label table instead.
+    The final survivor filter is an ANTI-JOIN expressed as the same
+    keyed co-group (docs ∪ non-canonical labels, bucketed groupby): no
+    id set ever materializes on the driver, so the stage holds even when
+    almost every document is a duplicate.
     """
 
     def both_dirs(batch: pa.Table) -> pa.Table:
@@ -609,17 +610,47 @@ def neardup_survivors(docs_ds, pairs_ds, num_buckets: int = 64,
             break
         prev_sum = cur_sum
 
-    noncanon = {
-        r["key"]
-        for r in labels.take_all()
-        if r["key"] != r["val"]
-    }
-
-    def keep(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        mask = pa.array([i not in noncanon for i in ids])
+    # anti-join: doc rows (kind=2) co-grouped with non-canonical label
+    # rows (kind=0, key != val) on the same bucket key; a doc survives iff
+    # its bucket group contains no tombstone for its id
+    def doc_rows(batch: pa.Table) -> pa.Table:
+        ids = [int(i) for i in batch.column("doc_id").to_pylist()]
         return pa.table(
-            {"doc_id": pc.cast(batch.column("doc_id"), pa.int64())}
-        ).filter(mask)
+            {
+                "bucket": pa.array(
+                    [i % num_buckets for i in ids], pa.int32()
+                ),
+                "key": pa.array(ids, pa.int64()),
+                "kind": pa.array([2] * len(ids), pa.int32()),
+                "val": pa.array(ids, pa.int64()),
+            }
+        )
 
-    return docs_ds.map_batches(keep, batch_format="pyarrow")
+    def tombstones(batch: pa.Table) -> pa.Table:
+        keep_mask = pc.not_equal(batch["key"], batch["val"])
+        return batch.filter(keep_mask)
+
+    docs_keyed = docs_ds.map_batches(doc_rows, batch_format="pyarrow")
+    noncanon = labels.map_batches(tombstones, batch_format="pyarrow")
+
+    def keep_group(group: pa.Table) -> pa.Table:
+        dead = set()
+        doc_ids = []
+        for k, kind in zip(
+            group.column("key").to_pylist(), group.column("kind").to_pylist()
+        ):
+            if kind == 0:
+                dead.add(k)
+            else:
+                doc_ids.append(k)
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    [d for d in doc_ids if d not in dead], pa.int64()
+                )
+            }
+        )
+
+    return docs_keyed.union(noncanon).groupby("bucket").map_groups(
+        keep_group, batch_format="pyarrow"
+    )

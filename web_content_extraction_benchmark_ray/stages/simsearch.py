@@ -155,6 +155,133 @@ def knn_ivf(ds, queries_ref):
     )
 
 
+# ------------------------------------------------- LSH-bucketed near-dup
+RHP_BITS = 64  # random hyperplanes (sign bits of the vector signature)
+RHP_BAND_BITS = 8
+RHP_BANDS = RHP_BITS // RHP_BAND_BITS  # 8 bands x 8 bits
+RHP_SEED = 0x5EED
+RHP_PAIR_BUCKETS = 256  # coarse candidate buckets (same discipline as dedup)
+
+_HP_CACHE: dict = {}
+
+
+def _hyperplanes(dim: int) -> np.ndarray:
+    """Deterministic random-hyperplane matrix (seeded; regenerated per
+    worker — cheaper than a broadcast for a (dim x 64) float block)."""
+    hp = _HP_CACHE.get(dim)
+    if hp is None:
+        rng = np.random.RandomState(RHP_SEED)
+        hp = _HP_CACHE[dim] = rng.standard_normal((dim, RHP_BITS))
+    return hp
+
+
+def rhp_band_rows(batch: pa.Table) -> pa.Table:
+    """(vec_id, embedding) -> one row per (vector, band): sign-bit band
+    value + coarse bucket, CARRYING the normalized vector so in-bucket
+    verification needs no broadcast and no second join (the minhash band
+    pattern, stages/dedup.py, applied to vectors)."""
+    vec_ids = batch.column("vec_id").to_pylist()
+    embs = batch.column("embedding").to_pylist()
+    if not vec_ids:
+        return pa.table(
+            {
+                "bucket": pa.array([], pa.int32()),
+                "band_id": pa.array([], pa.int32()),
+                "band_val": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "nvec": pa.array([], pa.list_(pa.float64())),
+            }
+        )
+    vecs = _norm(np.array(embs, dtype=np.float64))
+    bits = (vecs @ _hyperplanes(vecs.shape[1])) >= 0  # (n, RHP_BITS)
+    weights = 1 << np.arange(RHP_BAND_BITS, dtype=np.int64)
+    out = {"bucket": [], "band_id": [], "band_val": [], "vec_id": [],
+           "nvec": []}
+    for r, vid in enumerate(vec_ids):
+        nv = vecs[r].tolist()
+        for j in range(RHP_BANDS):
+            bv = int(
+                bits[r, j * RHP_BAND_BITS:(j + 1) * RHP_BAND_BITS] @ weights
+            )
+            out["bucket"].append(
+                (j * (1 << RHP_BAND_BITS) + bv) % RHP_PAIR_BUCKETS
+            )
+            out["band_id"].append(j)
+            out["band_val"].append(bv)
+            out["vec_id"].append(int(vid))
+            out["nvec"].append(nv)
+    return pa.table(
+        {
+            "bucket": pa.array(out["bucket"], pa.int32()),
+            "band_id": pa.array(out["band_id"], pa.int32()),
+            "band_val": pa.array(out["band_val"], pa.int64()),
+            "vec_id": pa.array(out["vec_id"], pa.int64()),
+            "nvec": pa.array(out["nvec"], pa.list_(pa.float64())),
+        }
+    )
+
+
+def rhp_bucket_pairs(group: pa.Table, threshold: float = COS_DUP_THRESHOLD
+                     ) -> pa.Table:
+    """One coarse bucket: exact-cosine verify every (band_id, band_val)
+    posting list (one small matmul per list), emit i<j pairs with
+    round(cos, 6) >= threshold."""
+    posting: dict = {}
+    for b, bv, d, nv in zip(
+        group.column("band_id").to_pylist(),
+        group.column("band_val").to_pylist(),
+        group.column("vec_id").to_pylist(),
+        group.column("nvec").to_pylist(),
+    ):
+        posting.setdefault((b, bv), {})[d] = nv
+    a_out, b_out, c_out = [], [], []
+    for members in posting.values():
+        if len(members) < 2:
+            continue
+        ids = np.array(sorted(members), dtype=np.int64)
+        mat = np.array([members[i] for i in ids], dtype=np.float64)
+        cos = np.floor((mat @ mat.T) * 1e6 + 0.5) / 1e6
+        ii, jj = np.nonzero(np.triu(cos >= threshold, k=1))
+        a_out.extend(int(v) for v in ids[ii])
+        b_out.extend(int(v) for v in ids[jj])
+        c_out.extend(float(c) for c in cos[ii, jj])
+    return pa.table(
+        {
+            "doc_id_a": pa.array(a_out, pa.int64()),
+            "doc_id_b": pa.array(b_out, pa.int64()),
+            "cos_r": pa.array(c_out, pa.float64()),
+        }
+    )
+
+
+def cosine_dup_pairs_lsh(ds, threshold: float = COS_DUP_THRESHOLD):
+    """Near-dup pairs via random-hyperplane LSH banding + in-bucket exact
+    cosine — the scale path: no corpus broadcast, no O(N²) matmul.
+
+    Exact-duplicate pairs (cos = 1) share every sign bit, so recall on
+    them is deterministic 1.0.  For 0.99 <= cos < 1 the per-pair miss
+    probability is (1 - (1-p)^8)^8 with p = arccos(cos)/pi — ≈ 3e-6 at
+    the 0.99 threshold.  Output matches cosine_dup_pairs: (vec_id_a,
+    vec_id_b), distinct across bands via the native Max aggregate."""
+    from .dedup import _distinct_pairs
+
+    rows = ds.map_batches(rhp_band_rows, batch_format="pyarrow")
+    pairs = rows.groupby("bucket").map_groups(
+        lambda g: rhp_bucket_pairs(g, threshold), batch_format="pyarrow"
+    )
+    out = _distinct_pairs(pairs, "cos_r")
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vec_id_a": batch["doc_id_a"],
+                "vec_id_b": batch["doc_id_b"],
+            }
+        )
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
 def cosine_pairs_batch(batch: pa.Table, corpus_ref,
                        threshold: float = COS_DUP_THRESHOLD) -> pa.Table:
     """Near-dup pairs: batch x broadcast-corpus matmul, emit i<j pairs with
