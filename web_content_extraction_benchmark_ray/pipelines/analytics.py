@@ -170,7 +170,13 @@ def kmeans_iterate(sf_dir: str, iters: int = KMEANS_ITERS):
     """Full Lloyd iterations, distributed: assignment is the broadcast
     matmul above; the centroid update is map-side partial (sum, count) per
     cluster followed by a k-row reduce — the shuffle never moves vectors.
-    Iterative => no SQL oracle (driver records a rows-only check).
+
+    The per-dim sums are **integer-quantized** (floor(x*1e6+0.5) as int64)
+    so the reduction is exact and order-independent: distributed partial
+    sums and the oracle's single SQL SUM produce bit-identical centroids,
+    which makes fixed-iteration Lloyd hash-verifiable (float sums would
+    differ in ulps by reduction order).  Headroom: |x|~O(1) quantizes to
+    ~1e6, so int64 holds exact sums beyond 1e12 members per cluster.
     Returns the final (vec_id, cluster) assignment."""
     cents = _load_centroids(sf_dir)
     ds = ray.data.read_parquet(
@@ -191,29 +197,30 @@ def kmeans_iterate(sf_dir: str, iters: int = KMEANS_ITERS):
             )
             cos = np.floor((_norm(vecs) @ _norm(c).T) * 1e6 + 0.5) / 1e6
             cl = cos.argmax(axis=1)
+            xq = np.floor(vecs * 1e6 + 0.5).astype(np.int64)
             out_cl, out_sum, out_n = [], [], []
             for j in range(len(c)):
                 mask = cl == j
                 if mask.any():
                     out_cl.append(j)
-                    out_sum.append(vecs[mask].sum(axis=0).tolist())
+                    out_sum.append(xq[mask].sum(axis=0).tolist())
                     out_n.append(int(mask.sum()))
             return pa.table(
                 {
                     "cluster": pa.array(out_cl, pa.int64()),
-                    "vsum": pa.array(out_sum, pa.list_(pa.float64())),
+                    "vsum": pa.array(out_sum, pa.list_(pa.int64())),
                     "n": pa.array(out_n, pa.int64()),
                 }
             )
 
         def reduce_cluster(group: pa.Table) -> pa.Table:
-            sums = np.array(group.column("vsum").to_pylist(), dtype=np.float64)
+            sums = np.array(group.column("vsum").to_pylist(), dtype=np.int64)
             n = sum(group.column("n").to_pylist())
             return pa.table(
                 {
                     "cluster": group.column("cluster").slice(0, 1),
                     "centroid": pa.array(
-                        [(sums.sum(axis=0) / n).tolist()],
+                        [(sums.sum(axis=0) / (1e6 * n)).tolist()],
                         pa.list_(pa.float64()),
                     ),
                 }
@@ -337,6 +344,40 @@ r AS (
   FROM pairs
 )
 SELECT vec_id, cid AS cluster FROM r WHERE rn = 1"""
+
+    # kmeans_iterate: fixed-iteration Lloyd unrolled into CTE rounds.  The
+    # integer-quantized centroid update (see kmeans_iterate docstring)
+    # makes the distributed partial sums and SQL's SUM bit-identical, so
+    # an iterative algorithm becomes hash-verifiable.
+    cos_r = (
+        "floor(list_cosine_similarity(e.v, c.v) * 1000000 + 0.5) / 1000000"
+    )
+    parts = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        "q AS (SELECT vec_id, generate_subscripts(v, 1) AS d, "
+        "CAST(floor(unnest(v) * 1000000 + 0.5) AS BIGINT) AS xq FROM e)",
+        f"c0 AS (SELECT vec_id AS cid, v FROM e ORDER BY vec_id "
+        f"LIMIT {KMEANS_K})",
+    ]
+    for r in range(KMEANS_ITERS):
+        parts += [
+            f"a{r} AS (SELECT e.vec_id, c.cid, row_number() OVER ("
+            f"PARTITION BY e.vec_id ORDER BY {cos_r} DESC, c.cid) AS rn "
+            f"FROM e, c{r} c)",
+            f"f{r} AS (SELECT vec_id, cid FROM a{r} WHERE rn = 1)",
+            f"s{r} AS (SELECT a.cid, q.d, sum(q.xq) AS sq, count(*) AS n "
+            f"FROM f{r} a JOIN q ON q.vec_id = a.vec_id GROUP BY a.cid, q.d)",
+            f"u{r} AS (SELECT cid, list(CAST(sq AS DOUBLE) / (1000000.0 * n) "
+            f"ORDER BY d) AS v FROM s{r} GROUP BY cid)",
+            f"c{r + 1} AS (SELECT c.cid, COALESCE(u.v, c.v) AS v "
+            f"FROM c{r} c LEFT JOIN u{r} u ON u.cid = c.cid)",
+        ]
+    sqls["kmeans_iterate"] = (
+        "WITH " + ",\n".join(parts) + f""",
+fin AS (SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY {cos_r} DESC, c.cid) AS rn FROM e, c{KMEANS_ITERS} c)
+SELECT vec_id, cid AS cluster FROM fin WHERE rn = 1"""
+    )
 
     sqls["sample_split"] = f"""
 SELECT doc_id,
