@@ -150,16 +150,10 @@ def features_batch(batch: pa.Table) -> pa.Table:
 
 
 def _assembled(sf_dir: str, num_buckets: int = 128):
-    import ray.data
+    from ..sources.storage import read_spans
 
     path = build_spans_table(sf_dir)
-    cpus = (
-        int(ray.cluster_resources().get("CPU", 4))
-        if ray.is_initialized()
-        else 4
-    )
-    ds = ray.data.read_parquet(path, override_num_blocks=2 * cpus)
-    return reassemble(ds, num_buckets=num_buckets)
+    return reassemble(read_spans(path), num_buckets=num_buckets)
 
 
 def complexity_pipeline(sf_dir: str, num_buckets: int = 128):

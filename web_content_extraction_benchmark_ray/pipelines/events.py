@@ -29,13 +29,24 @@ import ray.data
 
 WINDOW_S = 3600  # tumbling window width (seconds)
 SESSION_GAP_S = 1800  # sessionization gap threshold (30 min)
-USER_BUCKETS = 64
+USER_BUCKETS = 64  # small-scale default for the user co-location buckets
 ASOF_TYPE = "error"  # as-of join: latest prior event of this type per user
 
 
 def _events(sf_dir: str, columns=None):
+    from ..sources.storage import capped_num_blocks
+
+    path = os.path.join(sf_dir, "events.parquet")
+    cpus = (
+        int(ray.cluster_resources().get("CPU", 4))
+        if ray.is_initialized()
+        else 4
+    )
+    # cap the block ask at the row-group count: an over-ask synthesizes
+    # schema-less zero-row blocks (schema-stability warnings downstream)
     return ray.data.read_parquet(
-        os.path.join(sf_dir, "events.parquet"), columns=columns
+        path, columns=columns,
+        override_num_blocks=capped_num_blocks(path, 2 * cpus),
     )
 
 
@@ -104,14 +115,31 @@ def events_window(sf_dir: str):
 
 
 # --------------------------------------------------------- sessionization
-def _add_user_bucket(batch: pa.Table) -> pa.Table:
+def derived_user_buckets(n_cpus: int | None = None) -> int:
+    """User-bucket count scaled to the session's cores.  A fixed constant
+    sizes one sessionize/asof group at events/K — at cluster scale that is
+    one multi-GB ``map_groups`` task; cores grow with the cluster, so
+    deriving from them tracks data size (>=4 groups per core keeps the
+    longest bucket short)."""
+    import ray
+
+    c = n_cpus or (
+        int(ray.cluster_resources().get("CPU", 4))
+        if ray.is_initialized()
+        else 4
+    )
+    return max(USER_BUCKETS, 4 * c)
+
+
+def _add_user_bucket(batch: pa.Table,
+                     num_buckets: int = USER_BUCKETS) -> pa.Table:
     users = np.asarray(batch.column("user_id").to_pylist(), dtype=np.int64)
     return batch.append_column(
-        "bucket", pa.array(users % USER_BUCKETS, pa.int64())
+        "bucket", pa.array(users % num_buckets, pa.int64())
     )
 
 
-def events_sessionize(sf_dir: str):
+def events_sessionize(sf_dir: str, user_buckets: int | None = None):
     """Per user: maximal event runs with inter-event gap <= 30 min.
     Output one row per session: (user_id, session_id = min event_id,
     n_events, duration_s)."""
@@ -147,12 +175,16 @@ def events_sessionize(sf_dir: str):
         )
 
     ds = _events(sf_dir, columns=["event_id", "ts", "user_id"])
-    ds = ds.map_batches(_add_user_bucket, batch_format="pyarrow")
+    ds = ds.map_batches(
+        _add_user_bucket,
+        fn_kwargs={"num_buckets": user_buckets or derived_user_buckets()},
+        batch_format="pyarrow",
+    )
     return ds.groupby("bucket").map_groups(sessions, batch_format="pyarrow")
 
 
 # -------------------------------------------------------------- as-of join
-def events_asof(sf_dir: str):
+def events_asof(sf_dir: str, user_buckets: int | None = None):
     """For every event: the most recent prior-or-equal '{ASOF_TYPE}' event
     of the same user (backward as-of join on (user_id, ts)).  Output
     (event_id, err_event_id nullable).
@@ -185,7 +217,11 @@ def events_asof(sf_dir: str):
         )
 
     ds = _events(sf_dir, columns=["event_id", "ts", "user_id", "event_type"])
-    ds = ds.map_batches(_add_user_bucket, batch_format="pyarrow")
+    ds = ds.map_batches(
+        _add_user_bucket,
+        fn_kwargs={"num_buckets": user_buckets or derived_user_buckets()},
+        batch_format="pyarrow",
+    )
     return ds.groupby("bucket").map_groups(asof, batch_format="pyarrow")
 
 

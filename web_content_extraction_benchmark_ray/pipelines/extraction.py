@@ -49,11 +49,16 @@ def extraction_pipeline(
         raise ValueError(
             f"unknown extractor(s) {unknown}; available: {list_extractors()}"
         )
-    # block geometry: at small scale, ~2 blocks per CPU keeps the sort
-    # exchange's fragment count (mappers x reducers) low; at production
-    # scale leave None (file/row-group geometry dominates)
+    # block geometry: ~2 blocks per CPU keeps the sort exchange's fragment
+    # count (mappers x reducers) low at small scale; always capped at the
+    # table's row-group count so the read never synthesizes schema-less
+    # zero-row blocks (sources/storage.py:capped_num_blocks)
+    from ..sources.storage import capped_num_blocks
+
+    requested = override_num_blocks or 2 * _cpu_budget()
     ds = ray.data.read_parquet(
-        spans_path, override_num_blocks=override_num_blocks
+        spans_path,
+        override_num_blocks=capped_num_blocks(spans_path, requested),
     )
     # salted: two-phase skew-resistant reassembly (same output) for inputs
     # with pathological span-count tails — see stages/reassemble.py

@@ -14,6 +14,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from ..functions.media import parse_media
+from ..sources.storage import read_spans
 from ..sources.synth import build_spans_table
 from ..stages.reassemble import reassemble
 from .extraction import extraction_pipeline
@@ -47,8 +48,7 @@ def media_spans(sf_dir: str):
     """The media-span path end-to-end: reassembly collects 'media' spans in
     offset order; the layout-parse stage emits deterministic text."""
     path = build_spans_table(sf_dir)
-    ds = ray.data.read_parquet(path)
-    assembled = reassemble(ds, num_buckets=QUERY_NUM_BUCKETS)
+    assembled = reassemble(read_spans(path), num_buckets=QUERY_NUM_BUCKETS)
 
     def emit(batch: pa.Table) -> pa.Table:
         doc_ids, refs_col = (
@@ -79,8 +79,7 @@ def extract_subproc(sf_dir: str):
     from ..stages.subproc import subproc_extract
 
     path = build_spans_table(sf_dir)
-    ds = ray.data.read_parquet(path)
-    assembled = reassemble(ds, num_buckets=QUERY_NUM_BUCKETS)
+    assembled = reassemble(read_spans(path), num_buckets=QUERY_NUM_BUCKETS)
     out = subproc_extract(assembled, model="whole_text")
 
     def finalize(batch: pa.Table) -> pa.Table:

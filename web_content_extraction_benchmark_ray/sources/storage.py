@@ -42,6 +42,55 @@ def read_table(uri: str, *, columns=None, override_num_blocks=None,
     )
 
 
+def capped_num_blocks(uri: str, requested: int) -> int:
+    """Cap a block-count ask at the table's row-group count.
+
+    Ray fulfils an over-ask by synthesizing zero-row read blocks that
+    carry NO schema; those empty bundles flip the operator's output
+    schema back and forth ("RefBundle with a different schema" warnings)
+    and break schema-stable fusion.  The footer scan stops as soon as the
+    ask is known to be satisfiable, so large tables (file count >= ask)
+    pay nothing."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = (
+        sorted(glob.glob(os.path.join(uri, "*.parquet")))
+        if os.path.isdir(uri)
+        else [uri]
+    )
+    if len(files) >= requested:
+        return requested
+    rg = 0
+    for f in files:
+        try:
+            rg += pq.ParquetFile(f).num_row_groups
+        except OSError:
+            rg += 1
+        if rg >= requested:
+            return requested
+    return max(1, rg)
+
+
+def read_spans(uri: str, blocks_per_cpu: int = 2):
+    """Read a spans/parquet table with block geometry sized to the session:
+    ~blocks_per_cpu blocks per CPU (keeps the reassembly sort exchange
+    cheap at small scale), capped so no zero-row block is ever created."""
+    import ray
+    import ray.data
+
+    cpus = (
+        int(ray.cluster_resources().get("CPU", 4))
+        if ray.is_initialized()
+        else 4
+    )
+    return ray.data.read_parquet(
+        uri, override_num_blocks=capped_num_blocks(uri, blocks_per_cpu * cpus)
+    )
+
+
 def write_table(ds, uri: str, *, format: str | None = None) -> None:
     fmt = format or ("lance" if uri.endswith(".lance") else "parquet")
     if fmt == "lance":

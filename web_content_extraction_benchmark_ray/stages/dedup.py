@@ -49,7 +49,22 @@ SIMHASH_NUM_BANDS = 5
 SIMHASH_MAX_HAMMING = SIMHASH_NUM_BANDS - 1  # pigeonhole-exact
 JACCARD_THRESHOLD = 0.5
 MAX_DF = 10_000  # df cut for pathological shingles (skew guard at scale)
-PAIR_BUCKETS = 256  # coarse buckets for candidate-pair generation
+PAIR_BUCKETS = 256  # small-scale default for the coarse candidate buckets
+
+
+def derived_pair_buckets(n_cpus: int | None = None) -> int:
+    """Coarse-bucket count scaled to the session's cores (>=8 groups per
+    core keeps stragglers short).  A fixed constant sizes one bucket at
+    data_size/K — at cluster scale that is a single multi-GB group; cores
+    grow with the cluster, so deriving from them tracks data size."""
+    import ray
+
+    c = n_cpus or (
+        int(ray.cluster_resources().get("CPU", 4))
+        if ray.is_initialized()
+        else 4
+    )
+    return max(PAIR_BUCKETS, 8 * c)
 
 
 # ---------------------------------------------------------------------- exact
@@ -79,7 +94,8 @@ def dedup_exact(ds):
 
 
 # -------------------------------------------------------------------- minhash
-def minhash_band_rows(batch: pa.Table) -> pa.Table:
+def minhash_band_rows(batch: pa.Table,
+                      num_buckets: int = PAIR_BUCKETS) -> pa.Table:
     """(doc_id, text) -> one row per (doc, band): band key + full signature
     + the coarse candidate bucket (md5-prefix of the band key)."""
     out_band, out_key, out_bucket, out_id, out_sig = [], [], [], [], []
@@ -92,7 +108,7 @@ def minhash_band_rows(batch: pa.Table) -> pa.Table:
         for j in range(MINHASH_BANDS):
             out_band.append(j)
             out_key.append(keys[j])
-            out_bucket.append(int(keys[j][:4], 16) % PAIR_BUCKETS)
+            out_bucket.append(int(keys[j][:4], 16) % num_buckets)
             out_id.append(int(doc_id))
             out_sig.append(sig_l)
     return pa.table(
@@ -160,9 +176,13 @@ def _distinct_pairs(pairs, value_col: str, out_type=pa.float64()):
     return agg.map_batches(project, batch_format="pyarrow")
 
 
-def dedup_minhash_pairs(ds):
+def dedup_minhash_pairs(ds, pair_buckets: int | None = None):
     """Dataset(doc_id, text) -> Dataset(doc_id_a, doc_id_b, est_jaccard)."""
-    rows = ds.map_batches(minhash_band_rows, batch_format="pyarrow")
+    pb = pair_buckets or derived_pair_buckets()
+    rows = ds.map_batches(
+        minhash_band_rows, fn_kwargs={"num_buckets": pb},
+        batch_format="pyarrow",
+    )
     pairs = rows.groupby("bucket").map_groups(
         minhash_bucket_pairs, batch_format="pyarrow"
     )
@@ -182,7 +202,8 @@ def simhash_rows(batch: pa.Table) -> pa.Table:
     )
 
 
-def simhash_band_rows(batch: pa.Table) -> pa.Table:
+def simhash_band_rows(batch: pa.Table,
+                      num_buckets: int = PAIR_BUCKETS) -> pa.Table:
     out_bucket, out_band, out_val, out_id, out_v = [], [], [], [], []
     for doc_id, v in zip(
         batch.column("doc_id").to_pylist(), batch.column("sim_v").to_pylist()
@@ -192,7 +213,7 @@ def simhash_band_rows(batch: pa.Table) -> pa.Table:
             out_band.append(j)
             out_val.append(bv)
             out_bucket.append(
-                (j * (1 << SIMHASH_BAND_BITS) + bv) % PAIR_BUCKETS
+                (j * (1 << SIMHASH_BAND_BITS) + bv) % num_buckets
             )
             out_id.append(doc_id)
             out_v.append(v)
@@ -246,11 +267,15 @@ def dedup_simhash(ds):
     )
 
 
-def dedup_simhash_pairs(ds):
+def dedup_simhash_pairs(ds, pair_buckets: int | None = None):
     """Dataset(doc_id, text) -> (doc_id_a, doc_id_b, hamming) pairs with
     hamming <= 4 — exact under the 5-band pigeonhole decomposition."""
     sigs = ds.map_batches(simhash_rows, batch_format="pyarrow")
-    rows = sigs.map_batches(simhash_band_rows, batch_format="pyarrow")
+    rows = sigs.map_batches(
+        simhash_band_rows,
+        fn_kwargs={"num_buckets": pair_buckets or derived_pair_buckets()},
+        batch_format="pyarrow",
+    )
     pairs = rows.groupby("bucket").map_groups(
         simhash_bucket_pairs, batch_format="pyarrow"
     )
@@ -258,7 +283,8 @@ def dedup_simhash_pairs(ds):
 
 
 # -------------------------------------------------------- exact n-gram jaccard
-def shingle_rows(batch: pa.Table) -> pa.Table:
+def shingle_rows(batch: pa.Table,
+                 num_buckets: int = PAIR_BUCKETS) -> pa.Table:
     """Explode distinct shingle hashes, carrying the doc's shingle count so
     downstream needs no join back to per-doc totals."""
     out_sh, out_bucket, out_id, out_n = [], [], [], []
@@ -270,7 +296,7 @@ def shingle_rows(batch: pa.Table) -> pa.Table:
         n = int(hs.size)
         for h in hs:
             out_sh.append(int(h))
-            out_bucket.append(int(h) % PAIR_BUCKETS)
+            out_bucket.append(int(h) % num_buckets)
             out_id.append(int(doc_id))
             out_n.append(n)
     return pa.table(
@@ -283,7 +309,8 @@ def shingle_rows(batch: pa.Table) -> pa.Table:
     )
 
 
-def prefix_rows(batch: pa.Table) -> pa.Table:
+def prefix_rows(batch: pa.Table,
+                num_buckets: int = PAIR_BUCKETS) -> pa.Table:
     """Prefix-filter explode (PPJoin-style): only the first
     ``n - ceil(t*n) + 1`` shingles (ascending-hash canonical order) index a
     document; any pair with Jaccard >= t MUST share a prefix shingle, so
@@ -304,7 +331,7 @@ def prefix_rows(batch: pa.Table) -> pa.Table:
         full = [int(h) for h in hs]
         for h in hs[:p]:
             out_sh.append(int(h))
-            out_bucket.append(int(h) % PAIR_BUCKETS)
+            out_bucket.append(int(h) % num_buckets)
             out_id.append(int(doc_id))
             out_set.append(full)
     return pa.table(
@@ -317,7 +344,8 @@ def prefix_rows(batch: pa.Table) -> pa.Table:
     )
 
 
-def prefix_bucket_pairs(group: pa.Table) -> pa.Table:
+def prefix_bucket_pairs(group: pa.Table,
+                        num_buckets: int = PAIR_BUCKETS) -> pa.Table:
     """One coarse bucket of the prefix index: verify candidates exactly
     via sorted-array intersection; emit (pair, jaccard) rows (duplicates
     across buckets removed by the downstream pair-bucket reduce)."""
@@ -351,7 +379,7 @@ def prefix_bucket_pairs(group: pa.Table) -> pa.Table:
                     a_out.append(di)
                     b_out.append(dj)
                     j_out.append(round6(jac))
-                    pb_out.append((di ^ (dj * 1315423911)) % PAIR_BUCKETS)
+                    pb_out.append((di ^ (dj * 1315423911)) % num_buckets)
     return pa.table(
         {
             "doc_id_a": pa.array(a_out, pa.int64()),
@@ -384,21 +412,25 @@ def _distinct_first(group: pa.Table) -> pa.Table:
     )
 
 
-def dedup_ngram_jaccard_prefix(ds):
+def dedup_ngram_jaccard_prefix(ds, pair_buckets: int | None = None):
     """Prefix-filtered exact Jaccard join — same output as
     dedup_ngram_jaccard (lossless filter at the threshold), ~2x smaller
     inverted index and no O(co-occurrence) pair-row shuffle: verification
     happens in-bucket against the carried shingle arrays."""
-    rows = ds.map_batches(prefix_rows, batch_format="pyarrow")
+    pb = pair_buckets or derived_pair_buckets()
+    rows = ds.map_batches(
+        prefix_rows, fn_kwargs={"num_buckets": pb}, batch_format="pyarrow"
+    )
     pairs = rows.groupby("bucket").map_groups(
-        prefix_bucket_pairs, batch_format="pyarrow"
+        lambda g: prefix_bucket_pairs(g, pb), batch_format="pyarrow"
     )
     return pairs.groupby("pbucket").map_groups(
         _distinct_first, batch_format="pyarrow"
     )
 
 
-def jaccard_bucket_pairs(group: pa.Table) -> pa.Table:
+def jaccard_bucket_pairs(group: pa.Table,
+                         num_buckets: int = PAIR_BUCKETS) -> pa.Table:
     """One coarse bucket of the inverted index: co-occurring doc pairs for
     every posting list inside it (lists above MAX_DF dropped — df cut)."""
     posting: dict = {}
@@ -420,7 +452,7 @@ def jaccard_bucket_pairs(group: pa.Table) -> pa.Table:
                 b_out.append(b)
                 na_out.append(docs[i][1])
                 nb_out.append(docs[j][1])
-                pb_out.append((a ^ (b * 1315423911)) % PAIR_BUCKETS)
+                pb_out.append((a ^ (b * 1315423911)) % num_buckets)
     return pa.table(
         {
             "doc_id_a": pa.array(a_out, pa.int64()),
@@ -472,13 +504,16 @@ def jaccard_pair_reduce(group: pa.Table) -> pa.Table:
     )
 
 
-def dedup_ngram_jaccard(ds):
+def dedup_ngram_jaccard(ds, pair_buckets: int | None = None):
     """Dataset(doc_id, text) -> (doc_id_a, doc_id_b, jaccard >= 0.5) exact
     word-3-gram Jaccard via the inverted-index join.  Both shuffles are
     coarse-bucket groupbys; all per-row work is numpy-vectorized."""
-    rows = ds.map_batches(shingle_rows, batch_format="pyarrow")
+    pb = pair_buckets or derived_pair_buckets()
+    rows = ds.map_batches(
+        shingle_rows, fn_kwargs={"num_buckets": pb}, batch_format="pyarrow"
+    )
     co = rows.groupby("bucket").map_groups(
-        jaccard_bucket_pairs, batch_format="pyarrow"
+        lambda g: jaccard_bucket_pairs(g, pb), batch_format="pyarrow"
     )
     return co.groupby("pbucket").map_groups(
         jaccard_pair_reduce, batch_format="pyarrow"
@@ -486,7 +521,7 @@ def dedup_ngram_jaccard(ds):
 
 
 # --------------------------------------------- near-dup survivor selection
-def neardup_survivors(docs_ds, pairs_ds, num_buckets: int = 64,
+def neardup_survivors(docs_ds, pairs_ds, num_buckets: int | None = None,
                       max_iters: int = 25):
     """(documents, near-dup pairs) -> surviving doc_ids: one canonical
     (min doc_id) per connected component of the near-dup graph, plus every
@@ -506,6 +541,9 @@ def neardup_survivors(docs_ds, pairs_ds, num_buckets: int = 64,
     id set ever materializes on the driver, so the stage holds even when
     almost every document is a duplicate.
     """
+
+    if num_buckets is None:
+        num_buckets = derived_pair_buckets()
 
     def both_dirs(batch: pa.Table) -> pa.Table:
         a = batch.column("doc_id_a").to_pylist()
