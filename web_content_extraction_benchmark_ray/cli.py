@@ -71,7 +71,13 @@ def cmd_eval(args) -> dict:
 
     ds = scores_pipeline(args.sf_dir, models=tuple(args.models.split(",")))
     ds.write_parquet(args.out)
-    return {"rows": ds.count()}
+    out = {"rows": ds.count()}
+    if args.report:
+        from .pipelines.report import write_report
+
+        written = write_report(args.sf_dir, os.path.join(args.out, "report"))
+        out["report_files"] = sorted(written.values())
+    return out
 
 
 def cmd_complexity(args) -> dict:
@@ -140,6 +146,8 @@ def main(argv=None) -> None:
     p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     p.add_argument("--models", default="bte,whole_text")
     p.add_argument("--out", required=True)
+    p.add_argument("--report", action="store_true",
+                   help="also render the aggregate score report (CSV + md)")
     p.set_defaults(fn=cmd_eval)
 
     p = sub.add_parser("complexity")

@@ -1,0 +1,143 @@
+"""Aggregate reporting sinks — the engine's analogue of the reference's
+``wceb eval aggregate`` styled score tables and performance plot
+(``/root/reference/src/extraction_benchmark/eval.py:201-239, 303-327``,
+``plt.py:16-32``: XLSX/LaTeX score matrices + a PDF plot of models ranked
+by median score).
+
+This sandbox has no openpyxl/matplotlib, and an engine should not emit
+binary spreadsheets anyway — the report surface here is CSV (one file per
+table, machine-readable) plus a single human-readable markdown file, all
+rendered driver-side from the ALREADY-AGGREGATED datasets (A1-A5 are
+tiny: models × datasets rows).  Every value is taken verbatim from the
+same aggregation pipelines the driver hash-verifies (eval_agg_*), so the
+report can never drift from the verified numbers (pinned by
+tests/test_report.py).
+
+Tables:
+- score_matrix:   rows = model; per-dataset mean/median columns + micro
+                  mean/median + macro mean (the reference's main table).
+- model_ranking:  models sorted by micro median, desc — the performance
+                  plot's ordering as a table.
+- quantile_bars:  per-model q25/q75 (the reference's error bars).
+- banded_matrix:  per-(model, dataset) mean inside the global [q25, q75]
+                  complexity band (the complexity-sliced table).
+"""
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+
+
+def _agg_tables(sf_dir: str, scorer: str = "rouge") -> dict[str, pd.DataFrame]:
+    from .analytics import eval_agg_by_complexity
+    from .evalpipe import (
+        agg_quantiles,
+        agg_scores_by_dataset,
+        agg_scores_macro,
+        agg_scores_micro,
+    )
+    from .queries import _scores_ds
+
+    scores = _scores_ds(sf_dir)
+    per_ds = agg_scores_by_dataset(scores, scorer).to_pandas()
+    micro = agg_scores_micro(scores, scorer).to_pandas()
+    macro = agg_scores_macro(scores, scorer)
+    quant = agg_quantiles(scores, scorer).to_pandas()
+    banded = eval_agg_by_complexity(sf_dir).to_pandas()
+    return {
+        "per_dataset": per_ds,
+        "micro": micro,
+        "macro": macro,
+        "quantiles": quant,
+        "banded": banded,
+    }
+
+
+def score_report(sf_dir: str, scorer: str = "rouge") -> dict[str, pd.DataFrame]:
+    """Render the report tables (all driver-side pandas on tiny inputs)."""
+    t = _agg_tables(sf_dir, scorer)
+
+    # main matrix: one row per model, (mean|median)_<dataset> columns
+    wide = t["per_dataset"].pivot(
+        index="model", columns="dataset", values=["mean_score", "median_score"]
+    )
+    wide.columns = [f"{v}_{d}" for v, d in wide.columns]
+    wide = wide.reset_index()
+    micro = t["micro"].rename(
+        columns={"mean_score": "micro_mean", "median_score": "micro_median"}
+    )[["model", "micro_mean", "micro_median"]]
+    macro = t["macro"].rename(columns={"macro_mean": "macro_mean"})
+    matrix = wide.merge(micro, on="model").merge(macro, on="model")
+    matrix = matrix.sort_values("model").reset_index(drop=True)
+
+    ranking = (
+        t["micro"]
+        .sort_values(["median_score", "model"], ascending=[False, True])[
+            ["model", "median_score", "mean_score", "n"]
+        ]
+        .reset_index(drop=True)
+    )
+    banded = (
+        t["banded"].sort_values(["model", "dataset"]).reset_index(drop=True)
+    )
+    quant = t["quantiles"].sort_values(["model", "q"]).reset_index(drop=True)
+    return {
+        "score_matrix": matrix,
+        "model_ranking": ranking,
+        "quantile_bars": quant,
+        "banded_matrix": banded,
+    }
+
+
+def _md_table(df: pd.DataFrame, float_fmt: str = "{:.6f}") -> str:
+    """Minimal GitHub-markdown table renderer (no tabulate dependency)."""
+
+    def cell(v):
+        if isinstance(v, float):
+            return float_fmt.format(v)
+        return str(v)
+
+    cols = list(df.columns)
+    lines = [
+        "| " + " | ".join(cols) + " |",
+        "|" + "|".join(["---"] * len(cols)) + "|",
+    ]
+    for _, row in df.iterrows():
+        lines.append("| " + " | ".join(cell(row[c]) for c in cols) + " |")
+    return "\n".join(lines)
+
+
+def render_markdown(tables: dict[str, pd.DataFrame], sf_dir: str,
+                    scorer: str = "rouge") -> str:
+    titles = {
+        "score_matrix": "Score matrix (per-dataset mean/median + micro/macro)",
+        "model_ranking": "Models ranked by micro median (performance plot order)",
+        "quantile_bars": "Per-model quartiles (error bars)",
+        "banded_matrix": "Mean score inside the global [q25, q75] complexity band",
+    }
+    parts = [f"# Extraction score report\n\nscorer: `{scorer}` · corpus: `{sf_dir}`\n"]
+    for name, df in tables.items():
+        parts.append(f"## {titles.get(name, name)}\n")
+        parts.append(_md_table(df))
+        parts.append("")
+    return "\n".join(parts)
+
+
+def write_report(sf_dir: str, out_dir: str, scorer: str = "rouge",
+                 formats=("csv", "md")) -> dict[str, str]:
+    """Write the report files; returns {artifact: path}."""
+    tables = score_report(sf_dir, scorer)
+    os.makedirs(out_dir, exist_ok=True)
+    written: dict[str, str] = {}
+    if "csv" in formats:
+        for name, df in tables.items():
+            p = os.path.join(out_dir, f"{name}.csv")
+            df.to_csv(p, index=False)
+            written[name] = p
+    if "md" in formats:
+        p = os.path.join(out_dir, "report.md")
+        with open(p, "w") as f:
+            f.write(render_markdown(tables, sf_dir, scorer))
+        written["report_md"] = p
+    return written
