@@ -66,6 +66,75 @@ def leafmodel_from_segments(blocks, weights: dict = WEIGHTS) -> str:
     return "\n".join(kept)
 
 
+# ---------------------------------------------------------------------------
+# Sequence-context variant (the E15 gap): BoilerNet's BiLSTM scores a leaf
+# IN CONTEXT of its neighbours (leaf + ancestor-tag representation,
+# reference ``extractors/boilernet/net/preprocess.py:19-33`` feeding the
+# bidirectional LSTM ``net/leaf_classifier.py:58-71``).  Here the context
+# is explicit: the logistic unit additionally sees the prev/next blocks'
+# capped word counts and link densities — a 1-step bidirectional receptive
+# field, the linear analogue of the BiLSTM's h_fwd/h_bwd at window 1.
+
+SEQ_WEIGHTS = {
+    **WEIGHTS,
+    "w_ctx_words": 1.0,   # applied to (min(prev_w,32)+min(next_w,32))/32
+    "w_ctx_link": -1.0,   # applied to prev_lr + next_lr
+}
+
+
+def block_score_seq(words: int, link_ratio: float, is_heading: bool,
+                    ctx_words: int, ctx_link: float,
+                    weights: dict = SEQ_WEIGHTS) -> float:
+    z = (
+        weights["w_words"] * (min(words, WORD_CAP) / WORD_CAP)
+        + weights["w_link"] * link_ratio
+        + weights["w_heading"] * (1.0 if is_heading else 0.0)
+        + weights["w_ctx_words"] * (ctx_words / WORD_CAP)
+        + weights["w_ctx_link"] * ctx_link
+        + weights["bias"]
+    )
+    return 1.0 / (1.0 + math.exp(-z))
+
+
+@register_extractor("leafmodel_seq")
+def leafmodel_seq(html: str, weights: dict = SEQ_WEIGHTS) -> str:
+    return leafmodel_seq_from_segments(
+        segment_blocks(body_or_root(parse(html))), weights
+    )
+
+
+def leafmodel_seq_from_segments(blocks, weights: dict = SEQ_WEIGHTS) -> str:
+    """Two passes: featurize every block, then score each with its
+    neighbours' features in view.  On the provable template the context
+    terms are bounded by ±2 while the base margins are ≥ |5.8| on every
+    block class, so the decision set equals leafmodel's (main paragraphs
+    exactly) — which is what gives this extractor the same hash-verified
+    oracle."""
+    feats = []
+    for b in blocks:
+        text = sub_common_entities(b.text())
+        words = len(tokenize_ws(text))
+        lr = (b.link_chars / len(text)) if text else 0.0
+        feats.append((text, words, lr, b.is_heading))
+    kept = []
+    for i, (text, words, lr, heading) in enumerate(feats):
+        if not text:
+            continue
+        pw, plr = (feats[i - 1][1], feats[i - 1][2]) if i > 0 else (0, 0.0)
+        nw, nlr = (
+            (feats[i + 1][1], feats[i + 1][2])
+            if i + 1 < len(feats)
+            else (0, 0.0)
+        )
+        ctx_words = min(pw, WORD_CAP) + min(nw, WORD_CAP)
+        if block_score_seq(
+            words, lr, heading, ctx_words, plr + nlr, weights
+        ) > 0.5:
+            kept.append(text)
+    return "\n".join(kept)
+
+
 from . import register_shared  # noqa: E402
 
 register_shared("leafmodel", "blocks", leafmodel_from_segments)
+register_shared("leafmodel_seq", "blocks", leafmodel_seq_from_segments)

@@ -175,6 +175,10 @@ EXPECTED_BY_MODEL = {
     # density) selects exactly the main paragraphs on this template, like
     # the density classifier (functions/extractors/leafmodel.py)
     "leafmodel": lambda doc_id, text: expected_density(text),
+    # sequence-context variant: the ±2-bounded neighbour terms cannot
+    # cross the template's >=|5.8| base margins, so the decision set is
+    # identical (functions/extractors/leafmodel.py:leafmodel_seq)
+    "leafmodel_seq": lambda doc_id, text: expected_density(text),
 }
 
 
