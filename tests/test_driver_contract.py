@@ -4,7 +4,9 @@ and oracle SQL parses in DuckDB against the registered views."""
 import duckdb
 import pytest
 
-ROWS_ONLY = {"kmeans_iterate"}  # iterative: no SQL-expressible oracle
+# every query is oracle-verified: even iterative Lloyd has a SQL twin now
+# (integer-quantized centroid sums + unrolled CTE rounds)
+ROWS_ONLY: set[str] = set()
 
 
 @pytest.fixture(scope="module")
