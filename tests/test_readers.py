@@ -179,3 +179,71 @@ def test_subproc_stage_roundtrip(ray_session):
     assert out.column("plaintext")[0].as_py() == get_extractor("whole_text")(html)
     assert out.column("model")[0].as_py() == "subproc_whole_text"
     assert out.column("error")[0].as_py() == ""
+
+
+def test_verticals_reader(tmp_path):
+    from web_content_extraction_benchmark_ray.sources.readers import (
+        VerticalsReader,
+    )
+
+    for vert in ("siteA", "siteB"):
+        (tmp_path / vert / "original").mkdir(parents=True)
+        (tmp_path / vert / "gold").mkdir(parents=True)
+        (tmp_path / vert / "original" / "case1.html").write_text(
+            f"<html><body><p>{vert} body</p></body></html>"
+        )
+        (tmp_path / vert / "gold" / "case1.html").write_text(f"{vert} body")
+    pages = dict(VerticalsReader(str(tmp_path)).read())
+    truths = dict(VerticalsReader(str(tmp_path), ground_truth=True).read())
+    assert len(pages) == 2 and len(truths) == 2
+    cases = sorted(r["case"] for r in pages.values())
+    assert cases == ["siteA_case1", "siteB_case1"]  # vertical-prefixed ids
+    assert set(pages) == set(truths)  # same content-hash ids both sides
+    for pid, rec in truths.items():
+        vert = rec["case"].split("_")[0]
+        assert rec["plaintext"] == f"{vert} body"
+
+
+def test_casedir_reader(tmp_path):
+    from web_content_extraction_benchmark_ray.sources.readers import (
+        CaseDirReader,
+    )
+
+    (tmp_path / "caseX").mkdir()
+    (tmp_path / "caseX" / "source.html").write_text(
+        "<html><body><div>Main text here</div><script>x()</script></body></html>"
+    )
+    (tmp_path / "caseX" / "expected.html").write_text(
+        "<html><body><p>Main   text</p><p>here</p></body></html>"
+    )
+    pages = dict(CaseDirReader(str(tmp_path)).read())
+    truths = dict(CaseDirReader(str(tmp_path), ground_truth=True).read())
+    (pid, rec), = truths.items()
+    assert pid in pages
+    # truth = PARSED body text of expected.html, whitespace-squeezed
+    assert rec["plaintext"] == "Main text here"
+
+
+def test_jsonl_roundtrip_and_sorted(tmp_path):
+    from web_content_extraction_benchmark_ray.sources.jsonl import (
+        jsonl_to_dict,
+        read_jsonl,
+        write_jsonl_sorted,
+    )
+
+    path = str(tmp_path / "answers.jsonl")
+    n = write_jsonl_sorted(
+        {"zzz": {"plaintext": "z", "model": "bte"},
+         "aaa": {"plaintext": "a", "model": "bte"}},
+        path,
+    )
+    assert n == 2
+    rows = list(read_jsonl(path))
+    assert [r["page_id"] for r in rows] == ["aaa", "zzz"]  # sorted sink
+    d = jsonl_to_dict(path)
+    assert d["aaa"] == {"plaintext": "a", "model": "bte"}
+
+    # gz transparency
+    gz = str(tmp_path / "answers.jsonl.gz")
+    write_jsonl_sorted(rows, gz)
+    assert [r["page_id"] for r in read_jsonl(gz)] == ["aaa", "zzz"]

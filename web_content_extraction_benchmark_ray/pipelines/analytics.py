@@ -245,6 +245,36 @@ def kmeans_iterate(sf_dir: str, iters: int = KMEANS_ITERS):
     )
 
 
+# ----------------------------------------------------- A10: dataset stats
+def dataset_stats(sf_dir: str):
+    """Per-dataset complexity census (reference complexity.py:358-372):
+    doc count, low/medium/high class counts (global q33/q66 thresholds)
+    and the exact per-dataset median.  Runs over the cached per-doc
+    complexity table; the groupby key space is the dataset set (tiny)."""
+    from .complexity import complexity_ds, complexity_quantiles
+    from .evalpipe import _quantile_interp
+
+    qdf = complexity_quantiles(sf_dir, qs=(0.33, 0.66))
+    lo, hi = float(qdf["value"][0]), float(qdf["value"][1])
+
+    def agg(group: pd.DataFrame) -> pd.DataFrame:
+        c = group["complexity"].to_numpy(dtype=np.float64)
+        return pd.DataFrame(
+            {
+                "dataset": [group["dataset"].iloc[0]],
+                "n": [len(c)],
+                "n_low": [int((c < lo).sum())],
+                "n_medium": [int(((c >= lo) & (c < hi)).sum())],
+                "n_high": [int((c >= hi).sum())],
+                "median_complexity": [round6(_quantile_interp(c, 0.5))],
+            }
+        )
+
+    return complexity_ds(sf_dir).groupby("dataset").map_groups(
+        agg, batch_format="pandas"
+    )
+
+
 # -------------------------------------------------------- sampling split
 def sample_split(sf_dir: str):
     """Deterministic hash split: train if hash60('split:'+doc_id) % 100 <
@@ -277,6 +307,7 @@ def analytics_queries() -> dict:
         "kmeans_assign": kmeans_assign,
         "kmeans_iterate": kmeans_iterate,
         "sample_split": sample_split,
+        "dataset_stats": dataset_stats,
     }
 
 
@@ -344,6 +375,18 @@ r AS (
   FROM pairs
 )
 SELECT vec_id, cid AS cluster FROM r WHERE rn = 1"""
+
+    sqls["dataset_stats"] = _BASE_CTE + f""",
+c AS (SELECT doc_id, lang AS dataset, {compl} AS complexity FROM counts),
+q AS (SELECT {_R6.format('quantile_cont(complexity, 0.33)')} AS lo,
+             {_R6.format('quantile_cont(complexity, 0.66)')} AS hi FROM c)
+SELECT dataset, count(*) AS n,
+       CAST(sum(CASE WHEN complexity < q.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+       CAST(sum(CASE WHEN complexity >= q.lo AND complexity < q.hi
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_medium,
+       CAST(sum(CASE WHEN complexity >= q.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+       {_R6.format('quantile_cont(complexity, 0.5)')} AS median_complexity
+FROM c, q GROUP BY dataset"""
 
     # kmeans_iterate: fixed-iteration Lloyd unrolled into CTE rounds.  The
     # integer-quantized centroid update (see kmeans_iterate docstring)

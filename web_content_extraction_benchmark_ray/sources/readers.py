@@ -216,11 +216,99 @@ class JsonTruthReader:
                 }
 
 
+class VerticalsReader:
+    """CETD-style (S5, reference dataset_readers.py:201-220): the corpus
+    root holds one subdirectory per VERTICAL (news site), each with
+    ``original/`` html and ``gold/`` truth files sharing the same file
+    name; the case id is ``<vertical>_<stem>`` so cases from different
+    verticals never collide."""
+
+    def __init__(self, root: str, ground_truth: bool = False,
+                 orig_dir: str = "original", gold_dir: str = "gold"):
+        self.root, self.ground_truth = root, ground_truth
+        self.orig_dir, self.gold_dir = orig_dir, gold_dir
+
+    def read(self) -> Iterator[tuple[str, dict]]:
+        for vertical in sorted(os.listdir(self.root)):
+            odir = os.path.join(self.root, vertical, self.orig_dir)
+            if not os.path.isdir(odir):
+                continue
+            for name in sorted(os.listdir(odir)):
+                raw = _read_bytes(os.path.join(odir, name))
+                page_id = sha256_hex(raw)
+                case = f"{vertical}_{os.path.splitext(name)[0]}"
+                if self.ground_truth:
+                    tpath = os.path.join(
+                        self.root, vertical, self.gold_dir, name
+                    )
+                    if not os.path.exists(tpath):
+                        continue
+                    yield page_id, {
+                        "plaintext": decode_page_bytes(
+                            _read_bytes(tpath)
+                        ).strip(),
+                        "dataset": "verticals", "case": case,
+                    }
+                else:
+                    yield page_id, {
+                        "html": decode_page_bytes(raw),
+                        "dataset": "verticals", "case": case,
+                    }
+
+
+def _body_plaintext(html: str) -> str:
+    """Parsed-HTML body text (the truth convention of the Readability
+    corpus: expected.html is itself HTML, truth = its rendered text)."""
+    from ..functions.htmlparse import body_or_root
+
+    root = body_or_root(parse(html))
+    root.drop_tags(frozenset(("script", "style", "noscript")))
+    return squeeze_ws(" ".join(root.text_chunks(frozenset()))).strip()
+
+
+class CaseDirReader:
+    """Readability-style (S6, reference dataset_readers.py:223-236): one
+    directory per case containing ``source.html`` + ``expected.html``;
+    the truth is the PARSED body text of expected.html."""
+
+    def __init__(self, root: str, ground_truth: bool = False,
+                 source_name: str = "source.html",
+                 expected_name: str = "expected.html"):
+        self.root, self.ground_truth = root, ground_truth
+        self.source_name, self.expected_name = source_name, expected_name
+
+    def read(self) -> Iterator[tuple[str, dict]]:
+        for case in sorted(os.listdir(self.root)):
+            cdir = os.path.join(self.root, case)
+            spath = os.path.join(cdir, self.source_name)
+            if not os.path.isfile(spath):
+                continue
+            raw = _read_bytes(spath)
+            page_id = sha256_hex(raw)
+            if self.ground_truth:
+                epath = os.path.join(cdir, self.expected_name)
+                if not os.path.exists(epath):
+                    continue
+                yield page_id, {
+                    "plaintext": _body_plaintext(
+                        decode_page_bytes(_read_bytes(epath))
+                    ),
+                    "dataset": "casedir", "case": case,
+                }
+            else:
+                yield page_id, {
+                    "html": decode_page_bytes(raw),
+                    "dataset": "casedir", "case": case,
+                }
+
+
 READERS = {
     "wrapped": WrappedReader,
     "paired": PairedReader,
     "selector": SelectorReader,
     "jsontruth": JsonTruthReader,
+    "verticals": VerticalsReader,
+    "casedir": CaseDirReader,
 }
 
 
