@@ -54,6 +54,7 @@ def _ensure_loaded():
         density,
         ensemble,
         justext,
+        layout,
         leafmodel,
         readability,
         tagclean,

@@ -99,6 +99,13 @@ def extraction_oracle_sql() -> dict[str, str]:
         f"{_q(pg.H1_TEXT)} || ' ' || {_q(_NAV)} || ' ' || m.main_text || ' ' || "
         f"{_q(_ASIDE)} || ' ' || {_q(_REPLY)} || ' ' || {_q(_FOOT)}",
     )
+    _bullets = lambda items: "\n".join(f"* {t}" for t in items)  # noqa: E731
+    sqls["extract_layout"] = _main_cte(newline) + _select(
+        "layout",
+        f"{_q(pg.H1_TEXT)} || chr(10) || {_q(_bullets(pg.NAV_ITEMS))} || chr(10) || "
+        f"m.main_text || chr(10) || {_q(_bullets(pg.ASIDE_ITEMS))} || chr(10) || "
+        f"{_q(_REPLY)} || chr(10) || {_q(_FOOT)}",
+    )
     sqls["extract_tagclean"] = _main_cte(space) + _select(
         "tagclean",
         f"{_q(pg.H1_TEXT)} || ' ' || m.main_text || ' ' || {_q(_REPLY)}",

@@ -139,6 +139,20 @@ def expected_tagclean(text: str) -> str:
     return " ".join(parts)
 
 
+def expected_layout(text: str) -> str:
+    """Layout renderer (E7 capability): line-per-block with '* ' list
+    bullets; head not rendered (functions/extractors/layout.py)."""
+    lines = (
+        [H1_TEXT]
+        + [f"* {t}" for t in NAV_ITEMS]
+        + main_paragraphs(text)
+        + [f"* {t}" for t in ASIDE_ITEMS]
+        + [" ".join(REPLY_ITEMS)]
+        + [" ".join(FOOTER_LINKS) + " " + FOOTER_TAIL_TEXT]
+    )
+    return "\n".join(lines)
+
+
 def expected_bte(text: str) -> str:
     return expected_main_joined(text, "\n")
 
@@ -179,6 +193,7 @@ EXPECTED_BY_MODEL = {
     # cross the template's >=|5.8| base margins, so the decision set is
     # identical (functions/extractors/leafmodel.py:leafmodel_seq)
     "leafmodel_seq": lambda doc_id, text: expected_density(text),
+    "layout": lambda doc_id, text: expected_layout(text),
 }
 
 
