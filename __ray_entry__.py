@@ -48,9 +48,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         events_queries,
     )
 
+    from web_content_extraction_benchmark_ray.pipelines.classify import (
+        complexity_classify,
+    )
+
     out.update(dataops_queries())
     out.update(analytics_queries())
     out.update(events_queries())
+    out["complexity_classify"] = complexity_classify
     return out
 
 
@@ -80,4 +85,9 @@ def oracle_sql() -> dict[str, str]:
     )
 
     out.update(events_oracle_sql())
+    from web_content_extraction_benchmark_ray.pipelines.classify import (
+        classify_oracle_sql,
+    )
+
+    out["complexity_classify"] = classify_oracle_sql()
     return out

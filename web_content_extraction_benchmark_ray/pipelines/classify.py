@@ -1,0 +1,280 @@
+"""Complexity classifier — the M2 capability (reference
+``complexity.py:197-214, 301-311``): binarize page complexity at the
+global median, train a linear classifier on the 15 HTML tag features over
+a deterministic 75/25 split, and report accuracy / F1 / MCC per split.
+
+The reference trains sklearn LogisticRegression in one process.  The
+distributed re-design trains by **integer-exact batch gradient descent**
+(least-squares linear probe): features are quantized to int64 at 1e-6
+resolution, weights live on an integer grid, and every per-iteration
+reduction is an integer sum — associative and order-independent — so the
+distributed partial sums and the oracle's SQL SUMs produce *bit-identical*
+weights, making a trained model hash-verifiable end to end (the same
+trick as kmeans_iterate).  Division is TRUNCATING (DuckDB ``//``
+semantics), mirrored exactly by ``_tdiv``.
+
+Shuffle shape: one hash join (features ⋈ labels on doc_id), then the
+quantized 17-int rows materialize once; each GD iteration is a map-side
+partial gradient (one 16-int row per block) + a driver-side sum of
+#blocks rows — the shuffle never moves feature vectors, and the driver
+pull is bounded by block count, not data size.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.hashing import hash60
+from ..functions.text import round6
+
+CLF_ITERS = 20
+CLF_LRD = 2  # learning rate = 1 / CLF_LRD
+CLF_TRAIN_PCT = 75
+SCALE = 1_000_000  # feature/weight quantization grid
+THRESH = SCALE * SCALE // 2  # logical 0.5 at the margin's 1e12 scale
+N_DIMS = 16  # 15 features + bias
+
+
+def _tdiv(a: np.ndarray, b: int) -> np.ndarray:
+    """Truncating integer division (DuckDB ``//``), vectorized."""
+    return np.sign(a) * (np.abs(a) // b)
+
+
+def _median_complexity(sf_dir: str) -> float:
+    from .complexity import complexity_quantiles
+
+    qdf = complexity_quantiles(sf_dir, qs=(0.5,))
+    return float(qdf["value"][0])
+
+
+def clf_examples(sf_dir: str):
+    """Materialized Dataset (doc_id, xq list<int64>[16], y, split): the
+    15 features + bias quantized, label = complexity >= global median,
+    deterministic content-hash split."""
+    from .complexity import FEATURE_TAGS, complexity_ds, features_pipeline
+
+    med = _median_complexity(sf_dir)
+    feats = features_pipeline(sf_dir)
+    labels = complexity_ds(sf_dir).drop_columns(["dataset"])
+    joined = feats.join(
+        labels, join_type="inner", num_partitions=8, on=("doc_id",)
+    )
+    order = list(FEATURE_TAGS) + ["html_to_non_html"]
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = [
+            np.asarray(batch.column(c).to_pylist(), dtype=np.float64)
+            for c in order
+        ]
+        x = np.column_stack(cols + [np.ones(n)])
+        xq = np.floor(x * SCALE + 0.5).astype(np.int64)
+        compl = np.asarray(
+            batch.column("complexity").to_pylist(), dtype=np.float64
+        )
+        ids = [int(i) for i in batch.column("doc_id").to_pylist()]
+        split = [
+            "train" if hash60(f"clf:{i}") % 100 < CLF_TRAIN_PCT else "test"
+            for i in ids
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "xq": pa.array([r.tolist() for r in xq],
+                               pa.list_(pa.int64())),
+                "y": pa.array((compl >= med).astype(np.int64), pa.int64()),
+                "split": pa.array(split, pa.string()),
+            }
+        )
+
+    return joined.map_batches(quantize, batch_format="pyarrow").materialize()
+
+
+def train_weights(train_ds, n_train: int, iters: int = CLF_ITERS) -> np.ndarray:
+    """Integer-grid GD: per-block partial gradients (16-int rows), summed
+    on the driver (#blocks rows), truncating-division weight update."""
+    w = np.zeros(N_DIMS, dtype=np.int64)
+    for _ in range(iters):
+        w_list = [int(v) for v in w]
+
+        def grad_partial(batch: pa.Table, w_list=w_list) -> pa.Table:
+            xq = np.array(batch.column("xq").to_pylist(), dtype=np.int64)
+            y = np.asarray(batch.column("y").to_pylist(), dtype=np.int64)
+            if len(y) == 0:
+                g = np.zeros(N_DIMS, dtype=np.int64)
+            else:
+                wv = np.asarray(w_list, dtype=np.int64)
+                r = _tdiv(xq @ wv, SCALE) - y * SCALE
+                g = r @ xq
+            return pa.table({"g": pa.array([g.tolist()],
+                                           pa.list_(pa.int64()))})
+
+        parts = train_ds.map_batches(
+            grad_partial, batch_format="pyarrow"
+        ).to_pandas()
+        g = np.sum(
+            np.array(parts["g"].tolist(), dtype=np.int64), axis=0
+        )
+        w = w - _tdiv(g, CLF_LRD * n_train * SCALE)
+    return w
+
+
+def complexity_classify(sf_dir: str):
+    """Train on the 75% split, evaluate on both splits; output one row per
+    split: (split, n, tp, fp, tn, fn, accuracy, f1, mcc)."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    fx = clf_examples(sf_dir)
+    train_ds = fx.filter(expr="split == 'train'")
+    n_train = train_ds.count()
+    w = train_weights(train_ds, n_train)
+    w_list = [int(v) for v in w]
+
+    def confusion_partial(batch: pa.Table, w_list=w_list) -> pa.Table:
+        xq = np.array(batch.column("xq").to_pylist(), dtype=np.int64)
+        y = np.asarray(batch.column("y").to_pylist(), dtype=np.int64)
+        split = batch.column("split").to_pylist()
+        if len(y) == 0:
+            return pa.table(
+                {
+                    "split": pa.array([], pa.string()),
+                    "tp": pa.array([], pa.int64()),
+                    "fp": pa.array([], pa.int64()),
+                    "tn": pa.array([], pa.int64()),
+                    "fn": pa.array([], pa.int64()),
+                }
+            )
+        pred = (xq @ np.asarray(w_list, dtype=np.int64) >= THRESH).astype(
+            np.int64
+        )
+        out: dict[str, list] = {k: [] for k in ("split", "tp", "fp", "tn", "fn")}
+        sarr = np.asarray(split)
+        for s in sorted(set(split)):
+            mask = sarr == s
+            p, t = pred[mask], y[mask]
+            out["split"].append(s)
+            out["tp"].append(int(((p == 1) & (t == 1)).sum()))
+            out["fp"].append(int(((p == 1) & (t == 0)).sum()))
+            out["tn"].append(int(((p == 0) & (t == 0)).sum()))
+            out["fn"].append(int(((p == 0) & (t == 1)).sum()))
+        return pa.table(
+            {
+                "split": pa.array(out["split"], pa.string()),
+                **{
+                    k: pa.array(out[k], pa.int64())
+                    for k in ("tp", "fp", "tn", "fn")
+                },
+            }
+        )
+
+    agg = (
+        fx.map_batches(confusion_partial, batch_format="pyarrow")
+        .groupby("split")
+        .aggregate(Sum("tp"), Sum("fp"), Sum("tn"), Sum("fn"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        tp = np.asarray(batch["sum(tp)"].to_pylist(), dtype=np.int64)
+        fp = np.asarray(batch["sum(fp)"].to_pylist(), dtype=np.int64)
+        tn = np.asarray(batch["sum(tn)"].to_pylist(), dtype=np.int64)
+        fn = np.asarray(batch["sum(fn)"].to_pylist(), dtype=np.int64)
+        n = tp + fp + tn + fn
+        acc = [round6(float((a + b) / c)) for a, b, c in zip(tp, tn, n)]
+        f1 = [
+            round6(float(2 * a / (2 * a + b + c))) if (2 * a + b + c) else 0.0
+            for a, b, c in zip(tp, fp, fn)
+        ]
+        mcc = []
+        for a, b, c, d in zip(tp, fp, tn, fn):
+            den = float((a + b) * (a + d) * (c + b) * (c + d))
+            mcc.append(
+                round6(float((a * c - b * d) / np.sqrt(den))) if den else 0.0
+            )
+        return pa.table(
+            {
+                "split": pc.cast(batch["split"], pa.string()),
+                "n": pa.array(n, pa.int64()),
+                "tp": pa.array(tp, pa.int64()),
+                "fp": pa.array(fp, pa.int64()),
+                "tn": pa.array(tn, pa.int64()),
+                "fn": pa.array(fn, pa.int64()),
+                "accuracy": pa.array(acc, pa.float64()),
+                "f1": pa.array(f1, pa.float64()),
+                "mcc": pa.array(mcc, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------ oracle
+def classify_oracle_sql() -> str:
+    """Unrolled integer-GD twin: same quantization grid, same truncating
+    division (DuckDB ``//``), same fixed iteration count — weights are
+    bit-identical, so the confusion counts and metrics match exactly."""
+    from .dataops_oracles import _H60
+    from .oracles import _BASE_CTE, _R6, html_feature_exprs
+
+    exprs = [e for _, e in html_feature_exprs()]
+    xs = "[" + ", ".join(exprs + ["1.0"]) + "]"
+    from .oracles import BP_WORDS_BODY, GLUE_WORDS
+
+    t = f"(nw + {GLUE_WORDS} * npars)"
+    compl = (
+        f"1.0 - least(1.0, greatest(0.0, CAST({t} AS DOUBLE) / "
+        f"({t} + {BP_WORDS_BODY})))"
+    )
+    split = (
+        f"CASE WHEN {_H60.format(chr(39) + 'clf:' + chr(39) + ' || CAST(doc_id AS VARCHAR)')} "
+        f"% 100 < {CLF_TRAIN_PCT} THEN 'train' ELSE 'test' END"
+    )
+    parts = [
+        f"f AS MATERIALIZED (SELECT doc_id, {xs} AS xs FROM counts)",
+        f"fx AS MATERIALIZED (SELECT doc_id, u.d AS d, "
+        f"CAST(floor(xs[u.d] * {SCALE} + 0.5) AS BIGINT) AS xq "
+        f"FROM f, UNNEST(generate_series(1, {N_DIMS})) AS u(d))",
+        f"cx AS MATERIALIZED (SELECT doc_id, {compl} AS complexity FROM counts)",
+        f"med AS MATERIALIZED (SELECT {_R6.format('quantile_cont(complexity, 0.5)')} AS v FROM cx)",
+        f"lab AS MATERIALIZED (SELECT cx.doc_id, "
+        f"CASE WHEN cx.complexity >= med.v THEN 1 ELSE 0 END AS y, "
+        f"{split} AS split FROM cx, med)",
+        "ntr AS MATERIALIZED (SELECT count(*) AS n FROM lab WHERE split = 'train')",
+        f"w0 AS MATERIALIZED (SELECT u.d AS d, CAST(0 AS BIGINT) AS wq "
+        f"FROM UNNEST(generate_series(1, {N_DIMS})) AS u(d))",
+    ]
+    for r in range(CLF_ITERS):
+        parts += [
+            f"m{r} AS MATERIALIZED (SELECT f.doc_id, l.y, SUM(f.xq * w.wq) AS m "
+            f"FROM fx f JOIN w{r} w USING(d) "
+            f"JOIN lab l ON l.doc_id = f.doc_id AND l.split = 'train' "
+            f"GROUP BY f.doc_id, l.y)",
+            f"g{r} AS MATERIALIZED (SELECT f.d, "
+            f"CAST(SUM(((m.m // {SCALE}) - m.y * {SCALE}) * f.xq) AS BIGINT) AS g "
+            f"FROM m{r} m JOIN fx f ON f.doc_id = m.doc_id GROUP BY f.d)",
+            f"w{r + 1} AS MATERIALIZED (SELECT w.d, w.wq - (g.g // ({CLF_LRD} * ntr.n * {SCALE})) AS wq "
+            f"FROM w{r} w JOIN g{r} g USING(d), ntr)",
+        ]
+    mcc_den = (
+        "CAST((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn) AS DOUBLE)"
+    )
+    return _BASE_CTE + ",\n" + ",\n".join(parts) + f""",
+mf AS MATERIALIZED (SELECT f.doc_id, SUM(f.xq * w.wq) AS m
+       FROM fx f JOIN w{CLF_ITERS} w USING(d) GROUP BY f.doc_id),
+cm AS MATERIALIZED (SELECT l.split,
+       CAST(SUM(CASE WHEN m.m >= {THRESH} AND l.y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       CAST(SUM(CASE WHEN m.m >= {THRESH} AND l.y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       CAST(SUM(CASE WHEN m.m < {THRESH} AND l.y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+       CAST(SUM(CASE WHEN m.m < {THRESH} AND l.y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+       FROM mf m JOIN lab l ON l.doc_id = m.doc_id GROUP BY l.split)
+SELECT split, tp + fp + tn + fn AS n, tp, fp, tn, fn,
+       {_R6.format('CAST(tp + tn AS DOUBLE) / (tp + fp + tn + fn)')} AS accuracy,
+       CASE WHEN 2 * tp + fp + fn = 0 THEN 0.0
+            ELSE {_R6.format('CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn)')}
+       END AS f1,
+       CASE WHEN {mcc_den} = 0 THEN 0.0
+            ELSE {_R6.format(f'CAST(tp * tn - fp * fn AS DOUBLE) / sqrt({mcc_den})')}
+       END AS mcc
+FROM cm"""

@@ -253,8 +253,19 @@ c AS (SELECT {compl} AS complexity FROM counts),
 ql AS (SELECT quantile_cont(complexity, {qlist}) AS v FROM c)
 SELECT {qlist}[u.i] AS q, {_R6.format('v[u.i]')} AS value
 FROM ql, UNNEST(generate_series(1, 5)) AS u(i)"""
+    sqls["html_features"] = _BASE_CTE + f"""
+SELECT doc_id, {', '.join(f'{e} AS {n}' for n, e in html_feature_exprs())}
+FROM counts"""
+    return sqls
+
+
+def html_feature_exprs() -> list[tuple[str, str]]:
+    """(name, SQL expr over the ``counts`` CTE) for the 15 tag features —
+    shared by the html_features oracle and the classifier oracle so the
+    two can never drift."""
+    t = f"(nw + {GLUE_WORDS} * npars)"  # truth \w+ tokens
     n_tags = f"({TAGS_CONST} + npars)"
-    feat_cols = []
+    out: list[tuple[str, str]] = []
     for f in ("h1", "h2", "h3", "h4", "h5", "h6", "p", "ul", "table", "a",
               "div", "br", "strong", "em"):
         if f == "p":
@@ -263,10 +274,11 @@ FROM ql, UNNEST(generate_series(1, 5)) AS u(i)"""
             expr = f"CAST({TAG_COUNTS[f]} AS DOUBLE) / {n_tags}"
         else:
             expr = "0.0"
-        feat_cols.append(f"{expr} AS {f}")
-    feat_cols.append(
-        f"CAST({n_tags} AS DOUBLE) / ({t} + {BP_WORDS_BODY}) AS html_to_non_html"
+        out.append((f, expr))
+    out.append(
+        (
+            "html_to_non_html",
+            f"CAST({n_tags} AS DOUBLE) / ({t} + {BP_WORDS_BODY})",
+        )
     )
-    sqls["html_features"] = _BASE_CTE + f"""
-SELECT doc_id, {', '.join(feat_cols)} FROM counts"""
-    return sqls
+    return out
