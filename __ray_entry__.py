@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
 
     from web_content_extraction_benchmark_ray.pipelines.classify import (
+        cluster_alignment,
         complexity_classify,
     )
 
@@ -56,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update(analytics_queries())
     out.update(events_queries())
     out["complexity_classify"] = complexity_classify
+    out["cluster_alignment"] = cluster_alignment
     return out
 
 
@@ -87,7 +89,9 @@ def oracle_sql() -> dict[str, str]:
     out.update(events_oracle_sql())
     from web_content_extraction_benchmark_ray.pipelines.classify import (
         classify_oracle_sql,
+        cluster_alignment_oracle_sql,
     )
 
     out["complexity_classify"] = classify_oracle_sql()
+    out["cluster_alignment"] = cluster_alignment_oracle_sql()
     return out

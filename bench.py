@@ -152,7 +152,7 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
 
 
 def run_scaling(sf_dir: str, lo: int, hi: int, repeat: int | None = None,
-                rounds: int = 2) -> dict:
+                rounds: int = 5) -> dict:
     """Same headline job at two parallelism levels in FRESH processes.
 
     The corpus is replicated (default 32x -> 160k docs at sf0.1) so that
@@ -161,30 +161,39 @@ def run_scaling(sf_dir: str, lo: int, hi: int, repeat: int | None = None,
     multi-node run would carry.
 
     The sandbox is a VM on a SHARED host: co-tenant load inflates task
-    time unpredictably and only ever DEGRADES the measured ratio, so the
+    time unpredictably and only ever DEGRADES the measured ratio.  The
     run executes ``rounds`` independent (lo, hi) pairs and reports the
-    best round's efficiency as the algorithmic estimate, with every
-    round's numbers disclosed in the output."""
+    **median** round's efficiency (round-1's best-of-N was judged a
+    generous estimator), with every round's numbers disclosed."""
+    import statistics
+
     repeat = 32 if repeat is None else repeat
     round_results = []
     for _ in range(max(1, rounds)):
         round_results.append(_run_scaling_pair(sf_dir, lo, hi, repeat))
-    best = max(round_results, key=lambda r: r["efficiency"])
+    med_eff = round(
+        statistics.median(r["efficiency"] for r in round_results), 3
+    )
+    # representative round = the one whose efficiency is closest to the
+    # median (for the queries/docs_per_sec detail fields)
+    rep = min(round_results, key=lambda r: abs(r["efficiency"] - med_eff))
     return {
         "metric": "scaling_efficiency",
-        "value": best["efficiency"],
+        "value": med_eff,
         "unit": "ratio",
-        "queries": best["queries"],
+        "estimator": f"median of {len(round_results)} rounds",
+        "queries": rep["queries"],
         "sf": sf_dir,
         "num_cpus": hi,
-        "docs_per_sec": best["docs_per_sec"],
-        "n_docs": best["n_docs"],
+        "docs_per_sec": rep["docs_per_sec"],
+        "n_docs": rep["n_docs"],
         "rounds": [
             {"efficiency": r["efficiency"], "docs_per_sec": r["docs_per_sec"]}
             for r in round_results
         ],
+        "best": max(r["efficiency"] for r in round_results),
         "target": 0.8,
-        "pass": best["efficiency"] >= 0.8,
+        "pass": med_eff >= 0.8,
     }
 
 
@@ -228,8 +237,8 @@ def main() -> None:
     ap.add_argument("--headline-only", action="store_true")
     ap.add_argument("--repeat", type=int, default=None,
                     help="replicate the corpus N times (scaling default: 32)")
-    ap.add_argument("--rounds", type=int, default=2,
-                    help="independent scaling pairs; best round reported")
+    ap.add_argument("--rounds", type=int, default=5,
+                    help="independent scaling pairs; median round reported")
     ap.add_argument("--trials", type=int, default=2,
                     help="run each timed query N times, report the min "
                          "(min damps shared-host noise)")

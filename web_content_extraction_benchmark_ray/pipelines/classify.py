@@ -210,6 +210,128 @@ def complexity_classify(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+# -------------------------------------------------- M1 cluster alignment
+def cluster_alignment(sf_dir: str):
+    """The reference's k-means label-alignment step (complexity.py:301-311):
+    cluster pages into k=2 over the HTML features (deterministic seeds =
+    the two lowest-doc_id feature vectors, max-cosine assignment), then
+    align cluster ids to the binarized complexity classes by majority —
+    flip if agreement < 0.5 — and report the aligned agreement rate.
+
+    Distribution shape: broadcast 2 centroids, per-batch partial
+    (cluster == y) match counts, native Sum reduce to ONE row."""
+    from ray.data.aggregate import Sum
+
+    from .complexity import FEATURE_TAGS
+
+    fx = clf_examples(sf_dir)  # xq carries the quantized features + bias
+    n_feats = len(FEATURE_TAGS) + 1
+
+    # centroids: the two lowest-doc_id feature vectors (driver reads 2 rows)
+    head = fx.sort("doc_id").limit(2).to_pandas()
+    cents = np.array(
+        [r[:n_feats] for r in head["xq"]], dtype=np.float64
+    ) / SCALE
+
+    def match_partial(batch: pa.Table) -> pa.Table:
+        xq = np.array(batch.column("xq").to_pylist(), dtype=np.int64)
+        y = np.asarray(batch.column("y").to_pylist(), dtype=np.int64)
+        if len(y) == 0:
+            return pa.table(
+                {
+                    "k": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "match": pa.array([], pa.int64()),
+                }
+            )
+        x = xq[:, :n_feats].astype(np.float64) / SCALE
+
+        def norm(m):
+            d = np.linalg.norm(m, axis=1, keepdims=True)
+            d[d == 0] = 1.0
+            return m / d
+
+        cos = np.floor((norm(x) @ norm(cents).T) * SCALE + 0.5) / SCALE
+        cl = cos.argmax(axis=1).astype(np.int64)
+        return pa.table(
+            {
+                "k": pa.array([0], pa.int64()),
+                "n": pa.array([len(y)], pa.int64()),
+                "match": pa.array([int((cl == y).sum())], pa.int64()),
+            }
+        )
+
+    agg = (
+        fx.map_batches(match_partial, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum("n"), Sum("match"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = int(batch["sum(n)"][0].as_py())
+        match = int(batch["sum(match)"][0].as_py())
+        flipped = 1 if (n - match) > match else 0
+        aligned = max(match, n - match)
+        return pa.table(
+            {
+                "n": pa.array([n], pa.int64()),
+                "match": pa.array([match], pa.int64()),
+                "flipped": pa.array([flipped], pa.int64()),
+                "agreement": pa.array([round6(aligned / n)], pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def cluster_alignment_oracle_sql() -> str:
+    from .dataops_oracles import _H60  # noqa: F401 (parity with classify)
+    from .oracles import _BASE_CTE, _R6, html_feature_exprs
+
+    # quantized features (xq/1e6), matching the Ray side exactly
+    exprs = [
+        f"floor(({e}) * {SCALE} + 0.5) / {SCALE}"
+        for _, e in html_feature_exprs()
+    ]
+    xs = "[" + ", ".join(exprs) + "]"
+    from .oracles import BP_WORDS_BODY, GLUE_WORDS
+
+    t = f"(nw + {GLUE_WORDS} * npars)"
+    compl = (
+        f"1.0 - least(1.0, greatest(0.0, CAST({t} AS DOUBLE) / "
+        f"({t} + {BP_WORDS_BODY})))"
+    )
+    cos_r = (
+        "floor(list_cosine_similarity(f.xs, c.xs) * 1000000 + 0.5) / 1000000"
+    )
+    return _BASE_CTE + f""",
+f AS MATERIALIZED (SELECT doc_id, {xs}::DOUBLE[] AS xs FROM counts),
+cent AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS cid, xs
+  FROM (SELECT doc_id, xs FROM f ORDER BY doc_id LIMIT 2)
+),
+asg AS MATERIALIZED (
+  SELECT doc_id, cid FROM (
+    SELECT f.doc_id, c.cid,
+           row_number() OVER (PARTITION BY f.doc_id
+                              ORDER BY {cos_r} DESC, c.cid) AS rn
+    FROM f, cent c
+  ) WHERE rn = 1
+),
+cx AS (SELECT doc_id, {compl} AS complexity FROM counts),
+med AS (SELECT {_R6.format('quantile_cont(complexity, 0.5)')} AS v FROM cx),
+lab AS (SELECT cx.doc_id,
+        CASE WHEN cx.complexity >= med.v THEN 1 ELSE 0 END AS y
+        FROM cx, med),
+m AS (SELECT count(*) AS n,
+      CAST(sum(CASE WHEN a.cid = l.y THEN 1 ELSE 0 END) AS BIGINT) AS match
+      FROM asg a JOIN lab l ON l.doc_id = a.doc_id)
+SELECT n, match,
+       CAST(CASE WHEN (n - match) > match THEN 1 ELSE 0 END AS BIGINT) AS flipped,
+       {_R6.format('CAST(greatest(match, n - match) AS DOUBLE) / n')} AS agreement
+FROM m"""
+
+
 # ------------------------------------------------------------------ oracle
 def classify_oracle_sql() -> str:
     """Unrolled integer-GD twin: same quantization grid, same truncating
