@@ -41,10 +41,17 @@ def _cpus() -> int:
 
 
 def join_partitions(cpus: int | None = None) -> int:
-    """Hash-join partition count scaled to the session's cores (a fixed
-    constant would size partitions at data_size/K on a big cluster)."""
+    """Hash-join partition count.  Ray 2.49's hash join runs one
+    AGGREGATOR ACTOR per partition (each reserving up to 1 CPU): asking
+    for 2x cores spawned 64 standing actors on a 32-CPU box — half the
+    cluster pinned while the co-scheduled extraction sort starved, and
+    the worker-process blowup OOM-killed the run (measured; the same
+    actor-pool-starves-all-to-all trap as stages/extract.py).  Partition
+    count therefore grows with cores but caps the actor pool at ~25% of
+    the cluster; callers joining genuinely large sides should pass an
+    explicit ``num_partitions`` and budget the reservation."""
     c = cpus if cpus is not None else _cpus()
-    return max(8, min(256, 2 * c))
+    return max(8, min(16, c // 4))
 
 
 def truth_dataset(sf_dir: str):
@@ -134,7 +141,14 @@ def scores_pipeline(sf_dir: str, models=EVAL_MODELS, num_buckets: int = 128):
         num_partitions=join_partitions(cpus),
         on=("doc_id",),
     )
-    return joined.map_batches(
+    # the join emits ONE block per partition; without a streaming re-split
+    # the scoring map would run at most num_partitions tasks wide
+    # (measured 4x slower at 32 CPUs).  shuffle=False: block splitting,
+    # no data exchange.
+    resplit = joined.repartition(
+        target_num_rows_per_block=64, shuffle=False
+    )
+    return resplit.map_batches(
         score_joined_batch, batch_format="pyarrow", batch_size=64
     )
 
