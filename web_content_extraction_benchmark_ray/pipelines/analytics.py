@@ -33,6 +33,8 @@ import ray
 import ray.data
 
 from ..functions.hashing import hash60
+from ..sources.storage import read_table
+from ..stages.coalesce import coalesce_small
 from ..functions.text import round6, tokenize_ws
 from ..stages.simsearch import _norm
 
@@ -107,10 +109,12 @@ def vocab_topk(sf_dir: str):
             }
         )
 
-    ds = ray.data.read_parquet(
+    ds = read_table(
         os.path.join(sf_dir, "documents.parquet"), columns=["text"]
     )
-    counts = ds.map_batches(partial_counts, batch_format="pyarrow")
+    counts = coalesce_small(
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+    )
     totals = counts.groupby("word").map_groups(merge, batch_format="pyarrow")
     return totals.sort(["n", "word"], descending=[True, False]).limit(VOCAB_K)
 
@@ -156,7 +160,7 @@ def kmeans_assign(sf_dir: str):
     embeddings (broadcast once), assign every vector to its max-cosine
     centroid (rounded cosine, ties to the lowest centroid index)."""
     cent_ref = ray.put(_load_centroids(sf_dir))
-    ds = ray.data.read_parquet(
+    ds = read_table(
         os.path.join(sf_dir, "embeddings.parquet"),
         columns=["vec_id", "embedding"],
     )
@@ -179,7 +183,7 @@ def kmeans_iterate(sf_dir: str, iters: int = KMEANS_ITERS):
     ~1e6, so int64 holds exact sums beyond 1e12 members per cluster.
     Returns the final (vec_id, cluster) assignment."""
     cents = _load_centroids(sf_dir)
-    ds = ray.data.read_parquet(
+    ds = read_table(
         os.path.join(sf_dir, "embeddings.parquet"),
         columns=["vec_id", "embedding"],
     )
@@ -294,7 +298,7 @@ def sample_split(sf_dir: str):
             }
         )
 
-    ds = ray.data.read_parquet(
+    ds = read_table(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
     )
     return ds.map_batches(split, batch_format="pyarrow")

@@ -26,6 +26,7 @@ import ray
 
 from ..functions.htmlparse import body_or_root, parse
 from ..functions.text import squeeze_ws, sub_common_entities, tokenize_words
+from ..sources.storage import read_table
 from ..sources.synth import build_spans_table
 from ..stages.reassemble import reassemble
 from .evalpipe import _round6, join_partitions, truth_plaintext
@@ -68,7 +69,7 @@ def truth_tokens_dataset(sf_dir: str):
     dataset).  Streams from parquet — nothing on the driver."""
     import ray.data
 
-    ds = ray.data.read_parquet(
+    ds = read_table(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
     )
 

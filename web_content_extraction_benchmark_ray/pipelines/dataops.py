@@ -20,6 +20,7 @@ import ray
 import ray.data
 
 from ..functions.text import tokenize_ws
+from ..sources.storage import read_table
 from ..functions.textstats import lang_id, quality_features, token_counts
 from ..stages import dedup as dd
 from ..stages import simsearch as ss
@@ -35,7 +36,7 @@ MEDIA_EVERY = 10
 
 
 def _docs(sf_dir: str):
-    return ray.data.read_parquet(
+    return read_table(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
 
@@ -102,7 +103,7 @@ def dedup_jaccard_prefix(sf_dir: str):
 
 # -------------------------------------------------------- similarity search
 def _emb(sf_dir: str):
-    return ray.data.read_parquet(
+    return read_table(
         os.path.join(sf_dir, "embeddings.parquet"),
         columns=["vec_id", "embedding", "label"],
     )

@@ -25,6 +25,8 @@ import ray
 from ..functions.evalx import levenshtein_token_ratio, rouge_lsum
 from ..functions.text import tokenize_ws
 from ..sources import pagegen as pg
+from ..sources.storage import read_table
+from ..stages.coalesce import coalesce_small
 from ..sources.synth import build_spans_table
 from ..schema import SCORES
 from .extraction import extraction_pipeline
@@ -60,7 +62,7 @@ def truth_dataset(sf_dir: str):
     Streams from parquet; nothing materializes on the driver."""
     import ray.data
 
-    ds = ray.data.read_parquet(
+    ds = read_table(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
     )
 
@@ -196,10 +198,10 @@ def agg_scores_by_dataset(scores_ds, scorer: str = "rouge"):
             }
         )
 
-    filtered = scores_ds.map_batches(
+    filtered = coalesce_small(scores_ds.map_batches(
         lambda t: t.filter(pa.compute.equal(t["scorer"], scorer)),
         batch_format="pyarrow",
-    )
+    ))
     return filtered.groupby(["model", "dataset"]).map_groups(
         agg, batch_format="pandas"
     )
@@ -220,10 +222,10 @@ def agg_scores_micro(scores_ds, scorer: str = "rouge"):
             }
         )
 
-    filtered = scores_ds.map_batches(
+    filtered = coalesce_small(scores_ds.map_batches(
         lambda t: t.filter(pa.compute.equal(t["scorer"], scorer)),
         batch_format="pyarrow",
-    )
+    ))
     return filtered.groupby("model").map_groups(agg, batch_format="pandas")
 
 
@@ -254,8 +256,8 @@ def agg_quantiles(scores_ds, scorer: str = "rouge", qs=(0.25, 0.75)):
             }
         )
 
-    filtered = scores_ds.map_batches(
+    filtered = coalesce_small(scores_ds.map_batches(
         lambda t: t.filter(pa.compute.equal(t["scorer"], scorer)),
         batch_format="pyarrow",
-    )
+    ))
     return filtered.groupby("model").map_groups(agg, batch_format="pandas")

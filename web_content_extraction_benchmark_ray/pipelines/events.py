@@ -34,7 +34,7 @@ ASOF_TYPE = "error"  # as-of join: latest prior event of this type per user
 
 
 def _events(sf_dir: str, columns=None):
-    from ..sources.storage import capped_num_blocks
+    from ..sources.storage import capped_num_blocks, read_table
 
     path = os.path.join(sf_dir, "events.parquet")
     cpus = (
@@ -44,7 +44,7 @@ def _events(sf_dir: str, columns=None):
     )
     # cap the block ask at the row-group count: an over-ask synthesizes
     # schema-less zero-row blocks (schema-stability warnings downstream)
-    return ray.data.read_parquet(
+    return read_table(
         path, columns=columns,
         override_num_blocks=capped_num_blocks(path, 2 * cpus),
     )

@@ -14,7 +14,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from ..functions.media import parse_media
-from ..sources.storage import read_spans
+from ..sources.storage import read_spans, read_table
 from ..sources.synth import build_spans_table
 from ..stages.reassemble import reassemble
 from .extraction import extraction_pipeline
@@ -140,7 +140,7 @@ def ingest_decode(sf_dir: str):
 
     import os
 
-    ds = ray.data.read_parquet(
+    ds = read_table(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
     return ds.map_batches(encode, batch_format="pyarrow").map_batches(

@@ -25,6 +25,36 @@ def _have_lance() -> bool:
         return False
 
 
+def clean_schema(uri: str, columns=None):
+    """Metadata-free Arrow schema of a parquet file/dir, subset to
+    ``columns``.
+
+    Parquet files written by pandas carry a ``pandas`` metadata blob whose
+    presence makes ``pyarrow.Schema`` UNHASHABLE ("unhashable type:
+    'dict'"): Ray's block concat/unify hashes schemas to deduplicate, so
+    every multi-block bundle read from such a file logs "Failed to hash
+    the schemas" and skips the fast path.  Passing an explicit
+    metadata-free schema to ``read_parquet`` keeps every downstream block
+    schema hashable and stable.  One footer read; the schema must be the
+    COLUMN SUBSET when ``columns`` is given (full-schema + columns errors
+    in Ray 2.49)."""
+    import glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    f0 = (
+        sorted(glob.glob(os.path.join(uri, "*.parquet")))[0]
+        if os.path.isdir(uri)
+        else uri
+    )
+    full = pq.ParquetFile(f0).schema_arrow.remove_metadata()
+    if columns is None:
+        return full
+    return pa.schema([full.field(c) for c in columns])
+
+
 def read_table(uri: str, *, columns=None, override_num_blocks=None,
                format: str | None = None):
     import ray.data
@@ -38,7 +68,8 @@ def read_table(uri: str, *, columns=None, override_num_blocks=None,
             )
         return ray.data.read_lance(uri, columns=columns)  # pragma: no cover
     return ray.data.read_parquet(
-        uri, columns=columns, override_num_blocks=override_num_blocks
+        uri, columns=columns, override_num_blocks=override_num_blocks,
+        schema=clean_schema(uri, columns),
     )
 
 

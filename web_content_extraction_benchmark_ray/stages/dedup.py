@@ -162,7 +162,14 @@ def _distinct_pairs(pairs, value_col: str, out_type=pa.float64()):
     is identical for every duplicate of a pair)."""
     from ray.data.aggregate import Max
 
-    agg = pairs.groupby(["doc_id_a", "doc_id_b"]).aggregate(Max(value_col))
+    from .coalesce import coalesce_small
+
+    # pair streams are sparse: many upstream blocks carry few/no pairs, and
+    # a native Aggregate makes one sort partition per input block — coalesce
+    # so no empty (schema-less) partitions are synthesized
+    agg = coalesce_small(pairs, 8).groupby(
+        ["doc_id_a", "doc_id_b"]
+    ).aggregate(Max(value_col))
 
     def project(batch: pa.Table) -> pa.Table:
         return pa.table(

@@ -149,8 +149,16 @@ def knn_ivf(ds, queries_ref):
         vecs = np.array(group.column("embedding").to_pylist(), dtype=np.float64)
         return _partial_topk(qids, qmat, vec_ids, vecs)
 
-    partial = ds.groupby("label").map_groups(list_topk, batch_format="pyarrow")
-    return partial.groupby("query_id").map_groups(
+    # list count is far below the read's block count at test scale: coalesce
+    # so the groupby sort has no empty partitions (schema-less block warnings)
+    from .coalesce import coalesce_small
+
+    partial = coalesce_small(ds, 8).groupby("label").map_groups(
+        list_topk, batch_format="pyarrow"
+    )
+    # final merge input is ~n_lists x n_queries x k rows — single block, so
+    # the query_id groupby sort has exactly one (never-empty) partition
+    return coalesce_small(partial, 1).groupby("query_id").map_groups(
         merge_topk, batch_format="pyarrow"
     )
 
