@@ -53,9 +53,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         complexity_classify,
     )
 
+    from web_content_extraction_benchmark_ray.pipelines.curation import (
+        curation_queries,
+    )
+
     out.update(dataops_queries())
     out.update(analytics_queries())
     out.update(events_queries())
+    out.update(curation_queries())
     out["complexity_classify"] = complexity_classify
     out["cluster_alignment"] = cluster_alignment
     return out
@@ -76,7 +81,12 @@ def oracle_sql() -> dict[str, str]:
     out.update(extraction_oracle_sql())
     out.update(eval_oracle_sql())
     out.update(complexity_oracle_sql())
+    from web_content_extraction_benchmark_ray.pipelines.curation import (
+        curation_oracle_sql,
+    )
+
     out.update(dataops_oracle_sql())
+    out.update(curation_oracle_sql())
     from web_content_extraction_benchmark_ray.pipelines.analytics import (
         analytics_oracle_sql,
     )

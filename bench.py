@@ -119,6 +119,14 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
         except ImportError:
             pass
         try:
+            from web_content_extraction_benchmark_ray.pipelines import curation as cu
+
+            timed("decontaminate", lambda: _consume(cu.decontaminate(sf_dir)))
+            timed("pack_shards", lambda: _consume(cu.pack_shards(sf_dir)))
+            timed("pii_scrub", lambda: _consume(cu.pii_scrub(sf_dir)))
+        except ImportError:
+            pass
+        try:
             from web_content_extraction_benchmark_ray.pipelines import analytics as an
 
             timed("vocab_topk", lambda: _consume(an.vocab_topk(sf_dir)))

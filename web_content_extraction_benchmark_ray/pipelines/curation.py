@@ -1,0 +1,313 @@
+"""Corpus-curation operators a large-scale training-data pipeline needs
+beyond dedup: benchmark decontamination, token-budget shard packing
+(a distributed prefix-sum scan), and PII scrubbing.
+
+The reference harness has no curation stage (its corpora are
+pre-cleaned); these extend the same documents-table operator family as
+``pipelines/dataops.py`` and follow the identical oracle conventions
+(hash60 twins, integer-exact thresholds, deterministic augmentation —
+see dataops_oracles.py module docstring).
+
+Scale notes per operator:
+
+- ``decontaminate``: the benchmark side is inherently small (an eval
+  suite is fixed-size regardless of corpus scale), so its distinct
+  shingle-hash set is the canonical broadcast small side: built
+  distributed, collected once, ``ray.put`` once, fetched once per worker
+  process.  The corpus scan is a pure per-batch map with a vectorized
+  ``np.isin`` membership test — no shuffle at all.
+- ``pack_shards``: a distributed exclusive prefix sum over token counts
+  in ``doc_id`` order.  Two-level scan: per-range-bucket token sums
+  (native Sum groupby over ``doc_id // range_size``) are prefix-summed
+  once, then each bucket independently computes its in-bucket cumulative
+  sums against its bucket offset.  The offset table has
+  ``n_docs / range_size`` rows — sized on the driver here; at 10^12 docs
+  pick ``range_size`` so that table stays small (1e6-doc ranges -> 1e6
+  rows) or recurse the same scan over the bucket sums (tree scan).
+- ``pii_scrub``: stateless per-batch regex redaction (compiled once per
+  worker process).  The corpus is deterministically augmented with
+  synthetic e-mail addresses (the test tables contain none), mirrored in
+  a SQL CTE so the oracle exercises real redactions.
+"""
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from ..functions.hashing import hash60, shingles
+from ..functions.text import tokenize_ws
+from ..sources.storage import read_table
+from ..stages.coalesce import coalesce_small
+
+# --------------------------------------------------------------- constants
+# Benchmark membership: every DECON_EVERY-th doc is an "eval benchmark"
+# document; a corpus doc is contaminated when at least half its distinct
+# shingles appear in the benchmark shingle set (integer-exact test).
+DECON_EVERY = 97
+
+# Shard packing: greedy token-budget packing in doc_id order;
+# shard = exclusive_prefix_tokens // budget.
+PACK_RANGE = 64  # docs per scan bucket (test scale; ~1e6 at 10^12 docs)
+PACK_BUDGET = 4096  # tokens per shard
+
+# PII augmentation + redaction.
+PII_EVERY = 5
+PII_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_TOKEN = "<EMAIL>"
+
+_H60 = "('0x' || substr(md5({}), 1, 15))::BIGINT"
+
+
+def _docs(sf_dir: str):
+    import os
+
+    return read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+
+# ---------------------------------------------------------- decontaminate
+_BENCH_CACHE: dict = {}
+
+
+def _bench_shingle_set(sf_dir: str):
+    """Distinct shingle hashes of the benchmark docs, built distributed
+    and collected once (the benchmark side is small by construction)."""
+
+    def bench_hashes(batch: pa.Table) -> pa.Table:
+        out: set[int] = set()
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("text").to_pylist(),
+        ):
+            if doc_id % DECON_EVERY == 0:
+                out.update(hash60(s) for s in shingles(text))
+        return pa.table({"h": pa.array(sorted(out), pa.int64())})
+
+    parts = _docs(sf_dir).map_batches(bench_hashes, batch_format="pyarrow")
+    hs: set[int] = set()
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        hs.update(b.column("h").to_pylist())
+    return np.array(sorted(hs), dtype=np.int64)
+
+
+_BCAST_CACHE: dict = {}
+
+
+def decontaminate(sf_dir: str):
+    """Flag corpus docs sharing >= 50% of their distinct shingles with the
+    benchmark set.  Output: (doc_id, n_shingles, n_overlap, contaminated).
+    """
+    bench_ref = ray.put(_bench_shingle_set(sf_dir))
+
+    def scan(batch: pa.Table, bench_ref=bench_ref) -> pa.Table:
+        key = bench_ref.hex()
+        bench = _BCAST_CACHE.get(key)
+        if bench is None:
+            bench = _BCAST_CACHE[key] = ray.get(bench_ref)
+        ids, n_sh, n_ov, flag = [], [], [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("text").to_pylist(),
+        ):
+            h = np.array(
+                [hash60(s) for s in shingles(text)], dtype=np.int64
+            )
+            ov = int(np.isin(h, bench).sum()) if h.size else 0
+            ids.append(doc_id)
+            n_sh.append(len(h))
+            n_ov.append(ov)
+            flag.append(1 if 2 * ov >= len(h) and len(h) > 0 else 0)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_shingles": pa.array(n_sh, pa.int64()),
+                "n_overlap": pa.array(n_ov, pa.int64()),
+                "contaminated": pa.array(flag, pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(scan, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------- pack_shards
+_OFFSET_CACHE: dict = {}
+
+
+def pack_shards(sf_dir: str, range_size: int = PACK_RANGE,
+                budget: int = PACK_BUDGET):
+    """Token-budget shard packing: shard_id = (exclusive prefix sum of
+    whitespace-token counts in doc_id order) // budget.
+
+    Distributed scan, not a driver loop: per-bucket Sum -> one small
+    prefix pass over the bucket-sum table -> per-bucket independent
+    in-bucket cumulative sums offset by their bucket's prefix."""
+    from ray.data.aggregate import Sum
+
+    def counts(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        toks = [
+            len(tokenize_ws(t)) for t in batch.column("text").to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "bucket": pa.array(
+                    [i // range_size for i in ids], pa.int64()
+                ),
+                "n_tokens": pa.array(toks, pa.int64()),
+            }
+        )
+
+    cnt = _docs(sf_dir).map_batches(counts, batch_format="pyarrow")
+    # the scan reads the count table twice (bucket sums + in-bucket scan);
+    # materialize the tiny (doc_id, bucket, n_tokens) index once
+    cnt = cnt.materialize()
+
+    sums = coalesce_small(cnt, 4).groupby("bucket").aggregate(
+        Sum("n_tokens")
+    ).to_pandas().sort_values("bucket")
+    offsets = dict(
+        zip(
+            sums["bucket"].tolist(),
+            np.concatenate(
+                [[0], np.cumsum(sums["sum(n_tokens)"].to_numpy())[:-1]]
+            ).tolist(),
+        )
+    )
+    off_ref = ray.put(offsets)
+
+    def assign(group: pa.Table, off_ref=off_ref) -> pa.Table:
+        key = off_ref.hex()
+        offs = _OFFSET_CACHE.get(key)
+        if offs is None:
+            offs = _OFFSET_CACHE[key] = ray.get(off_ref)
+        ids = np.asarray(group.column("doc_id").to_pylist(), dtype=np.int64)
+        tok = np.asarray(
+            group.column("n_tokens").to_pylist(), dtype=np.int64
+        )
+        order = np.argsort(ids)
+        ids, tok = ids[order], tok[order]
+        base = int(offs[int(group.column("bucket")[0].as_py())])
+        excl = base + np.concatenate([[0], np.cumsum(tok)[:-1]])
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(tok, pa.int64()),
+                "shard_id": pa.array(excl // budget, pa.int64()),
+            }
+        )
+
+    return cnt.groupby("bucket").map_groups(assign, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------- pii_scrub
+_PII_RE = re.compile(PII_PATTERN)
+
+
+def _pii_suffix(doc_id: int) -> str:
+    return f" Contact user{doc_id}@example.com for details."
+
+
+def pii_scrub(sf_dir: str):
+    """Redact e-mail addresses over the PII-augmented view.  Output:
+    (doc_id, n_pii, clean_hash) with clean_hash = hash60(redacted text)."""
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        ids, n_pii, clean = [], [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("text").to_pylist(),
+        ):
+            if doc_id % PII_EVERY == 0:
+                text = text + _pii_suffix(doc_id)
+            red, n = _PII_RE.subn(PII_TOKEN, text)
+            ids.append(doc_id)
+            n_pii.append(n)
+            clean.append(hash60(red))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_pii": pa.array(n_pii, pa.int64()),
+                "clean_hash": pa.array(clean, pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(scrub, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------ oracles
+def curation_queries() -> dict:
+    return {
+        "decontaminate": decontaminate,
+        "pack_shards": pack_shards,
+        "pii_scrub": pii_scrub,
+    }
+
+
+def curation_oracle_sql() -> dict[str, str]:
+    from ..functions.hashing import SHINGLE_W
+
+    sqls: dict[str, str] = {}
+
+    # decontaminate: same shingle definition as the dedup oracles (distinct
+    # word 3-grams; short docs -> one whole-text shingle), raw hash60.
+    sqls["decontaminate"] = f"""WITH toks AS (
+  SELECT doc_id, l, len(l) AS nt
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS l
+        FROM documents)
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN nt < {SHINGLE_W} THEN array_to_string(l, ' ')
+              ELSE l[i] || ' ' || l[i + 1] || ' ' || l[i + 2] END AS s
+  FROM toks,
+       UNNEST(generate_series(1, greatest(nt - {SHINGLE_W - 1}, 1))) AS u(i)
+),
+shh AS (
+  SELECT DISTINCT doc_id, {_H60.format('s')} AS h FROM sh
+),
+bench AS (
+  SELECT DISTINCT h FROM shh WHERE doc_id % {DECON_EVERY} = 0
+)
+SELECT shh.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN bench.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_overlap,
+       CAST(CASE WHEN 2 * sum(CASE WHEN bench.h IS NOT NULL THEN 1 ELSE 0
+                              END) >= count(*)
+                 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+FROM shh LEFT JOIN bench ON shh.h = bench.h
+GROUP BY shh.doc_id"""
+
+    sqls["pack_shards"] = f"""WITH t AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST((sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - n_tokens) // {PACK_BUDGET} AS BIGINT) AS shard_id
+FROM t"""
+
+    sqls["pii_scrub"] = f"""WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {PII_EVERY} = 0
+              THEN text || ' Contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com for details.'
+              ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{PII_PATTERN}')) AS BIGINT)
+         AS n_pii,
+       {_H60.format(
+           f"regexp_replace(text, '{PII_PATTERN}', '{PII_TOKEN}', 'g')"
+       )} AS clean_hash
+FROM aug"""
+
+    return sqls
