@@ -61,8 +61,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update(analytics_queries())
     out.update(events_queries())
     out.update(curation_queries())
+    from web_content_extraction_benchmark_ray.pipelines.project import (
+        feature_project,
+    )
+
     out["complexity_classify"] = complexity_classify
     out["cluster_alignment"] = cluster_alignment
+    out["feature_project"] = feature_project
     return out
 
 
@@ -102,6 +107,11 @@ def oracle_sql() -> dict[str, str]:
         cluster_alignment_oracle_sql,
     )
 
+    from web_content_extraction_benchmark_ray.pipelines.project import (
+        project_oracle_sql,
+    )
+
     out["complexity_classify"] = classify_oracle_sql()
     out["cluster_alignment"] = cluster_alignment_oracle_sql()
+    out["feature_project"] = project_oracle_sql()
     return out

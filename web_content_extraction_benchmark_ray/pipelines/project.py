@@ -1,0 +1,206 @@
+"""Feature projection — the reference's dimensionality-reduction step
+(``complexity.py:217-233`` applies PCA before k-means; ``137-144`` uses
+t-SNE for the 2-D visualization).  The engine's distributed analogue is
+an exact 2-component PCA over the 15 HTML tag features, hash-verifiable
+end to end.
+
+Why it is hash-verifiable (the kmeans_iterate / complexity_classify
+trick): features quantize to an int64 grid, the centered scatter matrix
+is built from INTEGER sums (n·Σxy − Σx·Σy — associative, so distributed
+partial sums and SQL SUMs agree bit-for-bit), and the power iteration
+runs on an integer grid with truncating division (DuckDB ``//``),
+re-normalizing each iterate to max-component 1e6.  Both eigenvector
+extractions are therefore deterministic integer programs mirrored
+literally in the unrolled SQL oracle.
+
+Distribution shape: the scan is one map-side partial (each block emits a
+single (n, Σx[15], Σxy[225]) row) + a driver reduce of #blocks tiny rows;
+the power iteration touches only the 15×15 integer matrix (driver-side,
+data-free); the projection is a stateless per-batch map with the two
+eigenvectors broadcast by closure.  The corpus is never shuffled at all.
+
+Magnitudes: q ≤ ~5e7 (ratios ≤ ~50 at 1e-6 grid), so Σxy ≤ n·2.5e15 and
+n·Σxy ≤ n²·2.5e15 — beyond int64 at n ≥ ~2000.  The driver reduce
+therefore accumulates in PYTHON ints (arbitrary precision) and the SQL
+twin casts to HUGEINT before summing.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .classify import SCALE, clf_examples
+
+PROJ_ITERS = 12
+N_FEATS = 15
+
+
+def _tdiv_int(a: int, b: int) -> int:
+    """Truncating integer division on Python ints (DuckDB ``//``)."""
+    if a >= 0:
+        return a // b
+    return -((-a) // b)
+
+
+def _rescale(w: list[int]) -> list[int]:
+    m = max(max(abs(x) for x in w), 1)
+    return [_tdiv_int(x * SCALE, m) for x in w]
+
+
+def _power_components(mat: list[list[int]], iters: int = PROJ_ITERS):
+    """Top-2 eigenvectors of the integer scatter matrix on the 1e6 grid:
+    plain power iteration for v1; v2 orthogonalized against v1 each
+    round via the EXACT integer Gram-Schmidt u·(v1·v1) − (u·v1)·v1."""
+    v1 = [SCALE] + [0] * (N_FEATS - 1)
+    for _ in range(iters):
+        w = [sum(mat[i][j] * v1[j] for j in range(N_FEATS))
+             for i in range(N_FEATS)]
+        v1 = _rescale(w)
+    # init must not sit in a zero-variance coordinate (a constant feature
+    # column makes M @ e_k exactly zero and the iteration never leaves 0);
+    # SCALE // (i+1) loads every coordinate with distinct weights
+    v2 = [SCALE // (i + 1) for i in range(N_FEATS)]
+    vv = sum(x * x for x in v1)
+    for _ in range(iters):
+        w = _rescale(
+            [sum(mat[i][j] * v2[j] for j in range(N_FEATS))
+             for i in range(N_FEATS)]
+        )
+        wv = sum(w[i] * v1[i] for i in range(N_FEATS))
+        v2 = _rescale([w[i] * vv - wv * v1[i] for i in range(N_FEATS)])
+    return v1, v2
+
+
+def _scatter_matrix(fx) -> list[list[int]]:
+    """Driver reduce of the per-block (n, Σx, Σxy) partials into the
+    centered integer scatter matrix n·Σxy − Σx·Σxᵀ (Python ints)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        xq = np.array(batch.column("xq").to_pylist(), dtype=np.int64)
+        x = xq[:, :N_FEATS]
+        return pa.table(
+            {
+                "n": pa.array([len(x)], pa.int64()),
+                "s": pa.array([x.sum(axis=0).tolist()],
+                              pa.list_(pa.int64())),
+                "ss": pa.array([(x.T @ x).reshape(-1).tolist()],
+                               pa.list_(pa.int64())),
+            }
+        )
+
+    # batch cap bounds the per-block int64 accumulation (rows · q² must
+    # stay below 2^63; 1024 · (5e6)² ≈ 2.6e16 leaves 300× headroom)
+    parts = fx.map_batches(
+        partial, batch_format="pyarrow", batch_size=1024
+    ).to_pandas()
+    n = int(parts["n"].sum())
+    s = [0] * N_FEATS
+    ss = [0] * (N_FEATS * N_FEATS)
+    for srow, ssrow in zip(parts["s"], parts["ss"]):
+        for i in range(N_FEATS):
+            s[i] += int(srow[i])
+        for k in range(N_FEATS * N_FEATS):
+            ss[k] += int(ssrow[k])
+    return [
+        [n * ss[i * N_FEATS + j] - s[i] * s[j] for j in range(N_FEATS)]
+        for i in range(N_FEATS)
+    ]
+
+
+def feature_project(sf_dir: str):
+    """2-D PCA projection of every page's quantized HTML feature vector.
+    Output: (doc_id, p1, p2) with p_k = Σ_i xq_i · v_k[i] (int64)."""
+    fx = clf_examples(sf_dir)
+    v1, v2 = _power_components(_scatter_matrix(fx))
+    v1l, v2l = [int(x) for x in v1], [int(x) for x in v2]
+
+    def proj(batch: pa.Table, v1l=v1l, v2l=v2l) -> pa.Table:
+        xq = np.array(batch.column("xq").to_pylist(), dtype=np.int64)
+        x = xq[:, :N_FEATS]
+        a1 = np.asarray(v1l, dtype=np.int64)
+        a2 = np.asarray(v2l, dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    [int(i) for i in batch.column("doc_id").to_pylist()],
+                    pa.int64(),
+                ),
+                "p1": pa.array((x @ a1).tolist(), pa.int64()),
+                "p2": pa.array((x @ a2).tolist(), pa.int64()),
+            }
+        )
+
+    return fx.map_batches(proj, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------ oracle
+def project_oracle_sql() -> str:
+    """Unrolled integer power-iteration twin.  All accumulations go
+    through HUGEINT; division is DuckDB's truncating ``//`` (mirrored by
+    ``_tdiv_int``)."""
+    from .oracles import _BASE_CTE, html_feature_exprs
+
+    exprs = [e for _, e in html_feature_exprs()]
+    xs = "[" + ", ".join(exprs) + "]"
+
+    parts = [
+        f"f AS MATERIALIZED (SELECT doc_id, {xs} AS xs FROM counts)",
+        f"fx AS MATERIALIZED (SELECT doc_id, u.d AS d, "
+        f"CAST(floor(xs[u.d] * {SCALE} + 0.5) AS HUGEINT) AS xq "
+        f"FROM f, UNNEST(generate_series(1, {N_FEATS})) AS u(d))",
+        "nn AS MATERIALIZED (SELECT CAST(count(DISTINCT doc_id) AS HUGEINT)"
+        " AS n FROM fx)",
+        "s1 AS MATERIALIZED (SELECT d, SUM(xq) AS s FROM fx GROUP BY d)",
+        "sxy AS MATERIALIZED (SELECT a.d AS i, b.d AS j, SUM(a.xq * b.xq)"
+        " AS v FROM fx a JOIN fx b USING (doc_id) GROUP BY a.d, b.d)",
+        "m AS MATERIALIZED (SELECT sxy.i, sxy.j,"
+        " nn.n * sxy.v - sa.s * sb.s AS val"
+        " FROM sxy, nn JOIN s1 sa ON sa.d = sxy.i"
+        " JOIN s1 sb ON sb.d = sxy.j)",
+        f"v1_0(d, val) AS (SELECT u.d, CAST(CASE WHEN u.d = 1 THEN {SCALE}"
+        f" ELSE 0 END AS HUGEINT)"
+        f" FROM UNNEST(generate_series(1, {N_FEATS})) AS u(d))",
+    ]
+    # v1: plain power iteration with max-abs renormalization
+    for r in range(PROJ_ITERS):
+        parts += [
+            f"w1_{r} AS MATERIALIZED (SELECT m.i AS d, SUM(m.val * v.val)"
+            f" AS val FROM m JOIN v1_{r} v ON v.d = m.j GROUP BY m.i)",
+            f"x1_{r} AS (SELECT greatest(max(abs(val)), 1) AS mx"
+            f" FROM w1_{r})",
+            f"v1_{r + 1} AS MATERIALIZED (SELECT d,"
+            f" (val * {SCALE}) // x1_{r}.mx AS val FROM w1_{r}, x1_{r})",
+        ]
+    parts += [
+        f"vv AS (SELECT SUM(val * val) AS v FROM v1_{PROJ_ITERS})",
+        f"v2_0(d, val) AS (SELECT u.d, CAST({SCALE} // u.d AS HUGEINT)"
+        f" FROM UNNEST(generate_series(1, {N_FEATS})) AS u(d))",
+    ]
+    # v2: rescale -> exact integer Gram-Schmidt against v1 -> rescale
+    for r in range(PROJ_ITERS):
+        parts += [
+            f"w2_{r} AS MATERIALIZED (SELECT m.i AS d, SUM(m.val * v.val)"
+            f" AS val FROM m JOIN v2_{r} v ON v.d = m.j GROUP BY m.i)",
+            f"x2_{r} AS (SELECT greatest(max(abs(val)), 1) AS mx"
+            f" FROM w2_{r})",
+            f"r2_{r} AS MATERIALIZED (SELECT d,"
+            f" (val * {SCALE}) // x2_{r}.mx AS val FROM w2_{r}, x2_{r})",
+            f"d2_{r} AS (SELECT SUM(r.val * v1.val) AS wv"
+            f" FROM r2_{r} r JOIN v1_{PROJ_ITERS} v1 USING (d))",
+            f"o2_{r} AS MATERIALIZED (SELECT r.d,"
+            f" r.val * vv.v - d2_{r}.wv * v1.val AS val"
+            f" FROM r2_{r} r JOIN v1_{PROJ_ITERS} v1 USING (d),"
+            f" vv, d2_{r})",
+            f"y2_{r} AS (SELECT greatest(max(abs(val)), 1) AS mx"
+            f" FROM o2_{r})",
+            f"v2_{r + 1} AS MATERIALIZED (SELECT d,"
+            f" (val * {SCALE}) // y2_{r}.mx AS val FROM o2_{r}, y2_{r})",
+        ]
+    return _BASE_CTE + ",\n" + ",\n".join(parts) + f"""
+SELECT fx.doc_id,
+       CAST(SUM(fx.xq * a.val) AS BIGINT) AS p1,
+       CAST(SUM(fx.xq * b.val) AS BIGINT) AS p2
+FROM fx
+JOIN v1_{PROJ_ITERS} a ON a.d = fx.d
+JOIN v2_{PROJ_ITERS} b ON b.d = fx.d
+GROUP BY fx.doc_id"""
