@@ -66,17 +66,49 @@ def explode_spans(batch: pa.Table) -> pa.Table:
     )
 
 
+_KNUTH = np.uint64(2654435761)
+
+
 def add_bucket(batch: pa.Table, num_buckets: int = DEFAULT_NUM_BUCKETS) -> pa.Table:
-    """Adds the crc32 partition bucket.  A plain function task (not an
-    actor pool): stateless, and task pools never hold CPU reservations
-    that would starve the adjacent all-to-all's tasks."""
-    ids = batch.column("doc_id").to_pylist()
-    crc = zlib.crc32
-    buckets = np.fromiter(
-        (crc(s.encode()) % num_buckets for s in ids),
-        dtype=np.int32,
-        count=len(ids),
+    """Adds the partition bucket.  A plain function task (not an actor
+    pool): stateless, and task pools never hold CPU reservations that
+    would starve the adjacent all-to-all's tasks.
+
+    Decimal doc_ids (the spans table synthesizes those) take a fully
+    vectorized multiplicative-hash path — no per-row Python on the
+    reassembly shuffle's hot side; other ids (corpus readers use sha256
+    hex) take the crc32 row loop.  The path is chosen PER VALUE, never
+    per batch: in a mixed-id corpus a per-batch choice would route the
+    same document through different hash functions depending on its
+    batch's neighbors and split it across buckets."""
+    col = pc.cast(batch.column("doc_id"), pa.string())
+    # <=18 digits so the int64 cast below cannot overflow; is_decimal +
+    # length are plain C kernels (a regex here cost as much as the crc loop)
+    numeric = pc.and_(
+        pc.utf8_is_decimal(col),
+        pc.less_equal(pc.utf8_length(col), 18),
     )
+    num_mask = numeric.combine_chunks().to_numpy(zero_copy_only=False)
+    buckets = np.empty(batch.num_rows, dtype=np.int32)
+    if num_mask.any():
+        sub = col.filter(numeric)
+        ids = pc.cast(sub, pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        ).astype(np.uint64)
+        # Knuth multiplicative hash decorrelates bucket from id ranges
+        # (plain modulo maps stride-num_buckets id patterns to one bucket)
+        buckets[num_mask] = (
+            ((ids * _KNUTH) & np.uint64(0xFFFFFFFF))
+            % np.uint64(num_buckets)
+        ).astype(np.int32)
+    if not num_mask.all():
+        crc = zlib.crc32
+        rest = col.filter(pc.invert(numeric)).to_pylist()
+        buckets[~num_mask] = np.fromiter(
+            (crc(s.encode()) % num_buckets for s in rest),
+            dtype=np.int32,
+            count=len(rest),
+        )
     return batch.append_column("bucket", pa.array(buckets, pa.int32()))
 
 
