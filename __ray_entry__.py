@@ -68,6 +68,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["complexity_classify"] = complexity_classify
     out["cluster_alignment"] = cluster_alignment
     out["feature_project"] = feature_project
+    from web_content_extraction_benchmark_ray.pipelines.tsne import (
+        tsne_project,
+    )
+
+    # driver-side viz-scale operator (reference complexity.py:137-144);
+    # 300 coupled float iterations -> no SQL oracle, rows-only check
+    out["tsne_project"] = tsne_project
     return out
 
 

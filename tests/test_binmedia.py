@@ -1,0 +1,122 @@
+"""Pure-Python binary media codecs + the real decode stage
+(functions/binmedia.py, stages/media.py:BinaryMediaDecodeStage)."""
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_bmp_roundtrip_and_padding():
+    from web_content_extraction_benchmark_ray.functions.binmedia import (
+        BMP_PIX_STEP,
+        decode_bmp,
+        encode_bmp,
+    )
+
+    for seed, w, h in ((0, 64, 16), (255, 31, 3), (77, 5, 9)):
+        d = decode_bmp(encode_bmp(seed, width=w, height=h))
+        n = w * h * 3
+        expect = int(
+            ((seed + BMP_PIX_STEP * np.arange(n, dtype=np.int64)) % 256).sum()
+        )
+        assert d == {
+            "width": w, "height": h, "bpp": 24, "byte_sum": expect,
+        }
+
+
+def test_wav_roundtrip():
+    from web_content_extraction_benchmark_ray.functions.binmedia import (
+        WAV_MOD,
+        WAV_RATE,
+        WAV_STEP,
+        decode_wav,
+        encode_wav,
+    )
+
+    for seed in (0, 1000, 2000):
+        d = decode_wav(encode_wav(seed))
+        s = ((seed + WAV_STEP * np.arange(1000, dtype=np.int64)) % WAV_MOD
+             ) - (WAV_MOD - 1) // 2
+        assert d["n_channels"] == 1
+        assert d["sample_rate"] == WAV_RATE
+        assert d["n_samples"] == 1000
+        assert d["abs_sum"] == int(np.abs(s).sum())
+
+
+def test_decoders_reject_garbage():
+    from web_content_extraction_benchmark_ray.functions.binmedia import (
+        decode_bmp,
+        decode_wav,
+        encode_bmp,
+    )
+
+    with pytest.raises(ValueError):
+        decode_bmp(b"GIF89a not a bmp")
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxAVI LIST")
+    # bpp guard
+    bad = bytearray(encode_bmp(1))
+    bad[28] = 8
+    with pytest.raises(ValueError):
+        decode_bmp(bytes(bad))
+
+
+def test_media_decode_stage_isolates_errors(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from web_content_extraction_benchmark_ray.functions.binmedia import (
+        encode_bmp,
+        encode_wav,
+    )
+    from web_content_extraction_benchmark_ray.stages.media import (
+        decode_binary_media,
+    )
+
+    rows = pa.table(
+        {
+            "media_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "fmt": pa.array(["bmp", "wav", "bmp", "png"], pa.string()),
+            "payload": pa.array(
+                [encode_bmp(3), encode_wav(9), b"corrupt", b"\x89PNG"],
+                pa.binary(),
+            ),
+        }
+    )
+    out = (
+        decode_binary_media(ray.data.from_arrow(rows))
+        .to_pandas()
+        .set_index("media_id")
+        .sort_index()
+    )
+    assert out.loc[1, "error"] == "" and out.loc[1, "width"] == 64
+    assert out.loc[2, "error"] == "" and out.loc[2, "n_samples"] == 1000
+    # corrupt payload and unknown format error per-item, job completes
+    assert out.loc[3, "error"] != ""
+    assert out.loc[4, "error"] != ""
+
+
+def test_media_decode_query_matches_oracle(ray_session):
+    import duckdb
+
+    from web_content_extraction_benchmark_ray.pipelines.dataops import (
+        media_decode,
+    )
+    from web_content_extraction_benchmark_ray.pipelines.dataops_oracles import (
+        dataops_oracle_sql,
+    )
+
+    df = media_decode(SF).to_pandas().sort_values("media_id").reset_index(
+        drop=True
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    odf = (
+        con.sql(dataops_oracle_sql()["media_decode"])
+        .df()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    assert df.sort_index(axis=1).equals(odf.sort_index(axis=1))

@@ -6,7 +6,8 @@ import pytest
 
 # every query is oracle-verified: even iterative Lloyd has a SQL twin now
 # (integer-quantized centroid sums + unrolled CTE rounds)
-ROWS_ONLY: set[str] = set()
+# driver-side viz-scale t-SNE: 300 coupled float iterations, no SQL twin
+ROWS_ONLY: set[str] = {"tsne_project"}
 
 
 @pytest.fixture(scope="module")

@@ -1,0 +1,125 @@
+"""Pure-Python binary media codecs — REAL decoders for the multimodal
+path, no third-party libraries.
+
+The sandbox ships no image/audio libs, but two standard formats are
+parseable with nothing beyond ``struct``/numpy: uncompressed 24-bit BMP
+(BITMAPFILEHEADER + BITMAPINFOHEADER, bottom-up rows padded to 4 bytes)
+and 16-bit PCM WAV (RIFF chunk walk).  ``decode_bmp``/``decode_wav`` are
+genuine parsers: they validate magics, read geometry from the headers,
+and aggregate the payload samples — exercised in the pipeline on real
+encoded bytes, so the multimodal capability is proven end to end rather
+than stubbed (the PDF/raster seam in ``functions/media.py`` stays gated
+on its absent libraries).
+
+The matching ``encode_*`` generators build payloads whose sample streams
+follow a closed-form sequence (``(seed + a·k) % m``), which is what lets
+the DuckDB oracle reproduce the decoded aggregates with a
+``generate_series`` sum instead of parsing binary — the standard way to
+oracle-test a decoder: verify it extracts exactly what was encoded.
+"""
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+BMP_W = 64  # multiple of 4 -> rows need no padding (but the decoder
+BMP_H = 16  # handles padded widths anyway)
+BMP_PIX_STEP = 17
+WAV_N_SAMPLES = 1000
+WAV_RATE = 8000
+WAV_STEP = 37
+WAV_MOD = 2001  # samples span [-1000, 1000]
+
+
+# ------------------------------------------------------------------- BMP
+def encode_bmp(seed: int, width: int = BMP_W, height: int = BMP_H) -> bytes:
+    """24-bit bottom-up BMP; pixel byte k = (seed + 17*k) % 256."""
+    row_bytes = width * 3
+    pad = (4 - row_bytes % 4) % 4
+    n = row_bytes * height
+    pix = ((seed + BMP_PIX_STEP * np.arange(n, dtype=np.int64)) % 256
+           ).astype(np.uint8)
+    rows = pix.reshape(height, row_bytes)
+    body = b"".join(bytes(r) + b"\x00" * pad for r in rows)
+    data_off = 14 + 40
+    file_size = data_off + len(body)
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, data_off)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body),
+        2835, 2835, 0, 0,
+    )
+    return header + dib + body
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """Parse header geometry and sum the pixel bytes (padding excluded).
+    Returns {width, height, bpp, byte_sum}."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    dib_size, width, height = struct.unpack_from("<Iii", payload, 14)
+    if dib_size < 40:
+        raise ValueError("unsupported DIB header")
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    if bpp != 24:
+        raise ValueError(f"unsupported bpp {bpp}")
+    abs_h = abs(height)
+    row_bytes = width * 3
+    stride = row_bytes + (4 - row_bytes % 4) % 4
+    arr = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * abs_h, offset=data_off
+    ).reshape(abs_h, stride)[:, :row_bytes]
+    return {
+        "width": int(width),
+        "height": int(abs_h),
+        "bpp": int(bpp),
+        "byte_sum": int(arr.astype(np.int64).sum()),
+    }
+
+
+# ------------------------------------------------------------------- WAV
+def encode_wav(seed: int, n_samples: int = WAV_N_SAMPLES,
+               rate: int = WAV_RATE) -> bytes:
+    """Mono 16-bit PCM WAV; sample i = ((seed + 37*i) % 2001) - 1000."""
+    s = (((seed + WAV_STEP * np.arange(n_samples, dtype=np.int64))
+          % WAV_MOD) - (WAV_MOD - 1) // 2).astype(np.int16)
+    data = s.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    riff_body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def decode_wav(payload: bytes) -> dict:
+    """RIFF chunk walk: read fmt geometry, sum |samples| over the data
+    chunk.  Returns {n_channels, sample_rate, n_samples, abs_sum}."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, n = 12, len(payload)
+    fmt_info, data = None, None
+    while pos + 8 <= n:
+        cid = payload[pos:pos + 4]
+        (clen,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8:pos + 8 + clen]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
+            (bits,) = struct.unpack_from("<H", body, 14)
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError("unsupported WAV encoding")
+            fmt_info = (channels, rate)
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen % 2)  # RIFF chunks are word-aligned
+    if fmt_info is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    samples = np.frombuffer(data, dtype=np.int16)
+    return {
+        "n_channels": int(fmt_info[0]),
+        "sample_rate": int(fmt_info[1]),
+        "n_samples": int(len(samples) // fmt_info[0]),
+        "abs_sum": int(np.abs(samples.astype(np.int64)).sum()),
+    }

@@ -36,7 +36,8 @@ from ..functions.hashing import hash60
 from ..sources.storage import read_table
 from ..stages.coalesce import coalesce_small
 from ..functions.text import round6, tokenize_ws
-from ..stages.simsearch import _norm
+from ..functions.arrownp import list_matrix
+from ..stages.simsearch import _norm, emb_matrix
 
 VOCAB_K = 20
 TRAIN_PCT = 75
@@ -142,7 +143,7 @@ def _assign_batch(batch: pa.Table, cent_ref) -> pa.Table:
     if cents is None:
         cents = _CENT_CACHE[key] = ray.get(cent_ref)
     vec_ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-    vecs = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+    vecs = emb_matrix(batch.column("embedding"))
     # rounded cosine, ties -> lowest centroid index (argmax on reversed
     # negation is first-max, which IS lowest index)
     cos = np.floor((_norm(vecs) @ _norm(cents).T) * 1e6 + 0.5) / 1e6
@@ -186,7 +187,7 @@ def kmeans_iterate(sf_dir: str, iters: int = KMEANS_ITERS):
     ds = read_table(
         os.path.join(sf_dir, "embeddings.parquet"),
         columns=["vec_id", "embedding"],
-    )
+    ).materialize()  # iters+1 passes re-read the object store, not parquet
 
     for _ in range(iters):
         cent_ref = ray.put(cents)
@@ -196,9 +197,7 @@ def kmeans_iterate(sf_dir: str, iters: int = KMEANS_ITERS):
             c = _CENT_CACHE.get(key)
             if c is None:
                 c = _CENT_CACHE[key] = ray.get(cent_ref)
-            vecs = np.array(
-                batch.column("embedding").to_pylist(), dtype=np.float64
-            )
+            vecs = emb_matrix(batch.column("embedding"))
             cos = np.floor((_norm(vecs) @ _norm(c).T) * 1e6 + 0.5) / 1e6
             cl = cos.argmax(axis=1)
             xq = np.floor(vecs * 1e6 + 0.5).astype(np.int64)
@@ -218,7 +217,7 @@ def kmeans_iterate(sf_dir: str, iters: int = KMEANS_ITERS):
             )
 
         def reduce_cluster(group: pa.Table) -> pa.Table:
-            sums = np.array(group.column("vsum").to_pylist(), dtype=np.int64)
+            sums = list_matrix(group.column("vsum"), np.int64)
             n = sum(group.column("n").to_pylist())
             return pa.table(
                 {

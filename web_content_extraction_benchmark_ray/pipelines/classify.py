@@ -26,6 +26,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..functions.arrownp import list_matrix, num_col
 from ..functions.hashing import hash60
 from ..functions.text import round6
 
@@ -100,8 +101,8 @@ def train_weights(train_ds, n_train: int, iters: int = CLF_ITERS) -> np.ndarray:
         w_list = [int(v) for v in w]
 
         def grad_partial(batch: pa.Table, w_list=w_list) -> pa.Table:
-            xq = np.array(batch.column("xq").to_pylist(), dtype=np.int64)
-            y = np.asarray(batch.column("y").to_pylist(), dtype=np.int64)
+            xq = list_matrix(batch.column("xq"), np.int64)
+            y = num_col(batch.column("y"), np.int64)
             if len(y) == 0:
                 g = np.zeros(N_DIMS, dtype=np.int64)
             else:
@@ -134,8 +135,8 @@ def complexity_classify(sf_dir: str):
     w_list = [int(v) for v in w]
 
     def confusion_partial(batch: pa.Table, w_list=w_list) -> pa.Table:
-        xq = np.array(batch.column("xq").to_pylist(), dtype=np.int64)
-        y = np.asarray(batch.column("y").to_pylist(), dtype=np.int64)
+        xq = list_matrix(batch.column("xq"), np.int64)
+        y = num_col(batch.column("y"), np.int64)
         split = batch.column("split").to_pylist()
         if len(y) == 0:
             return pa.table(
@@ -234,8 +235,8 @@ def cluster_alignment(sf_dir: str):
     ) / SCALE
 
     def match_partial(batch: pa.Table) -> pa.Table:
-        xq = np.array(batch.column("xq").to_pylist(), dtype=np.int64)
-        y = np.asarray(batch.column("y").to_pylist(), dtype=np.int64)
+        xq = list_matrix(batch.column("xq"), np.int64)
+        y = num_col(batch.column("y"), np.int64)
         if len(y) == 0:
             return pa.table(
                 {

@@ -246,6 +246,41 @@ def media_features(sf_dir: str):
     return decoded.drop_columns(["error"])
 
 
+def _binary_media_rows(batch: pa.Table) -> pa.Table:
+    """Every MEDIA_EVERY-th doc carries one BMP and one WAV payload, BOTH
+    actually encoded (functions/binmedia.py) so the decode stage parses
+    real bytes; generator seeds are hash60-derived, which is what lets
+    the oracle reproduce the decoded aggregates in closed form."""
+    from ..functions.binmedia import WAV_MOD, encode_bmp, encode_wav
+    from ..functions.hashing import hash60
+
+    mids, fmts, payloads = [], [], []
+    for i in batch.column("doc_id").to_pylist():
+        if i % MEDIA_EVERY == 0:
+            mids.append(2 * i)
+            fmts.append("bmp")
+            payloads.append(encode_bmp(hash60(f"bmp:{i}") % 256))
+            mids.append(2 * i + 1)
+            fmts.append("wav")
+            payloads.append(encode_wav(hash60(f"wav:{i}") % WAV_MOD))
+    return pa.table(
+        {
+            "media_id": pa.array(mids, pa.int64()),
+            "fmt": pa.array(fmts, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+
+
+def media_decode(sf_dir: str):
+    from ..stages.media import decode_binary_media
+
+    ds = _docs(sf_dir).map_batches(
+        _binary_media_rows, batch_format="pyarrow"
+    )
+    return decode_binary_media(ds).drop_columns(["error"])
+
+
 def dataops_queries() -> dict:
     return {
         "dedup_exact": dedup_exact,
@@ -263,4 +298,5 @@ def dataops_queries() -> dict:
         "lang_id": lang_id_q,
         "doc_fingerprint": doc_fingerprint,
         "media_features": media_features,
+        "media_decode": media_decode,
     }

@@ -334,6 +334,48 @@ SELECT doc_id, count(*) AS n_fp,
          AS fp_digest
 FROM sel GROUP BY doc_id"""
 
+    from ..functions.binmedia import (
+        BMP_H,
+        BMP_PIX_STEP,
+        BMP_W,
+        WAV_MOD,
+        WAV_N_SAMPLES,
+        WAV_RATE,
+        WAV_STEP,
+    )
+
+    bmp_n = BMP_W * BMP_H * 3
+    bmp_bytes = 14 + 40 + bmp_n
+    wav_bytes = 44 + 2 * WAV_N_SAMPLES
+    half = (WAV_MOD - 1) // 2
+    seed_b = _H60.format(
+        "'bmp:' || CAST(doc_id AS VARCHAR)") + " % 256"
+    seed_w = _H60.format(
+        "'wav:' || CAST(doc_id AS VARCHAR)") + f" % {WAV_MOD}"
+    # closed-form twin of the decoders: the payload generators are
+    # (seed + a*k) % m sequences, so the decoded aggregates are plain
+    # generate_series sums — the oracle checks the parser extracted
+    # exactly what was encoded
+    sqls["media_decode"] = f"""WITH dm AS (
+  SELECT doc_id, {seed_b} AS sb, {seed_w} AS sw
+  FROM documents WHERE doc_id % {MEDIA_EVERY} = 0
+)
+SELECT 2 * doc_id AS media_id, 'bmp' AS fmt,
+       CAST({bmp_bytes} AS BIGINT) AS n_bytes,
+       CAST({BMP_W} AS BIGINT) AS width, CAST({BMP_H} AS BIGINT) AS height,
+       CAST(0 AS BIGINT) AS n_samples, CAST(0 AS BIGINT) AS sample_rate,
+       (SELECT CAST(sum((dm.sb + {BMP_PIX_STEP} * g.k) % 256) AS BIGINT)
+        FROM generate_series(0, {bmp_n - 1}) g(k)) AS sample_sum
+FROM dm
+UNION ALL
+SELECT 2 * doc_id + 1, 'wav', CAST({wav_bytes} AS BIGINT),
+       CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+       CAST({WAV_N_SAMPLES} AS BIGINT), CAST({WAV_RATE} AS BIGINT),
+       (SELECT CAST(sum(abs(((dm.sw + {WAV_STEP} * g.k) % {WAV_MOD})
+                            - {half})) AS BIGINT)
+        FROM generate_series(0, {WAV_N_SAMPLES - 1}) g(k))
+FROM dm"""
+
     sqls["media_features"] = f"""WITH m AS (
   SELECT 'pdf://' || CAST(doc_id AS VARCHAR) || '/0' AS media_ref,
          16 * (4 + doc_id % 13) AS n_bytes

@@ -29,6 +29,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from ..functions.arrownp import list_matrix
 from .classify import SCALE, clf_examples
 
 PROJ_ITERS = 12
@@ -76,7 +77,7 @@ def _scatter_matrix(fx) -> list[list[int]]:
     centered integer scatter matrix n·Σxy − Σx·Σxᵀ (Python ints)."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        xq = np.array(batch.column("xq").to_pylist(), dtype=np.int64)
+        xq = list_matrix(batch.column("xq"), np.int64)
         x = xq[:, :N_FEATS]
         return pa.table(
             {
@@ -115,7 +116,7 @@ def feature_project(sf_dir: str):
     v1l, v2l = [int(x) for x in v1], [int(x) for x in v2]
 
     def proj(batch: pa.Table, v1l=v1l, v2l=v2l) -> pa.Table:
-        xq = np.array(batch.column("xq").to_pylist(), dtype=np.int64)
+        xq = list_matrix(batch.column("xq"), np.int64)
         x = xq[:, :N_FEATS]
         a1 = np.asarray(v1l, dtype=np.int64)
         a2 = np.asarray(v2l, dtype=np.int64)

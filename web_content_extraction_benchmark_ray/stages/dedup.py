@@ -30,6 +30,8 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
+
+from ..functions.arrownp import num_col
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -477,10 +479,10 @@ def jaccard_pair_reduce(group: pa.Table) -> pa.Table:
     aggregate here hit millions of groups (22.9 s for ~2 s of work);
     the coarse-bucket reduce is the same tiny-group discipline as the
     candidate stage."""
-    a_arr = np.asarray(group.column("doc_id_a").to_pylist(), dtype=np.int64)
-    b_arr = np.asarray(group.column("doc_id_b").to_pylist(), dtype=np.int64)
-    na_arr = np.asarray(group.column("n_a").to_pylist(), dtype=np.float64)
-    nb_arr = np.asarray(group.column("n_b").to_pylist(), dtype=np.float64)
+    a_arr = num_col(group.column("doc_id_a"), np.int64)
+    b_arr = num_col(group.column("doc_id_b"), np.int64)
+    na_arr = num_col(group.column("n_a"), np.float64)
+    nb_arr = num_col(group.column("n_b"), np.float64)
     # vectorized group-count: sort by (a, b), run-length encode
     order = np.lexsort((b_arr, a_arr))
     a_s, b_s = a_arr[order], b_arr[order]

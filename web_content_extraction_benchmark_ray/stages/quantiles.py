@@ -24,6 +24,8 @@ distributions should raise ``num_buckets``.
 from __future__ import annotations
 
 import numpy as np
+
+from ..functions.arrownp import num_col
 import pyarrow as pa
 
 
@@ -45,7 +47,7 @@ def exact_quantiles(
     from ray.data.aggregate import Sum
 
     def hist(batch: pa.Table) -> pa.Table:
-        v = np.asarray(batch.column(col).to_pylist(), dtype=np.float64)
+        v = num_col(batch.column(col), np.float64)
         if v.size == 0:
             return pa.table(
                 {
@@ -95,7 +97,7 @@ def exact_quantiles(
     nb_set = frozenset(needed_buckets)
 
     def pick(batch: pa.Table) -> pa.Table:
-        v = np.asarray(batch.column(col).to_pylist(), dtype=np.float64)
+        v = num_col(batch.column(col), np.float64)
         if v.size == 0:
             return pa.table({"bucket": pa.array([], pa.int64()),
                              "v": pa.array([], pa.float64())})

@@ -24,6 +24,8 @@ with vec_id as tie-break, so ordering is identical in numpy and DuckDB.
 from __future__ import annotations
 
 import numpy as np
+
+from ..functions.arrownp import num_col
 import pyarrow as pa
 import ray
 
@@ -37,7 +39,7 @@ def load_query_matrix(embeddings_path: str) -> tuple[np.ndarray, np.ndarray]:
     import pyarrow.parquet as pq
 
     t = pq.read_table(embeddings_path, columns=["vec_id", "embedding"])
-    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    ids = num_col(t.column("vec_id"), np.int64)
     mask = ids < N_QUERIES
     vecs = np.array(
         [v for v, m in zip(t.column("embedding").to_pylist(), mask) if m],
@@ -46,6 +48,18 @@ def load_query_matrix(embeddings_path: str) -> tuple[np.ndarray, np.ndarray]:
     qids = ids[mask]
     order = np.argsort(qids)
     return qids[order], vecs[order]
+
+
+def emb_matrix(col) -> np.ndarray:
+    """list<float> column -> (n, dim) float64 matrix WITHOUT the
+    to_pylist round-trip: flatten() honors list offsets and hands numpy
+    the raw value buffer (near zero-copy).  Falls back to the Python
+    path for ragged lists."""
+    import pyarrow as _pa
+
+    from ..functions.arrownp import list_matrix
+
+    return list_matrix(col, np.float64)
 
 
 def _norm(m: np.ndarray) -> np.ndarray:
@@ -96,8 +110,8 @@ def partial_topk_batch(batch: pa.Table, queries_ref) -> pa.Table:
     """Task-pool batch stage: broadcast query matrix fetched once per
     worker process."""
     qids, qmat = _get_broadcast(queries_ref)
-    vec_ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-    vecs = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+    vec_ids = num_col(batch.column("vec_id"), np.int64)
+    vecs = emb_matrix(batch.column("embedding"))
     if vecs.size == 0:
         return pa.table(
             {
@@ -112,8 +126,8 @@ def partial_topk_batch(batch: pa.Table, queries_ref) -> pa.Table:
 def merge_topk(group: pa.Table) -> pa.Table:
     """Final per-query merge: global top-k + dense rank."""
     qid = group.column("query_id")[0].as_py()
-    vec_ids = np.asarray(group.column("vec_id").to_pylist(), dtype=np.int64)
-    cos = np.asarray(group.column("cos_r").to_pylist(), dtype=np.float64)
+    vec_ids = num_col(group.column("vec_id"), np.int64)
+    cos = num_col(group.column("cos_r"), np.float64)
     order = np.lexsort((vec_ids, -cos))[:KNN_K]
     return pa.table(
         {
@@ -145,8 +159,8 @@ def knn_ivf(ds, queries_ref):
     qids, qmat = ray.get(queries_ref)
 
     def list_topk(group: pa.Table) -> pa.Table:
-        vec_ids = np.asarray(group.column("vec_id").to_pylist(), dtype=np.int64)
-        vecs = np.array(group.column("embedding").to_pylist(), dtype=np.float64)
+        vec_ids = num_col(group.column("vec_id"), np.int64)
+        vecs = emb_matrix(group.column("embedding"))
         return _partial_topk(qids, qmat, vec_ids, vecs)
 
     # list count is far below the read's block count at test scale: coalesce
@@ -301,8 +315,8 @@ def cosine_pairs_batch(batch: pa.Table, corpus_ref,
         ids, mat = ray.get(corpus_ref)
         cached = _BCAST_CACHE[key] = (ids, _norm(np.asarray(mat, dtype=np.float64)))
     ids, mat = cached
-    vec_ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-    vecs = _norm(np.array(batch.column("embedding").to_pylist(), dtype=np.float64))
+    vec_ids = num_col(batch.column("vec_id"), np.int64)
+    vecs = _norm(emb_matrix(batch.column("embedding")))
     cos = np.floor((vecs @ mat.T) * 1e6 + 0.5) / 1e6  # SQL-twin rounding
     a_out, b_out = [], []
     for r in range(cos.shape[0]):
