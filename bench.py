@@ -86,19 +86,18 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
         timings[name] = round(best, 3)
 
     # headline: reassembly shuffle + 5-model extraction over every doc
-    # Geometry (measured at 16 cpus / 160k docs): 2 blocks/cpu x 128
-    # buckets left 3.3x task-time skew — 32 sampled range partitions over
-    # 128 discrete bucket values split unevenly AND 2 task waves let one
-    # straggler set the pace (3.3k docs/s).  8 blocks/cpu x 512 buckets
-    # smooths both (4.8k docs/s): ranges average ~4 buckets with much
-    # lower relative variance, and ~8 waves amortize stragglers.
+    # Geometry: the reassembly sort now uses EXPLICIT uniform boundaries
+    # over a 2^20 bucket space (stages/reassemble.py), so partitions are
+    # balanced to ~0.2% at any count — 2 blocks/cpu measured best (more
+    # partitions only add sort/scheduling overhead once balanced;
+    # sampled boundaries previously skewed task rows 3x).
     timed(
         "extract_multi",
         lambda: _consume(
             extraction_pipeline(
                 spans_path, models=HEADLINE_MODELS,
                 num_buckets=512, batch_size=32,
-                override_num_blocks=8 * num_cpus,
+                override_num_blocks=2 * num_cpus,
             )
         ),
     )

@@ -70,9 +70,6 @@ def _docs(sf_dir: str):
 
 
 # ---------------------------------------------------------- decontaminate
-_BENCH_CACHE: dict = {}
-
-
 def _bench_shingle_set(sf_dir: str):
     """Distinct shingle hashes of the benchmark docs, built distributed
     and collected once (the benchmark side is small by construction)."""

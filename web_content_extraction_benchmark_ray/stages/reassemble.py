@@ -180,14 +180,60 @@ def assemble_group(group: pa.Table) -> pa.Table:
     )
 
 
-def reassemble(ds, num_buckets: int = DEFAULT_NUM_BUCKETS):
-    """Dataset -> Dataset of assembled documents (the reassembly shuffle)."""
+# Wide routing space for the plain reassembly sort.  A SMALL discrete
+# bucket space (e.g. 128) breaks partition balance: Ray's range
+# partitioner samples boundary values, and with partitions ~ distinct
+# keys the sampled ranges cover 2-6 buckets each — measured 3.3x
+# task-row skew and a straggler-paced extract stage.  With ~1M distinct
+# bucket values the sampled boundaries land proportionally to ROWS, so
+# partitions balance at any partition count.  Range partitioning never
+# splits one key value across partitions, so every doc still lands
+# whole in exactly one partition.
+WIDE_BUCKET_SPACE = 1 << 20
+
+
+def _default_partitions() -> int:
+    """Reassembly partition count: ~2 balanced partitions per CPU (waves
+    of equal tasks; more partitions only add sort/scheduling overhead
+    once partitions are balanced — measured)."""
+    import ray
+
+    cpus = (
+        int(ray.cluster_resources().get("CPU", 4))
+        if ray.is_initialized()
+        else 4
+    )
+    return 2 * cpus
+
+
+def reassemble(ds, num_buckets: int = DEFAULT_NUM_BUCKETS,
+               partitions: int | None = None):
+    """Dataset -> Dataset of assembled documents (the reassembly shuffle).
+
+    Shape: explode -> wide-space bucket key -> ``sort(bucket)`` -> ONE
+    vectorized ``assemble_group`` call per sort partition (``map_batches``
+    with whole-block batches).  This is the groupby-``doc_id`` co-location
+    shuffle of the design, expressed as sort + per-partition assembly:
+    ``assemble_group`` already handles arbitrarily many docs per call, so
+    per-group Python dispatch is avoided AND partitions stay balanced
+    (see WIDE_BUCKET_SPACE).  ``num_buckets`` is retained for the salted
+    variant and the checkpoint layout, which need SMALL bucket spaces as
+    partition identities."""
     ds = ds.map_batches(explode_spans, batch_format="pyarrow")
     ds = ds.map_batches(
-        add_bucket, fn_kwargs={"num_buckets": num_buckets},
+        add_bucket, fn_kwargs={"num_buckets": WIDE_BUCKET_SPACE},
         batch_format="pyarrow",
     )
-    return ds.groupby("bucket").map_groups(assemble_group, batch_format="pyarrow")
+    # EXPLICIT uniform boundaries kill the last skew source: sampled
+    # boundaries varied partition rows 3x even over the wide space
+    # (few samples per block), while uniform cuts of a uniform hash give
+    # ~N/P +- sqrt(N/P) rows per partition, deterministically.
+    p = partitions or _default_partitions()
+    bounds = [WIDE_BUCKET_SPACE * i // p for i in range(1, p)]
+    return ds.sort("bucket", boundaries=bounds).map_batches(
+        assemble_group, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True,
+    )
 
 
 # ------------------------------------------------------- salted reassembly
