@@ -16,11 +16,13 @@ _WORD_RE = re.compile(r"\w+", flags=re.UNICODE)
 
 
 def tokenize_ws(text: str) -> list[str]:
-    """Whitespace tokenization; empty/blank input -> [] (util.py:44-57)."""
-    text = text.strip()
-    if not text:
-        return []
-    return _WS_RE.split(text)
+    """Whitespace tokenization; empty/blank input -> [] (util.py:44-57).
+
+    ``str.split()`` is exactly ``_WS_RE.split(text.strip())`` for every
+    whitespace codepoint (probed incl. \\x1c-\\x1f, \\xa0, U+3000) and
+    ~4x faster — this runs per token-consuming operator over every
+    document."""
+    return text.split()
 
 
 def tokenize_words(text: str) -> list[str]:
