@@ -185,15 +185,39 @@ def _distinct_pairs(pairs, value_col: str, out_type=pa.float64()):
     return agg.map_batches(project, batch_format="pyarrow")
 
 
+WIDE_PAIR_SPACE = 1 << 20
+
+
+def _bucket_sorted(rows, partitions: int | None = None):
+    """Balanced locality shuffle for pair-candidate rows: sort on the
+    wide-space bucket with EXPLICIT uniform boundaries (sampled range
+    boundaries over a small discrete bucket space skew partition rows
+    ~3x — same lesson as the reassembly sort, stages/reassemble.py).
+    Consumers run once per partition via map_batches(batch_size=None);
+    they key their posting maps by (band, key), so multi-bucket
+    partitions are semantically identical to per-bucket groups."""
+    import ray
+
+    c = (
+        int(ray.cluster_resources().get("CPU", 4))
+        if ray.is_initialized()
+        else 4
+    )
+    part = partitions or 2 * c
+    bounds = [WIDE_PAIR_SPACE * i // part for i in range(1, part)]
+    return rows.sort("bucket", boundaries=bounds)
+
+
 def dedup_minhash_pairs(ds, pair_buckets: int | None = None):
     """Dataset(doc_id, text) -> Dataset(doc_id_a, doc_id_b, est_jaccard)."""
-    pb = pair_buckets or derived_pair_buckets()
+    pb = pair_buckets or WIDE_PAIR_SPACE
     rows = ds.map_batches(
         minhash_band_rows, fn_kwargs={"num_buckets": pb},
         batch_format="pyarrow",
     )
-    pairs = rows.groupby("bucket").map_groups(
-        minhash_bucket_pairs, batch_format="pyarrow"
+    pairs = _bucket_sorted(rows).map_batches(
+        minhash_bucket_pairs, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True,
     )
     return _distinct_pairs(pairs, "est_jaccard")
 
@@ -282,11 +306,12 @@ def dedup_simhash_pairs(ds, pair_buckets: int | None = None):
     sigs = ds.map_batches(simhash_rows, batch_format="pyarrow")
     rows = sigs.map_batches(
         simhash_band_rows,
-        fn_kwargs={"num_buckets": pair_buckets or derived_pair_buckets()},
+        fn_kwargs={"num_buckets": pair_buckets or WIDE_PAIR_SPACE},
         batch_format="pyarrow",
     )
-    pairs = rows.groupby("bucket").map_groups(
-        simhash_bucket_pairs, batch_format="pyarrow"
+    pairs = _bucket_sorted(rows).map_batches(
+        simhash_bucket_pairs, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True,
     )
     return _distinct_pairs(pairs, "hamming", pa.int64())
 
