@@ -105,6 +105,35 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
     if not headline_only:
         from web_content_extraction_benchmark_ray.pipelines import queries as q
 
+        # The scores/complexity tables are computed once per sf_dir and
+        # cached under /tmp; with a warm cache the eval/complexity query
+        # timings only measure parquet re-reads.  Clear the caches and
+        # time the builds as their OWN entries (single timing — a second
+        # trial would be a cache hit), so the real DOM-walk/scoring
+        # compute appears in the reported totals and the per-query
+        # numbers honestly measure their marginal cost.
+        import hashlib as _hashlib
+        import shutil as _shutil
+        import time as _time
+
+        _tag = _hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:16]
+        for _prefix in ("scores", "complexity"):
+            _shutil.rmtree(f"/tmp/wceb_cache/{_prefix}-{_tag}",
+                           ignore_errors=True)
+        from web_content_extraction_benchmark_ray.pipelines.complexity import (
+            complexity_parquet,
+        )
+        from web_content_extraction_benchmark_ray.pipelines.queries import (
+            _scores_parquet,
+        )
+
+        _t0 = _time.perf_counter()
+        _scores_parquet(sf_dir)
+        timings["scores_build"] = round(_time.perf_counter() - _t0, 3)
+        _t0 = _time.perf_counter()
+        complexity_parquet(sf_dir)
+        timings["complexity_build"] = round(_time.perf_counter() - _t0, 3)
+
         timed("eval_scores", lambda: _consume(q.eval_rouge(sf_dir)))
         timed("eval_agg", lambda: _consume(q.eval_agg_by_dataset(sf_dir)))
         timed("complexity", lambda: _consume(q.complexity(sf_dir)))

@@ -75,7 +75,13 @@ def cmd_eval(args) -> dict:
     if args.report:
         from .pipelines.report import write_report
 
-        written = write_report(args.sf_dir, os.path.join(args.out, "report"))
+        # report over the scores just written, so the tables describe the
+        # user's --models selection (the banded table joins the same
+        # scores against the corpus complexity band)
+        written = write_report(
+            args.sf_dir, os.path.join(args.out, "report"),
+            scores_path=args.out,
+        )
         out["report_files"] = sorted(written.values())
     return out
 

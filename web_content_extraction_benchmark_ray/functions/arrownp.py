@@ -22,12 +22,18 @@ def num_col(col, dtype) -> np.ndarray:
 
 def list_matrix(col, dtype) -> np.ndarray:
     """Fixed-width list<numeric> column -> (n, dim) matrix via the value
-    buffer (flatten() honors list offsets).  Ragged lists fall back to
-    the Python path."""
+    buffer (flatten() honors list offsets).  Ragged input raises."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    try:
-        flat = col.flatten().to_numpy(zero_copy_only=False)
-        return flat.astype(dtype, copy=False).reshape(len(col), -1)
-    except ValueError:
-        return np.array(col.to_pylist(), dtype=dtype)
+    # explicit fixed-width check: a ragged column whose TOTAL element
+    # count happens to divide by the row count would reshape
+    # "successfully" into wrong rows — a matrix has no meaning for
+    # ragged lists, so fail loudly instead of misparsing silently
+    offs = np.diff(col.offsets.to_numpy(zero_copy_only=False))
+    if len(offs) and not (offs == offs[0]).all():
+        raise ValueError(
+            "list_matrix requires fixed-width lists; got ragged lengths "
+            f"in [{offs.min()}, {offs.max()}]"
+        )
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    return flat.astype(dtype, copy=False).reshape(len(col), -1)

@@ -47,16 +47,19 @@ BAND_LO, BAND_HI = 0.25, 0.75
 
 
 # ------------------------------------------------- A5: complexity-sliced agg
-def eval_agg_by_complexity(sf_dir: str):
+def eval_agg_by_complexity(sf_dir: str, scores=None):
     """Per-(model, dataset) mean rouge-F1 over docs whose complexity lies
-    in the global [q25, q75] band.  scores ⋈ complexity is a hash join."""
+    in the global [q25, q75] band.  scores ⋈ complexity is a hash join.
+    ``scores``: optional SCORES-schema dataset (e.g. a user-selected model
+    set) replacing the cached default-model pipeline."""
     from .complexity import complexity_ds, complexity_quantiles
-    from .queries import eval_rouge
+    from .queries import eval_rouge, rouge_view
 
     qdf = complexity_quantiles(sf_dir, qs=(BAND_LO, BAND_HI))
     lo, hi = float(qdf["value"][0]), float(qdf["value"][1])
 
-    scores = eval_rouge(sf_dir)  # (doc_id int64, model, dataset, prec, rec, f1)
+    # (doc_id int64, model, dataset, prec, rec, f1)
+    scores = rouge_view(scores) if scores is not None else eval_rouge(sf_dir)
     compl = complexity_ds(sf_dir).drop_columns(["dataset"])
 
     joined = scores.join(

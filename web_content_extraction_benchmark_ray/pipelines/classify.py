@@ -129,7 +129,9 @@ def complexity_classify(sf_dir: str):
     from ray.data.aggregate import Sum
 
     fx = clf_examples(sf_dir)
-    train_ds = fx.filter(expr="split == 'train'")
+    # materialize the filtered split once: the count pass plus the 20 GD
+    # iterations would otherwise re-run the filter scan 21 times
+    train_ds = fx.filter(expr="split == 'train'").materialize()
     n_train = train_ds.count()
     w = train_weights(train_ds, n_train)
     w_list = [int(v) for v in w]

@@ -113,7 +113,14 @@ def decontaminate(sf_dir: str):
             h = np.array(
                 [hash60(s) for s in shingles(text)], dtype=np.int64
             )
-            ov = int(np.isin(h, bench).sum()) if h.size else 0
+            if h.size and bench.size:
+                # bench is pre-sorted: searchsorted membership is
+                # O(n_sh log B) per doc (np.isin re-sorts bench per call)
+                idx = np.searchsorted(bench, h)
+                idx[idx == len(bench)] = len(bench) - 1
+                ov = int((bench[idx] == h).sum())
+            else:
+                ov = 0
             ids.append(doc_id)
             n_sh.append(len(h))
             n_ov.append(ov)

@@ -62,8 +62,26 @@ def extraction_pipeline(
     )
     # salted: two-phase skew-resistant reassembly (same output) for inputs
     # with pathological span-count tails — see stages/reassemble.py
-    assemble = reassemble_salted if salted else reassemble
-    assembled = assemble(ds, num_buckets=num_buckets)
+    if salted:
+        assembled = reassemble_salted(ds, num_buckets=num_buckets)
+    else:
+        # size-aware partitioning: the caller knows the table's on-disk
+        # bytes, so partitions never exceed ~64 MiB regardless of cluster
+        # shape (num_buckets only parameterizes the SALTED layout now)
+        import glob as _glob
+        import os as _os
+
+        files = (
+            _glob.glob(_os.path.join(spans_path, "*.parquet"))
+            if _os.path.isdir(spans_path)
+            else [spans_path]
+        )
+        nbytes = sum(_os.path.getsize(f) for f in files)
+        from ..stages.reassemble import _default_partitions
+
+        assembled = reassemble(
+            ds, partitions=_default_partitions(nbytes)
+        )
     if concurrency is None:
         concurrency = (1, max(2, _cpu_budget()))
     if heavy_lane_bytes:

@@ -79,13 +79,31 @@ def _scatter_matrix(fx) -> list[list[int]]:
     def partial(batch: pa.Table) -> pa.Table:
         xq = list_matrix(batch.column("xq"), np.int64)
         x = xq[:, :N_FEATS]
+        # int64 accumulation overflows silently at rows * max(q)^2 >=
+        # 2^63, and html_to_non_html is unbounded on tag-dense/word-free
+        # pages: emit one partial row per sub-chunk sized so every
+        # sub-sum provably fits (never splits on the synthetic corpora);
+        # the driver reduce sums any number of rows in Python ints.
+        mx = int(np.abs(x).max()) if x.size else 0
+        step = len(x)
+        if mx:
+            step = max(1, min(step, (1 << 61) // (mx * mx)))
+        n_rows, s_rows, ss_rows = [], [], []
+        for lo in range(0, len(x), step) or [0]:
+            sub = x[lo:lo + step]
+            if mx and mx * mx >= (1 << 61):
+                # a single product can exceed int64: exact object-int
+                # math — Arrow then raises loudly on a partial value
+                # beyond int64 instead of numpy wrapping silently
+                sub = sub.astype(object)
+            n_rows.append(len(sub))
+            s_rows.append([int(v) for v in sub.sum(axis=0)])
+            ss_rows.append([int(v) for v in (sub.T @ sub).reshape(-1)])
         return pa.table(
             {
-                "n": pa.array([len(x)], pa.int64()),
-                "s": pa.array([x.sum(axis=0).tolist()],
-                              pa.list_(pa.int64())),
-                "ss": pa.array([(x.T @ x).reshape(-1).tolist()],
-                               pa.list_(pa.int64())),
+                "n": pa.array(n_rows, pa.int64()),
+                "s": pa.array(s_rows, pa.list_(pa.int64())),
+                "ss": pa.array(ss_rows, pa.list_(pa.int64())),
             }
         )
 

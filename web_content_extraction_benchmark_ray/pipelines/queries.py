@@ -233,8 +233,8 @@ def _scores_ds(sf_dir: str):
     return ray.data.read_parquet(_scores_parquet(sf_dir))
 
 
-def eval_rouge(sf_dir: str):
-    ds = _scores_ds(sf_dir)
+def rouge_view(ds):
+    """Project a SCORES-schema dataset to its rouge rows (int64 keys)."""
 
     def proj(t: pa.Table) -> pa.Table:
         t = t.filter(pc.equal(t["scorer"], "rouge"))
@@ -250,6 +250,10 @@ def eval_rouge(sf_dir: str):
         )
 
     return ds.map_batches(proj, batch_format="pyarrow")
+
+
+def eval_rouge(sf_dir: str):
+    return rouge_view(_scores_ds(sf_dir))
 
 
 def eval_levenshtein(sf_dir: str):

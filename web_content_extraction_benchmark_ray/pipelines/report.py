@@ -29,7 +29,11 @@ import os
 import pandas as pd
 
 
-def _agg_tables(sf_dir: str, scorer: str = "rouge") -> dict[str, pd.DataFrame]:
+def _agg_tables(sf_dir: str, scorer: str = "rouge",
+                scores_path: str | None = None) -> dict[str, pd.DataFrame]:
+    """``scores_path``: an existing scores-parquet dir (e.g. the one the
+    CLI just wrote, covering the user's --models selection).  Without it
+    the cached default-model pipeline is scored (pipelines/queries.py)."""
     from .analytics import eval_agg_by_complexity
     from .evalpipe import (
         agg_quantiles,
@@ -39,12 +43,19 @@ def _agg_tables(sf_dir: str, scorer: str = "rouge") -> dict[str, pd.DataFrame]:
     )
     from .queries import _scores_ds
 
-    scores = _scores_ds(sf_dir)
+    if scores_path is not None:
+        import ray.data
+
+        scores = ray.data.read_parquet(scores_path)
+        banded_scores = scores
+    else:
+        scores = _scores_ds(sf_dir)
+        banded_scores = None
     per_ds = agg_scores_by_dataset(scores, scorer).to_pandas()
     micro = agg_scores_micro(scores, scorer).to_pandas()
     macro = agg_scores_macro(scores, scorer)
     quant = agg_quantiles(scores, scorer).to_pandas()
-    banded = eval_agg_by_complexity(sf_dir).to_pandas()
+    banded = eval_agg_by_complexity(sf_dir, scores=banded_scores).to_pandas()
     return {
         "per_dataset": per_ds,
         "micro": micro,
@@ -54,9 +65,10 @@ def _agg_tables(sf_dir: str, scorer: str = "rouge") -> dict[str, pd.DataFrame]:
     }
 
 
-def score_report(sf_dir: str, scorer: str = "rouge") -> dict[str, pd.DataFrame]:
+def score_report(sf_dir: str, scorer: str = "rouge",
+                 scores_path: str | None = None) -> dict[str, pd.DataFrame]:
     """Render the report tables (all driver-side pandas on tiny inputs)."""
-    t = _agg_tables(sf_dir, scorer)
+    t = _agg_tables(sf_dir, scorer, scores_path=scores_path)
 
     # main matrix: one row per model, (mean|median)_<dataset> columns
     wide = t["per_dataset"].pivot(
@@ -125,9 +137,10 @@ def render_markdown(tables: dict[str, pd.DataFrame], sf_dir: str,
 
 
 def write_report(sf_dir: str, out_dir: str, scorer: str = "rouge",
-                 formats=("csv", "md")) -> dict[str, str]:
+                 formats=("csv", "md"),
+                 scores_path: str | None = None) -> dict[str, str]:
     """Write the report files; returns {artifact: path}."""
-    tables = score_report(sf_dir, scorer)
+    tables = score_report(sf_dir, scorer, scores_path=scores_path)
     os.makedirs(out_dir, exist_ok=True)
     written: dict[str, str] = {}
     if "csv" in formats:

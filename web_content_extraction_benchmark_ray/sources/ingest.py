@@ -40,7 +40,10 @@ def detect_encoding(data: bytes) -> str:
         # trailing continuation bytes plus the lead byte so a valid long
         # document is not misdetected as cp1252
         end = len(window)
-        while end > 0 and end > len(window) - 4 and window[end - 1] & 0xC0 == 0x80:
+        # a UTF-8 sequence has AT MOST 3 continuation bytes; trimming a
+        # 4th would let a cp1252 window ending in four 0x80-0xBF bytes
+        # decode cleanly and be misdetected as utf-8
+        while end > 0 and end > len(window) - 3 and window[end - 1] & 0xC0 == 0x80:
             end -= 1
         if end > 0 and window[end - 1] & 0xC0 == 0xC0:
             end -= 1

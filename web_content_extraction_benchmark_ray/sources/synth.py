@@ -120,10 +120,12 @@ def build_spans_table(
                 os.path.join(tmp, f"part-{k:04d}.parquet"),
                 row_group_size=max(1000, per // 4),
             )
-    # os.replace(dir, dir) fails with ENOTEMPTY if out exists (force=True
-    # rebuild or a concurrent builder won the race): clear it first, and
-    # fall back to the winner's dir if the rename still loses a race
-    if os.path.isdir(out):
+    # os.replace(dir, dir) fails with ENOTEMPTY when out exists.  Only a
+    # force=True rebuild may clear an existing dir — a concurrent builder
+    # losing the race must NOT delete the winner's live directory (a
+    # reader streaming it would hit missing fragments); the build is
+    # deterministic, so the loser simply adopts the winner's output.
+    if force and os.path.isdir(out):
         import shutil
 
         shutil.rmtree(out, ignore_errors=True)

@@ -192,10 +192,16 @@ def assemble_group(group: pa.Table) -> pa.Table:
 WIDE_BUCKET_SPACE = 1 << 20
 
 
-def _default_partitions() -> int:
+PARTITION_TARGET_BYTES = 64 << 20  # keep a partition well under block limits
+
+
+def _default_partitions(input_bytes: int | None = None) -> int:
     """Reassembly partition count: ~2 balanced partitions per CPU (waves
     of equal tasks; more partitions only add sort/scheduling overhead
-    once partitions are balanced — measured)."""
+    once partitions are balanced — measured), raised so no partition
+    exceeds ~64 MiB when the caller knows the input size (partition
+    volume grows with data per core at scale; the size floor keeps
+    per-partition memory bounded no matter the cluster shape)."""
     import ray
 
     cpus = (
@@ -203,7 +209,10 @@ def _default_partitions() -> int:
         if ray.is_initialized()
         else 4
     )
-    return 2 * cpus
+    base = 2 * cpus
+    if input_bytes:
+        base = max(base, -(-input_bytes // PARTITION_TARGET_BYTES))
+    return base
 
 
 def reassemble(ds, num_buckets: int = DEFAULT_NUM_BUCKETS,
@@ -228,6 +237,12 @@ def reassemble(ds, num_buckets: int = DEFAULT_NUM_BUCKETS,
     # boundaries varied partition rows 3x even over the wide space
     # (few samples per block), while uniform cuts of a uniform hash give
     # ~N/P +- sqrt(N/P) rows per partition, deterministically.
+    # CONTRACT: Ray's sort materializes exactly one block per output
+    # partition (verified even at partition >> target_max_block_size;
+    # pinned by tests/test_sort_block_contract.py), so the per-block
+    # assemble below always sees whole buckets.  If a Ray upgrade breaks
+    # that, the pinned test goes red — switch back to
+    # groupby("bucket").map_groups, which guarantees group integrity.
     p = partitions or _default_partitions()
     bounds = [WIDE_BUCKET_SPACE * i // p for i in range(1, p)]
     return ds.sort("bucket", boundaries=bounds).map_batches(

@@ -53,8 +53,8 @@ def load_query_matrix(embeddings_path: str) -> tuple[np.ndarray, np.ndarray]:
 def emb_matrix(col) -> np.ndarray:
     """list<float> column -> (n, dim) float64 matrix WITHOUT the
     to_pylist round-trip: flatten() honors list offsets and hands numpy
-    the raw value buffer (near zero-copy).  Falls back to the Python
-    path for ragged lists."""
+    the raw value buffer (near zero-copy).  Ragged input raises
+    (functions/arrownp.py)."""
     import pyarrow as _pa
 
     from ..functions.arrownp import list_matrix
