@@ -154,7 +154,7 @@ def _assembled(sf_dir: str, num_buckets: int = 128):
     from ..sources.storage import read_spans
 
     path = build_spans_table(sf_dir)
-    return reassemble(read_spans(path), num_buckets=num_buckets)
+    return reassemble(read_spans(path))
 
 
 def complexity_pipeline(sf_dir: str, num_buckets: int = 128):

@@ -48,7 +48,7 @@ def media_spans(sf_dir: str):
     """The media-span path end-to-end: reassembly collects 'media' spans in
     offset order; the layout-parse stage emits deterministic text."""
     path = build_spans_table(sf_dir)
-    assembled = reassemble(read_spans(path), num_buckets=QUERY_NUM_BUCKETS)
+    assembled = reassemble(read_spans(path))
 
     def emit(batch: pa.Table) -> pa.Table:
         doc_ids, refs_col = (
@@ -79,7 +79,7 @@ def extract_subproc(sf_dir: str):
     from ..stages.subproc import subproc_extract
 
     path = build_spans_table(sf_dir)
-    assembled = reassemble(read_spans(path), num_buckets=QUERY_NUM_BUCKETS)
+    assembled = reassemble(read_spans(path))
     out = subproc_extract(assembled, model="whole_text")
 
     def finalize(batch: pa.Table) -> pa.Table:
