@@ -75,6 +75,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # driver-side viz-scale operator (reference complexity.py:137-144);
     # 300 coupled float iterations -> no SQL oracle, rows-only check
     out["tsne_project"] = tsne_project
+    from web_content_extraction_benchmark_ray.pipelines.training import (
+        leaf_examples,
+        leafmodel_train,
+    )
+
+    out["leaf_examples"] = leaf_examples
+    out["leafmodel_train"] = leafmodel_train
     return out
 
 
@@ -121,4 +128,11 @@ def oracle_sql() -> dict[str, str]:
     out["complexity_classify"] = classify_oracle_sql()
     out["cluster_alignment"] = cluster_alignment_oracle_sql()
     out["feature_project"] = project_oracle_sql()
+    from web_content_extraction_benchmark_ray.pipelines.training import (
+        leaf_examples_sql,
+        leafmodel_train_sql,
+    )
+
+    out["leaf_examples"] = leaf_examples_sql()
+    out["leafmodel_train"] = leafmodel_train_sql()
     return out

@@ -1,0 +1,255 @@
+"""Leaf-classifier TRAINING — the M4 capability (reference BoilerNet
+training: ``extractors/boilernet/net/preprocess.py:109-171`` builds leaf
+example tensors, ``train.py`` fits the BiLSTM).  The engine's analogue
+trains its own from-scratch leaf/block model (functions/extractors/
+leafmodel.py) instead of consuming a fixed weight table.
+
+Distributed, hash-verifiable shape (same tricks as complexity_classify):
+
+- ``leaf_examples``: assembled pages -> one row per REAL segmented block
+  with quantized features (capped word fraction, link density, heading
+  flag, bias) and the template-provable label (a block is main content
+  iff its text starts with the known paragraph prefix).  The feature
+  extraction is genuinely distributed per-batch DOM work; the oracle
+  reconstructs every block row from the page-template constants.
+- ``leafmodel_train``: integer-grid batch GD over those examples
+  (truncating division, fixed iterations) -> bit-identical weights on
+  the Ray and SQL sides; outputs the learned weight vector plus the
+  training confusion/accuracy.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.arrownp import list_matrix, num_col
+from ..functions.htmlparse import body_or_root, parse, segment_blocks
+from ..functions.text import sub_common_entities, tokenize_ws
+from ..sources import pagegen as pg
+from .classify import SCALE, _tdiv
+
+LEAF_DIMS = 4  # capped-word fraction, link density, heading, bias
+LEAF_ITERS = 20
+LEAF_LRD = 2
+WORD_CAP = 32  # functions/extractors/leafmodel.py convention
+THRESH = SCALE * SCALE // 2
+
+
+def _q(x: float) -> int:
+    return int(np.floor(x * SCALE + 0.5))
+
+
+def leaf_examples(sf_dir: str):
+    """(doc_id, block_id, wq, lq, hq, label) per non-empty block."""
+    from .complexity import _assembled
+
+    def examples(batch: pa.Table) -> pa.Table:
+        out = {k: [] for k in
+               ("doc_id", "block_id", "wq", "lq", "hq", "label")}
+        for doc_id, html in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("html").to_pylist(),
+        ):
+            bid = 0
+            for b in segment_blocks(body_or_root(parse(html))):
+                text = sub_common_entities(b.text())
+                if not text:
+                    continue
+                words = len(tokenize_ws(text))
+                out["doc_id"].append(int(doc_id))
+                out["block_id"].append(bid)
+                out["wq"].append(_q(min(words, WORD_CAP) / WORD_CAP))
+                out["lq"].append(_q(b.link_chars / len(text)))
+                out["hq"].append(SCALE if b.is_heading else 0)
+                out["label"].append(
+                    1 if text.startswith(pg.PAR_PREFIX) else 0
+                )
+                bid += 1
+        return pa.table(
+            {k: pa.array(v, pa.int64()) for k, v in out.items()}
+        )
+
+    return _assembled(sf_dir).map_batches(examples, batch_format="pyarrow")
+
+
+def leafmodel_train(sf_dir: str, iters: int = LEAF_ITERS):
+    """Integer-grid GD on the leaf examples; output one row per weight
+    dim: (d, w, n, correct, accuracy) — the trained model plus its
+    training accuracy (metrics repeated per row; column names match the
+    SQL twin)."""
+    from ..functions.text import round6
+
+    ex = leaf_examples(sf_dir).materialize()
+    n = ex.count()
+    w = np.zeros(LEAF_DIMS, dtype=np.int64)
+
+    def x_of(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        cols = [num_col(batch.column(c), np.int64)
+                for c in ("wq", "lq", "hq")]
+        x = np.column_stack(
+            cols + [np.full(len(cols[0]), SCALE, dtype=np.int64)]
+        )
+        y = num_col(batch.column("label"), np.int64)
+        return x, y
+
+    for _ in range(iters):
+        w_list = [int(v) for v in w]
+
+        def grad_partial(batch: pa.Table, w_list=w_list) -> pa.Table:
+            x, y = x_of(batch)
+            if len(y) == 0:
+                g = np.zeros(LEAF_DIMS, dtype=np.int64)
+            else:
+                wv = np.asarray(w_list, dtype=np.int64)
+                r = _tdiv(x @ wv, SCALE) - y * SCALE
+                g = r @ x
+            return pa.table(
+                {"g": pa.array([g.tolist()], pa.list_(pa.int64()))}
+            )
+
+        parts = ex.map_batches(grad_partial, batch_format="pyarrow").to_pandas()
+        g = np.sum(list_matrix(
+            pa.array(parts["g"].tolist(), pa.list_(pa.int64())), np.int64
+        ), axis=0)
+        w = w - _tdiv(g, LEAF_LRD * n * SCALE)
+
+    w_list = [int(v) for v in w]
+
+    def correct_partial(batch: pa.Table, w_list=w_list) -> pa.Table:
+        x, y = x_of(batch)
+        if len(y) == 0:
+            return pa.table({"c": pa.array([0], pa.int64()),
+                             "m": pa.array([0], pa.int64())})
+        pred = (x @ np.asarray(w_list, dtype=np.int64) >= THRESH).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "c": pa.array([int((pred == y).sum())], pa.int64()),
+                "m": pa.array([len(y)], pa.int64()),
+            }
+        )
+
+    cp = ex.map_batches(correct_partial, batch_format="pyarrow").to_pandas()
+    correct = int(cp["c"].sum())
+    total = int(cp["m"].sum())
+    acc = round6(correct / total) if total else 0.0
+    return pa.table(
+        {
+            "d": pa.array(list(range(1, LEAF_DIMS + 1)), pa.int64()),
+            "w": pa.array(w_list, pa.int64()),
+            "n": pa.array([total] * LEAF_DIMS, pa.int64()),
+            "correct": pa.array([correct] * LEAF_DIMS, pa.int64()),
+            "accuracy": pa.array([acc] * LEAF_DIMS, pa.float64()),
+        }
+    )
+
+
+# ------------------------------------------------------------------ oracles
+def _examples_cte() -> str:
+    """Block rows reconstructed from the page-template constants.
+
+    Per page (tests/test_training.py pins this against the real
+    segmentation): block 0 = linked h1 heading; 1..5 = nav links;
+    6..5+npars = main paragraphs (words >= 49, so the capped word
+    fraction is exactly 1.0; zero links); then 3 aside links, the reply
+    block, the footer block.  Link densities are the same float
+    divisions the Ray side quantizes."""
+    # head rows: linked h1 heading, then the nav links
+    fixed = [f"(0, {_q(2 / 32)}, {_q(1.0)}, {SCALE}, 0)"]
+    for i, _t in enumerate(pg.NAV_ITEMS):
+        fixed.append(f"({i + 1}, {_q(1 / 32)}, {_q(1.0)}, 0, 0)")
+    reply_text = " ".join(pg.REPLY_ITEMS)
+    reply_links = sum(len(t) for t in pg.REPLY_ITEMS)
+    foot_text = " ".join(pg.FOOTER_LINKS) + " " + pg.FOOTER_TAIL_TEXT
+    foot_links = sum(len(t) for t in pg.FOOTER_LINKS)
+    tail = [
+        (0, _q(1 / 32), _q(1.0), 0, 0),  # aside x3 (ids offset by npars)
+        (1, _q(1 / 32), _q(1.0), 0, 0),
+        (2, _q(1 / 32), _q(1.0), 0, 0),
+        (
+            3,
+            _q(len(tokenize_ws(reply_text)) / 32),
+            _q(reply_links / len(reply_text)),
+            0,
+            0,
+        ),
+        (
+            4,
+            _q(len(tokenize_ws(foot_text)) / 32),
+            _q(foot_links / len(foot_text)),
+            0,
+            0,
+        ),
+    ]
+    fixed_rows = ", ".join(fixed)
+    tail_rows = ", ".join(
+        f"({i}, {wq}, {lq}, {hq}, {lb})" for i, wq, lq, hq, lb in tail
+    )
+    return f"""npars AS (
+  SELECT doc_id,
+         CAST(ceil(len(regexp_split_to_array(trim(text), '\\s+')) / {pg.CHUNK_WORDS}.0)
+              AS BIGINT) AS np
+  FROM documents
+),
+headrows(bid, wq, lq, hq, label) AS (VALUES {fixed_rows}),
+tailrows(toff, wq, lq, hq, label) AS (VALUES {tail_rows}),
+ex AS (
+  SELECT n.doc_id, h.bid AS block_id, h.wq, h.lq, h.hq, h.label
+  FROM npars n, headrows h
+  UNION ALL
+  SELECT n.doc_id, 5 + u.i AS block_id, {SCALE} AS wq, 0 AS lq, 0 AS hq,
+         1 AS label
+  FROM npars n, UNNEST(generate_series(1, n.np)) AS u(i)
+  UNION ALL
+  SELECT n.doc_id, 5 + n.np + 1 + t.toff AS block_id, t.wq, t.lq, t.hq,
+         t.label
+  FROM npars n, tailrows t
+)"""
+
+
+def leaf_examples_sql() -> str:
+    return f"""WITH {_examples_cte()}
+SELECT doc_id, block_id, CAST(wq AS BIGINT) AS wq,
+       CAST(lq AS BIGINT) AS lq, CAST(hq AS BIGINT) AS hq,
+       CAST(label AS BIGINT) AS label
+FROM ex"""
+
+
+def leafmodel_train_sql(iters: int = LEAF_ITERS) -> str:
+    """Unrolled integer-GD twin over the reconstructed example rows."""
+    parts = [
+        _examples_cte(),
+        f"fx AS MATERIALIZED (SELECT doc_id, block_id, u.d AS d, "
+        f"CAST(CASE u.d WHEN 1 THEN wq WHEN 2 THEN lq WHEN 3 THEN hq "
+        f"ELSE {SCALE} END AS BIGINT) AS xq, label AS y "
+        f"FROM ex, UNNEST(generate_series(1, {LEAF_DIMS})) AS u(d))",
+        "ntr AS MATERIALIZED (SELECT count(*) AS n FROM ex)",
+        f"w0 AS MATERIALIZED (SELECT u.d AS d, CAST(0 AS BIGINT) AS wq "
+        f"FROM UNNEST(generate_series(1, {LEAF_DIMS})) AS u(d))",
+    ]
+    for r in range(iters):
+        parts += [
+            f"m{r} AS MATERIALIZED (SELECT f.doc_id, f.block_id, f.y, "
+            f"SUM(f.xq * w.wq) AS m FROM fx f JOIN w{r} w USING(d) "
+            f"GROUP BY f.doc_id, f.block_id, f.y)",
+            f"g{r} AS MATERIALIZED (SELECT f.d, "
+            f"CAST(SUM(((m.m // {SCALE}) - m.y * {SCALE}) * f.xq) AS BIGINT)"
+            f" AS g FROM m{r} m JOIN fx f "
+            f"ON f.doc_id = m.doc_id AND f.block_id = m.block_id "
+            f"GROUP BY f.d)",
+            f"w{r + 1} AS MATERIALIZED (SELECT w.d, "
+            f"w.wq - (g.g // ({LEAF_LRD} * ntr.n * {SCALE})) AS wq "
+            f"FROM w{r} w JOIN g{r} g USING(d), ntr)",
+        ]
+    return "WITH " + ",\n".join(parts) + f""",
+mf AS MATERIALIZED (SELECT f.doc_id, f.block_id, f.y, SUM(f.xq * w.wq) AS m
+       FROM fx f JOIN w{iters} w USING(d)
+       GROUP BY f.doc_id, f.block_id, f.y),
+cm AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN (m >= {THRESH}) = (y = 1) THEN 1 ELSE 0 END)
+            AS BIGINT) AS correct FROM mf)
+SELECT w.d, CAST(w.wq AS BIGINT) AS w, cm.n, cm.correct,
+       floor(CAST(cm.correct AS DOUBLE) / cm.n * 1000000 + 0.5) / 1000000
+         AS accuracy
+FROM w{iters} w, cm"""
