@@ -188,7 +188,8 @@ def _distinct_pairs(pairs, value_col: str, out_type=pa.float64()):
 WIDE_PAIR_SPACE = 1 << 20
 
 
-def _bucket_sorted(rows, partitions: int | None = None):
+def _bucket_sorted(rows, partitions: int | None = None,
+                   column: str = "bucket"):
     """Balanced locality shuffle for pair-candidate rows: sort on the
     wide-space bucket with EXPLICIT uniform boundaries (sampled range
     boundaries over a small discrete bucket space skew partition rows
@@ -205,7 +206,7 @@ def _bucket_sorted(rows, partitions: int | None = None):
     )
     part = partitions or 2 * c
     bounds = [WIDE_PAIR_SPACE * i // part for i in range(1, part)]
-    return rows.sort("bucket", boundaries=bounds)
+    return rows.sort(column, boundaries=bounds)
 
 
 def dedup_minhash_pairs(ds, pair_buckets: int | None = None):
@@ -451,15 +452,17 @@ def dedup_ngram_jaccard_prefix(ds, pair_buckets: int | None = None):
     dedup_ngram_jaccard (lossless filter at the threshold), ~2x smaller
     inverted index and no O(co-occurrence) pair-row shuffle: verification
     happens in-bucket against the carried shingle arrays."""
-    pb = pair_buckets or derived_pair_buckets()
+    pb = pair_buckets or WIDE_PAIR_SPACE
     rows = ds.map_batches(
         prefix_rows, fn_kwargs={"num_buckets": pb}, batch_format="pyarrow"
     )
-    pairs = rows.groupby("bucket").map_groups(
-        lambda g: prefix_bucket_pairs(g, pb), batch_format="pyarrow"
+    pairs = _bucket_sorted(rows).map_batches(
+        lambda g: prefix_bucket_pairs(g, pb), batch_format="pyarrow",
+        batch_size=None, zero_copy_batch=True,
     )
-    return pairs.groupby("pbucket").map_groups(
-        _distinct_first, batch_format="pyarrow"
+    return _bucket_sorted(pairs, column="pbucket").map_batches(
+        _distinct_first, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True,
     )
 
 
@@ -542,15 +545,20 @@ def dedup_ngram_jaccard(ds, pair_buckets: int | None = None):
     """Dataset(doc_id, text) -> (doc_id_a, doc_id_b, jaccard >= 0.5) exact
     word-3-gram Jaccard via the inverted-index join.  Both shuffles are
     coarse-bucket groupbys; all per-row work is numpy-vectorized."""
-    pb = pair_buckets or derived_pair_buckets()
+    pb = pair_buckets or WIDE_PAIR_SPACE
     rows = ds.map_batches(
         shingle_rows, fn_kwargs={"num_buckets": pb}, batch_format="pyarrow"
     )
-    co = rows.groupby("bucket").map_groups(
-        lambda g: jaccard_bucket_pairs(g, pb), batch_format="pyarrow"
+    # both shuffles balanced via wide-space sort + uniform boundaries;
+    # the reducers key by shingle / pair internally, so multi-bucket
+    # partitions are semantically identical to per-bucket groups
+    co = _bucket_sorted(rows).map_batches(
+        lambda g: jaccard_bucket_pairs(g, pb), batch_format="pyarrow",
+        batch_size=None, zero_copy_batch=True,
     )
-    return co.groupby("pbucket").map_groups(
-        jaccard_pair_reduce, batch_format="pyarrow"
+    return _bucket_sorted(co, column="pbucket").map_batches(
+        jaccard_pair_reduce, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True,
     )
 
 
