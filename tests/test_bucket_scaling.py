@@ -79,3 +79,41 @@ def test_derived_bucket_counts(ray_session):
     assert derived_pair_buckets(256) == 2048
     assert derived_user_buckets(4) == 64
     assert derived_user_buckets(256) == 1024
+
+
+def test_band_bucket_entropy_fills_sort_space():
+    """The ADVICE-flagged degeneracy: minhash buckets derived from a 4-hex
+    md5 prefix span only [0, 65535], so _bucket_sorted's uniform boundaries
+    over WIDE_PAIR_SPACE=2^20 put EVERY row in partition 0 (one giant
+    block, zero sort parallelism).  Pin that band-row buckets now spread
+    across many uniform partitions of the wide space — for minhash, simhash
+    AND the RHP embedding bands."""
+    import numpy as np
+    import pyarrow as pa
+
+    from web_content_extraction_benchmark_ray.stages.dedup import (
+        WIDE_PAIR_SPACE,
+        minhash_band_rows,
+        simhash_band_rows,
+        simhash_rows,
+    )
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(list(range(64)), pa.int64()),
+            "text": pa.array(
+                [f"alpha beta gamma delta {i} epsilon zeta" for i in range(64)]
+            ),
+        }
+    )
+    partitions = 16
+
+    def occupied(buckets):
+        b = np.asarray(buckets, dtype=np.int64)
+        return len(set(b * partitions // WIDE_PAIR_SPACE))
+
+    mh = minhash_band_rows(docs, num_buckets=WIDE_PAIR_SPACE)
+    assert occupied(mh.column("bucket").to_pylist()) > partitions // 2
+
+    sh = simhash_band_rows(simhash_rows(docs), num_buckets=WIDE_PAIR_SPACE)
+    assert occupied(sh.column("bucket").to_pylist()) > partitions // 2

@@ -77,9 +77,12 @@ def cmd_eval(args) -> dict:
 
         # report over the scores just written, so the tables describe the
         # user's --models selection (the banded table joins the same
-        # scores against the corpus complexity band)
+        # scores against the corpus complexity band).  Sibling path, NOT
+        # inside args.out: non-parquet files nested in the dataset dir
+        # would break any later read_parquet(args.out) and stale report
+        # files would survive overwrites.
         written = write_report(
-            args.sf_dir, os.path.join(args.out, "report"),
+            args.sf_dir, args.out.rstrip("/") + ".report",
             scores_path=args.out,
         )
         out["report_files"] = sorted(written.values())

@@ -43,6 +43,58 @@ def _tdiv(a: np.ndarray, b: int) -> np.ndarray:
     return np.sign(a) * (np.abs(a) // b)
 
 
+def grad_partial_rows(x: np.ndarray, y: np.ndarray, w_list: list[int],
+                      dims: int) -> pa.Table:
+    """Per-block integer gradient partials with the same overflow
+    discipline as project._scatter_matrix: ``r @ x`` accumulates in int64,
+    which wraps SILENTLY at rows · max|r| · max|x| ≥ 2^63 (html_to_non_html
+    is unbounded on tag-dense/word-free pages, so |r| can reach ~5e7·|w|).
+    Emit one partial row per sub-chunk sized so every int64 sub-sum
+    provably fits; escalate to exact object-int math when a single product
+    could overflow — Arrow then raises loudly instead of numpy wrapping."""
+    if len(y) == 0:
+        return pa.table({"g": pa.array([[0] * dims], pa.list_(pa.int64()))})
+    mxx = int(np.abs(x).max()) if x.size else 0
+    mxw = max((abs(int(v)) for v in w_list), default=0)
+    if mxx and mxw and mxx * mxw * dims >= (1 << 62):
+        # the margin x @ w itself can exceed int64: exact object ints
+        wv = np.asarray([int(v) for v in w_list], dtype=object)
+        r = np.asarray(
+            [_tdiv_i(int(m), SCALE) for m in x.astype(object) @ wv],
+            dtype=object,
+        ) - y.astype(object) * SCALE
+    else:
+        wv = np.asarray(w_list, dtype=np.int64)
+        r = _tdiv(x @ wv, SCALE) - y * SCALE
+    mxr = int(max(abs(int(r.max())), abs(int(r.min()))))
+    step = len(y)
+    if mxr and mxx:
+        step = max(1, min(step, (1 << 61) // (mxr * mxx)))
+    rows = []
+    for lo in range(0, len(y), step):
+        rs, xs = r[lo:lo + step], x[lo:lo + step]
+        if mxr and mxx and mxr * mxx >= (1 << 61):
+            rs, xs = rs.astype(object), xs.astype(object)
+        rows.append([int(v) for v in rs @ xs])
+    return pa.table({"g": pa.array(rows, pa.list_(pa.int64()))})
+
+
+def _tdiv_i(a: int, b: int) -> int:
+    """Truncating division on Python ints (object-math escalation path)."""
+    return (abs(a) // b) * (1 if a >= 0 else -1)
+
+
+def reduce_grad(parts: pd.DataFrame, dims: int) -> np.ndarray:
+    """Driver reduce of the partial-gradient rows in exact Python ints
+    (any number of rows; the final per-dim sum must fit int64 — Arrow/
+    numpy would have raised upstream otherwise)."""
+    total = [0] * dims
+    for row in parts["g"]:
+        for i in range(dims):
+            total[i] += int(row[i])
+    return np.asarray(total, dtype=np.int64)
+
+
 def _median_complexity(sf_dir: str) -> float:
     from .complexity import complexity_quantiles
 
@@ -103,21 +155,12 @@ def train_weights(train_ds, n_train: int, iters: int = CLF_ITERS) -> np.ndarray:
         def grad_partial(batch: pa.Table, w_list=w_list) -> pa.Table:
             xq = list_matrix(batch.column("xq"), np.int64)
             y = num_col(batch.column("y"), np.int64)
-            if len(y) == 0:
-                g = np.zeros(N_DIMS, dtype=np.int64)
-            else:
-                wv = np.asarray(w_list, dtype=np.int64)
-                r = _tdiv(xq @ wv, SCALE) - y * SCALE
-                g = r @ xq
-            return pa.table({"g": pa.array([g.tolist()],
-                                           pa.list_(pa.int64()))})
+            return grad_partial_rows(xq, y, w_list, N_DIMS)
 
         parts = train_ds.map_batches(
             grad_partial, batch_format="pyarrow"
         ).to_pandas()
-        g = np.sum(
-            np.array(parts["g"].tolist(), dtype=np.int64), axis=0
-        )
+        g = reduce_grad(parts, N_DIMS)
         w = w - _tdiv(g, CLF_LRD * n_train * SCALE)
     return w
 

@@ -97,20 +97,14 @@ def leafmodel_train(sf_dir: str, iters: int = LEAF_ITERS):
 
         def grad_partial(batch: pa.Table, w_list=w_list) -> pa.Table:
             x, y = x_of(batch)
-            if len(y) == 0:
-                g = np.zeros(LEAF_DIMS, dtype=np.int64)
-            else:
-                wv = np.asarray(w_list, dtype=np.int64)
-                r = _tdiv(x @ wv, SCALE) - y * SCALE
-                g = r @ x
-            return pa.table(
-                {"g": pa.array([g.tolist()], pa.list_(pa.int64()))}
-            )
+            from .classify import grad_partial_rows
+
+            return grad_partial_rows(x, y, w_list, LEAF_DIMS)
 
         parts = ex.map_batches(grad_partial, batch_format="pyarrow").to_pandas()
-        g = np.sum(list_matrix(
-            pa.array(parts["g"].tolist(), pa.list_(pa.int64())), np.int64
-        ), axis=0)
+        from .classify import reduce_grad
+
+        g = reduce_grad(parts, LEAF_DIMS)
         w = w - _tdiv(g, LEAF_LRD * n * SCALE)
 
     w_list = [int(v) for v in w]

@@ -99,7 +99,12 @@ def dedup_exact(ds):
 def minhash_band_rows(batch: pa.Table,
                       num_buckets: int = PAIR_BUCKETS) -> pa.Table:
     """(doc_id, text) -> one row per (doc, band): band key + full signature
-    + the coarse candidate bucket (md5-prefix of the band key)."""
+    + the coarse candidate bucket (md5-prefix of the band key).
+
+    Bucket entropy: 8 hex chars (32 bits) feed the modulus so the bucket
+    fills ANY space up to 2^32 — a 4-char prefix only spans [0, 65535],
+    which under ``_bucket_sorted``'s uniform boundaries over 2^20 packed
+    every row into partition 0 (one giant block, zero sort parallelism)."""
     out_band, out_key, out_bucket, out_id, out_sig = [], [], [], [], []
     for doc_id, text in zip(
         batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
@@ -110,7 +115,7 @@ def minhash_band_rows(batch: pa.Table,
         for j in range(MINHASH_BANDS):
             out_band.append(j)
             out_key.append(keys[j])
-            out_bucket.append(int(keys[j][:4], 16) % num_buckets)
+            out_bucket.append(int(keys[j][:8], 16) % num_buckets)
             out_id.append(int(doc_id))
             out_sig.append(sig_l)
     return pa.table(
@@ -246,8 +251,12 @@ def simhash_band_rows(batch: pa.Table,
             bv = (v >> (SIMHASH_BAND_BITS * j)) & ((1 << SIMHASH_BAND_BITS) - 1)
             out_band.append(j)
             out_val.append(bv)
+            # multiplicative spread: (band, val) spans only [0, 20479], far
+            # below WIDE_PAIR_SPACE — an odd multiplier bijects Z_2^k so the
+            # bucket fills the whole sort space (degenerate-partition fix)
             out_bucket.append(
-                (j * (1 << SIMHASH_BAND_BITS) + bv) % num_buckets
+                ((j * (1 << SIMHASH_BAND_BITS) + bv) * 2654435761)
+                % num_buckets
             )
             out_id.append(doc_id)
             out_v.append(v)

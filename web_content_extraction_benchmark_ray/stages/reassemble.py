@@ -263,7 +263,7 @@ def reassemble(ds, num_buckets: int = DEFAULT_NUM_BUCKETS,
 # partials in salt order (phase 2).  Because salt is monotonic in offset,
 # concatenating partials by (salt, offset) order is EXACTLY the global
 # offset order: reassemble_salted == reassemble for every input
-# (property-tested in tests/test_salted.py).  Phase 2 re-uses
+# (property-tested in tests/test_state.py).  Phase 2 re-uses
 # assemble_group verbatim: a partial is just a flat 'html' span whose
 # offset is its range's first offset; media spans pass through untouched.
 

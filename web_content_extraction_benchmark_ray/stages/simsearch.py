@@ -156,9 +156,11 @@ def knn_ivf(ds, queries_ref):
     """IVF path: per-list partial top-k via groupby(label), then the same
     global merge.  nprobe = all lists -> exact (same oracle as brute force).
     """
-    qids, qmat = ray.get(queries_ref)
-
     def list_topk(group: pa.Table) -> pa.Table:
+        # broadcast query matrix resolved once per worker process (the same
+        # _get_broadcast cache as knn_bruteforce) — a driver-side ray.get
+        # here would serialize the matrix into every map_groups task closure
+        qids, qmat = _get_broadcast(queries_ref)
         vec_ids = num_col(group.column("vec_id"), np.int64)
         vecs = emb_matrix(group.column("embedding"))
         return _partial_topk(qids, qmat, vec_ids, vecs)
