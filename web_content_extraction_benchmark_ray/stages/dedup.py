@@ -104,27 +104,50 @@ def minhash_band_rows(batch: pa.Table,
     Bucket entropy: 8 hex chars (32 bits) feed the modulus so the bucket
     fills ANY space up to 2^32 — a 4-char prefix only spans [0, 65535],
     which under ``_bucket_sorted``'s uniform boundaries over 2^20 packed
-    every row into partition 0 (one giant block, zero sort parallelism)."""
-    out_band, out_key, out_bucket, out_id, out_sig = [], [], [], [], []
-    for doc_id, text in zip(
-        batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
-    ):
-        sig = minhash_signature(text)
-        keys = band_keys(sig)
-        sig_l = [int(v) for v in sig]
-        for j in range(MINHASH_BANDS):
-            out_band.append(j)
-            out_key.append(keys[j])
-            out_bucket.append(int(keys[j][:8], 16) % num_buckets)
-            out_id.append(int(doc_id))
-            out_sig.append(sig_l)
+    every row into partition 0 (one giant block, zero sort parallelism).
+
+    The per-doc signature/band-key md5s are inherently Python; the band
+    EXPLODE is numpy repeat/tile + one ListArray build (the former nested
+    Python append loop was the dedup family's hot spot)."""
+    ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    n = len(ids)
+    if n == 0:
+        return pa.table(
+            {
+                "band_id": pa.array([], pa.int32()),
+                "band_key": pa.array([], pa.string()),
+                "bucket": pa.array([], pa.int32()),
+                "doc_id": pa.array([], pa.int64()),
+                "sig": pa.array([], pa.list_(pa.int64())),
+            }
+        )
+    sig_mat = np.empty((n, MINHASH_K), dtype=np.int64)
+    keys: list[str] = []
+    for r, text in enumerate(texts):
+        sig_mat[r] = minhash_signature(text)
+        keys.extend(band_keys(sig_mat[r]))
+    buckets = np.fromiter(
+        (int(k[:8], 16) for k in keys), dtype=np.int64, count=len(keys)
+    ) % num_buckets
+    # each doc's 16-value signature repeated once per band, flattened into
+    # a single values buffer + uniform offsets
+    sig_vals = np.repeat(sig_mat, MINHASH_BANDS, axis=0).ravel()
+    offsets = np.arange(n * MINHASH_BANDS + 1, dtype=np.int32) * MINHASH_K
+    sig_col = pa.ListArray.from_arrays(
+        pa.array(offsets, pa.int32()), pa.array(sig_vals, pa.int64())
+    )
     return pa.table(
         {
-            "band_id": pa.array(out_band, pa.int32()),
-            "band_key": pa.array(out_key, pa.string()),
-            "bucket": pa.array(out_bucket, pa.int32()),
-            "doc_id": pa.array(out_id, pa.int64()),
-            "sig": pa.array(out_sig, pa.list_(pa.int64())),
+            "band_id": pa.array(
+                np.tile(np.arange(MINHASH_BANDS, dtype=np.int32), n)
+            ),
+            "band_key": pa.array(keys, pa.string()),
+            "bucket": pa.array(buckets.astype(np.int32)),
+            "doc_id": pa.array(
+                np.repeat(np.asarray(ids, dtype=np.int64), MINHASH_BANDS)
+            ),
+            "sig": sig_col,
         }
     )
 
@@ -243,30 +266,26 @@ def simhash_rows(batch: pa.Table) -> pa.Table:
 
 def simhash_band_rows(batch: pa.Table,
                       num_buckets: int = PAIR_BUCKETS) -> pa.Table:
-    out_bucket, out_band, out_val, out_id, out_v = [], [], [], [], []
-    for doc_id, v in zip(
-        batch.column("doc_id").to_pylist(), batch.column("sim_v").to_pylist()
-    ):
-        for j in range(SIMHASH_NUM_BANDS):
-            bv = (v >> (SIMHASH_BAND_BITS * j)) & ((1 << SIMHASH_BAND_BITS) - 1)
-            out_band.append(j)
-            out_val.append(bv)
-            # multiplicative spread: (band, val) spans only [0, 20479], far
-            # below WIDE_PAIR_SPACE — an odd multiplier bijects Z_2^k so the
-            # bucket fills the whole sort space (degenerate-partition fix)
-            out_bucket.append(
-                ((j * (1 << SIMHASH_BAND_BITS) + bv) * 2654435761)
-                % num_buckets
-            )
-            out_id.append(doc_id)
-            out_v.append(v)
+    """Pure bit arithmetic -> fully vectorized explode (numpy repeat/tile;
+    the former per-(doc, band) Python loop was pure interpreter overhead)."""
+    ids = num_col(batch.column("doc_id"), np.int64)
+    v = num_col(batch.column("sim_v"), np.int64)
+    n = len(ids)
+    j = np.tile(np.arange(SIMHASH_NUM_BANDS, dtype=np.int64), n)
+    vv = np.repeat(v, SIMHASH_NUM_BANDS)
+    bv = (vv >> (SIMHASH_BAND_BITS * j)) & ((1 << SIMHASH_BAND_BITS) - 1)
+    # multiplicative spread: (band, val) spans only [0, 20479], far below
+    # WIDE_PAIR_SPACE — an odd multiplier bijects Z_2^k so the bucket fills
+    # the whole sort space (degenerate-partition fix).  Products stay under
+    # 2^46, so int64 arithmetic matches arbitrary-precision Python exactly.
+    bucket = ((j * (1 << SIMHASH_BAND_BITS) + bv) * 2654435761) % num_buckets
     return pa.table(
         {
-            "bucket": pa.array(out_bucket, pa.int32()),
-            "band_id": pa.array(out_band, pa.int32()),
-            "band_val": pa.array(out_val, pa.int64()),
-            "doc_id": pa.array(out_id, pa.int64()),
-            "sim_v": pa.array(out_v, pa.int64()),
+            "bucket": pa.array(bucket.astype(np.int32)),
+            "band_id": pa.array(j.astype(np.int32)),
+            "band_val": pa.array(bv),
+            "doc_id": pa.array(np.repeat(ids, SIMHASH_NUM_BANDS)),
+            "sim_v": pa.array(vv),
         }
     )
 
@@ -331,24 +350,25 @@ def shingle_rows(batch: pa.Table,
                  num_buckets: int = PAIR_BUCKETS) -> pa.Table:
     """Explode distinct shingle hashes, carrying the doc's shingle count so
     downstream needs no join back to per-doc totals."""
-    out_sh, out_bucket, out_id, out_n = [], [], [], []
-    for doc_id, text in zip(
-        batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
-    ):
-        # distinct hashes per doc: the SQL twin joins on DISTINCT (doc, hp)
-        hs = np.unique(shingle_base_hashes(text))
-        n = int(hs.size)
-        for h in hs:
-            out_sh.append(int(h))
-            out_bucket.append(int(h) % num_buckets)
-            out_id.append(int(doc_id))
-            out_n.append(n)
+    ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    # distinct hashes per doc: the SQL twin joins on DISTINCT (doc, hp).
+    # Per-doc md5 hashing is inherently Python; the explode is numpy
+    # concatenate + repeat (no per-shingle Python appends).
+    per_doc = [np.unique(shingle_base_hashes(t)) for t in texts]
+    counts = np.array([a.size for a in per_doc], dtype=np.int64)
+    sh = (
+        np.concatenate(per_doc)
+        if per_doc
+        else np.empty(0, dtype=np.int64)
+    )
+    did = np.repeat(np.asarray([int(i) for i in ids], dtype=np.int64), counts)
     return pa.table(
         {
-            "sh": pa.array(out_sh, pa.int64()),
-            "bucket": pa.array(out_bucket, pa.int32()),
-            "doc_id": pa.array(out_id, pa.int64()),
-            "n_sh": pa.array(out_n, pa.int64()),
+            "sh": pa.array(sh),
+            "bucket": pa.array((sh % num_buckets).astype(np.int32)),
+            "doc_id": pa.array(did),
+            "n_sh": pa.array(np.repeat(counts, counts)),
         }
     )
 
@@ -363,27 +383,44 @@ def prefix_rows(batch: pa.Table,
     in-bucket verification (no second join)."""
     import math
 
-    out_sh, out_bucket, out_id, out_set = [], [], [], []
-    for doc_id, text in zip(
-        batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
-    ):
-        hs = np.unique(shingle_base_hashes(text))  # sorted ascending
-        n = int(hs.size)
-        if n == 0:
-            continue
-        p = n - math.ceil(JACCARD_THRESHOLD * n) + 1
-        full = [int(h) for h in hs]
-        for h in hs[:p]:
-            out_sh.append(int(h))
-            out_bucket.append(int(h) % num_buckets)
-            out_id.append(int(doc_id))
-            out_set.append(full)
+    ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    per_doc = [np.unique(shingle_base_hashes(t)) for t in texts]  # sorted asc
+    sizes = np.array([a.size for a in per_doc], dtype=np.int64)
+    # prefix length n - ceil(t*n) + 1 per doc (0 for empty docs)
+    plens = np.where(
+        sizes > 0,
+        sizes - np.ceil(JACCARD_THRESHOLD * sizes).astype(np.int64) + 1,
+        0,
+    )
+    if int(plens.sum()) == 0:
+        return pa.table(
+            {
+                "sh": pa.array([], pa.int64()),
+                "bucket": pa.array([], pa.int32()),
+                "doc_id": pa.array([], pa.int64()),
+                "shingles": pa.array([], pa.list_(pa.int64())),
+            }
+        )
+    sh = np.concatenate([a[:p] for a, p in zip(per_doc, plens)])
+    did = np.repeat(np.asarray([int(i) for i in ids], dtype=np.int64), plens)
+    # each prefix row carries the doc's FULL sorted shingle array: values =
+    # per-doc arrays tiled plens[i] times, offsets = repeat of sizes
+    vals = np.concatenate(
+        [np.tile(a, int(p)) for a, p in zip(per_doc, plens) if p > 0]
+    )
+    lens = np.repeat(sizes, plens)
+    offsets = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    shingle_col = pa.LargeListArray.from_arrays(
+        pa.array(offsets, pa.int64()), pa.array(vals, pa.int64())
+    ).cast(pa.list_(pa.int64()))
     return pa.table(
         {
-            "sh": pa.array(out_sh, pa.int64()),
-            "bucket": pa.array(out_bucket, pa.int32()),
-            "doc_id": pa.array(out_id, pa.int64()),
-            "shingles": pa.array(out_set, pa.list_(pa.int64())),
+            "sh": pa.array(sh),
+            "bucket": pa.array((sh % num_buckets).astype(np.int32)),
+            "doc_id": pa.array(did),
+            "shingles": shingle_col,
         }
     )
 
