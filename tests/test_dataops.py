@@ -241,6 +241,60 @@ def test_knn_bruteforce_equals_ivf_and_numpy(ray_session):
     assert got == [int(v) for v in order]
 
 
+def test_cosine_dup_pairs_lsh_near_dups(ray_session):
+    """The LSH near-dup path against a pure-numpy mirror of the SAME
+    integer-RHP banding + round6-cosine verify, over duplicates that are
+    genuinely NEAR (perturbed), not exact copies — so the test exercises
+    band recall on non-identical sign patterns, the contract the DuckDB
+    oracle now also checks (pipelines/dataops_oracles.py)."""
+    import ray
+
+    from web_content_extraction_benchmark_ray.stages.simsearch import (
+        COS_DUP_THRESHOLD,
+        RHP_BAND_BITS,
+        RHP_BANDS,
+        RHP_Q,
+        _int_hyperplanes,
+        cosine_dup_pairs_lsh,
+    )
+
+    rng = np.random.default_rng(11)
+    n, d = 60, 16
+    mat = rng.normal(size=(n, d))
+    # near (not exact) duplicates: tiny perturbation keeps cosine > 0.999
+    for i in range(0, n, 10):
+        mat[i + 1] = mat[i] + 1e-3 * rng.normal(size=d)
+    mat32 = mat.astype(np.float32)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                "embedding": pa.array(mat32.tolist(), pa.list_(pa.float32())),
+            }
+        )
+    )
+    out = cosine_dup_pairs_lsh(ds).to_pandas()
+    got = set(zip(out["vec_id_a"], out["vec_id_b"]))
+
+    # numpy mirror of the banding
+    m64 = mat32.astype(np.float64)
+    q = np.floor(m64 * RHP_Q + 0.5).astype(np.int64)
+    bits = (q @ _int_hyperplanes(d) >= 0).astype(np.int64)
+    w = 1 << np.arange(RHP_BAND_BITS, dtype=np.int64)
+    bands = bits.reshape(n, RHP_BANDS, RHP_BAND_BITS) @ w  # (n, bands)
+    norm = m64 / np.linalg.norm(m64, axis=1, keepdims=True)
+    cos = np.floor((norm @ norm.T) * 1e6 + 0.5) / 1e6
+    want = set()
+    for i in range(n):
+        for j in range(i + 1, n):
+            if (bands[i] == bands[j]).any() and cos[i, j] >= COS_DUP_THRESHOLD:
+                want.add((i, j))
+    assert got == want
+    # the planted perturbed pairs are near-but-not-exact and recalled
+    assert (0, 1) in got
+    assert not np.array_equal(mat32[0], mat32[1])
+
+
 def test_media_decode_stage_plumbing(ray_session):
     import ray
 

@@ -33,7 +33,10 @@ from ..stages.dedup import (
     SIMHASH_MAX_HAMMING,
     SIMHASH_NUM_BANDS,
 )
+from ..stages import simsearch as ss
 from ..stages.simsearch import COS_DUP_THRESHOLD, KNN_K, N_QUERIES
+
+EMB_DIM = 64  # driver testdata embedding width (TESTDATA.md)
 from .dataops import (
     EMB_COPY_EVERY,
     EMB_COPY_OFFSET,
@@ -245,16 +248,53 @@ SELECT query_id, vec_id, rank FROM r WHERE rank <= {KNN_K}"""
     sqls["knn_cosine"] = _knn
     sqls["knn_ivf"] = _knn  # nprobe = all lists -> exact
 
+    # Mirrors stages/simsearch.py:cosine_dup_pairs_lsh BIT FOR BIT:
+    # integer-quantized embeddings x md5-derived integer hyperplanes ->
+    # 8x8-bit sign bands; candidates share a band, survivors pass the
+    # round6-cosine threshold.  Because the banding itself is mirrored,
+    # the hash check is robust for any embedding content (the previous
+    # exact-all-pairs oracle only matched while every near-dup was an
+    # exact copy with deterministic LSH recall 1.0).
+    _hp_w = _H60.format("'rhp:' || d.d || ':' || bi.b")
     sqls["embedding_dup_pairs"] = f"""WITH emb AS (
-  SELECT vec_id, embedding FROM embeddings
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
   UNION ALL
-  SELECT vec_id + {EMB_COPY_OFFSET}, embedding FROM embeddings
+  SELECT vec_id + {EMB_COPY_OFFSET}, embedding::DOUBLE[] FROM embeddings
   WHERE vec_id % {EMB_COPY_EVERY} = 0
+),
+dims AS (SELECT i::BIGINT AS d FROM range({EMB_DIM}) t(i)),
+bitsi AS (SELECT i::BIGINT AS b FROM range({ss.RHP_BITS}) t(i)),
+hp AS (
+  SELECT d.d, bi.b, ({_hp_w} % {ss.RHP_W_MOD}) - {ss.RHP_W_MOD // 2} AS w
+  FROM dims d, bitsi bi
+),
+qv AS (
+  SELECT vec_id, d.d,
+         CAST(floor(e[d.d + 1] * {ss.RHP_Q} + 0.5) AS BIGINT) AS qx
+  FROM emb, dims d
+),
+bits AS (
+  SELECT qv.vec_id, hp.b,
+         CASE WHEN sum(qv.qx * hp.w) >= 0 THEN 1 ELSE 0 END AS bit
+  FROM qv JOIN hp ON qv.d = hp.d
+  GROUP BY qv.vec_id, hp.b
+),
+bands AS (
+  SELECT vec_id, b // {ss.RHP_BAND_BITS} AS band_id,
+         sum(bit * (1 << (b % {ss.RHP_BAND_BITS}))) AS band_val
+  FROM bits GROUP BY vec_id, b // {ss.RHP_BAND_BITS}
+),
+cand AS (
+  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+  FROM bands x JOIN bands y
+    ON x.band_id = y.band_id AND x.band_val = y.band_val
+   AND x.vec_id < y.vec_id
 )
-SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
-FROM emb a JOIN emb b ON a.vec_id < b.vec_id
-WHERE floor(list_cosine_similarity(a.embedding::DOUBLE[],
-                                  b.embedding::DOUBLE[]) * 1000000 + 0.5)
+SELECT c.a AS vec_id_a, c.b AS vec_id_b
+FROM cand c
+JOIN emb ea ON ea.vec_id = c.a
+JOIN emb eb ON eb.vec_id = c.b
+WHERE floor(list_cosine_similarity(ea.e, eb.e) * 1000000 + 0.5)
       / 1000000 >= {COS_DUP_THRESHOLD}"""
 
     sqls["token_count"] = r"""SELECT doc_id,

@@ -180,166 +180,288 @@ def knn_ivf(ds, queries_ref):
 
 
 # ------------------------------------------------- LSH-bucketed near-dup
-RHP_BITS = 64  # random hyperplanes (sign bits of the vector signature)
+#
+# Random-hyperplane (sign-projection) LSH with md5-DERIVED INTEGER
+# hyperplanes: hp(d, b) = hash60(f"rhp:{d}:{b}") % 2^20 - 2^19.  The
+# embedding is quantized to integers (floor(x * 2^20 + 0.5)) before the
+# dot product, so every sign bit is computed in EXACT int64 arithmetic —
+# order-independent, overflow-free (|q| ~ 2^20, |w| < 2^19, dim 64 ->
+# sums < 2^46), and bit-identically reproducible by the DuckDB oracle
+# (the round-2 gaussian hyperplanes had no SQL twin, which made the
+# oracle an exact all-pairs check that only matched because synthetic
+# near-dups were exact copies — a fragile contract, now closed).
+#
+# Candidate band rows are LIGHT (band value + vec_id only).  The round-2
+# form carried the normalized vector on every band row, so the shuffle
+# moved ~8x the embedding corpus; verification now happens in a keyed
+# co-group against a single-copy vector side (see verify note below).
+RHP_BITS = 64
 RHP_BAND_BITS = 8
 RHP_BANDS = RHP_BITS // RHP_BAND_BITS  # 8 bands x 8 bits
-RHP_SEED = 0x5EED
-RHP_PAIR_BUCKETS = 256  # coarse candidate buckets (same discipline as dedup)
+RHP_Q = 1 << 20  # embedding quantization scale for the sign bits
+RHP_W_MOD = 1 << 20  # hyperplane weight range: [-2^19, 2^19)
 
 _HP_CACHE: dict = {}
 
 
-def _hyperplanes(dim: int) -> np.ndarray:
-    """Deterministic random-hyperplane matrix (seeded; regenerated per
-    worker — cheaper than a broadcast for a (dim x 64) float block)."""
+def _int_hyperplanes(dim: int) -> np.ndarray:
+    """(dim, 64) int64 hyperplane weights, md5-derived (hash60 twin) —
+    regenerated per worker (4096 md5 calls), cheaper than a broadcast."""
     hp = _HP_CACHE.get(dim)
     if hp is None:
-        rng = np.random.RandomState(RHP_SEED)
-        hp = _HP_CACHE[dim] = rng.standard_normal((dim, RHP_BITS))
+        from ..functions.hashing import hash60
+
+        hp = np.empty((dim, RHP_BITS), dtype=np.int64)
+        for d in range(dim):
+            for b in range(RHP_BITS):
+                hp[d, b] = hash60(f"rhp:{d}:{b}") % RHP_W_MOD - RHP_W_MOD // 2
+        _HP_CACHE[dim] = hp
     return hp
 
 
 def rhp_band_rows(batch: pa.Table) -> pa.Table:
-    """(vec_id, embedding) -> one row per (vector, band): sign-bit band
-    value + coarse bucket, CARRYING the normalized vector so in-bucket
-    verification needs no broadcast and no second join (the minhash band
-    pattern, stages/dedup.py, applied to vectors)."""
-    vec_ids = batch.column("vec_id").to_pylist()
-    embs = batch.column("embedding").to_pylist()
-    if not vec_ids:
+    """(vec_id, embedding) -> one LIGHT row per (vector, band): integer
+    sign-bit band value + wide-space sort bucket.  Fully vectorized."""
+    vec_ids = num_col(batch.column("vec_id"), np.int64)
+    n = len(vec_ids)
+    if n == 0:
         return pa.table(
             {
                 "bucket": pa.array([], pa.int32()),
                 "band_id": pa.array([], pa.int32()),
                 "band_val": pa.array([], pa.int64()),
                 "vec_id": pa.array([], pa.int64()),
-                "nvec": pa.array([], pa.list_(pa.float64())),
             }
         )
-    vecs = _norm(np.array(embs, dtype=np.float64))
-    bits = (vecs @ _hyperplanes(vecs.shape[1])) >= 0  # (n, RHP_BITS)
-    weights = 1 << np.arange(RHP_BAND_BITS, dtype=np.int64)
-    out = {"bucket": [], "band_id": [], "band_val": [], "vec_id": [],
-           "nvec": []}
-    for r, vid in enumerate(vec_ids):
-        nv = vecs[r].tolist()
-        for j in range(RHP_BANDS):
-            bv = int(
-                bits[r, j * RHP_BAND_BITS:(j + 1) * RHP_BAND_BITS] @ weights
-            )
-            out["bucket"].append(
-                (j * (1 << RHP_BAND_BITS) + bv) % RHP_PAIR_BUCKETS
-            )
-            out["band_id"].append(j)
-            out["band_val"].append(bv)
-            out["vec_id"].append(int(vid))
-            out["nvec"].append(nv)
+    embs = emb_matrix(batch.column("embedding"))
+    q = np.floor(embs * RHP_Q + 0.5).astype(np.int64)
+    bits = (q @ _int_hyperplanes(embs.shape[1]) >= 0).astype(np.int64)
+    weights = (1 << np.arange(RHP_BAND_BITS, dtype=np.int64))
+    band_vals = (bits.reshape(n, RHP_BANDS, RHP_BAND_BITS) @ weights).ravel()
+    band_ids = np.tile(np.arange(RHP_BANDS, dtype=np.int64), n)
+    # multiplicative spread into the wide sort space (the (band, val) key
+    # spans only [0, 2047] — same degenerate-partition fix as simhash)
+    from .dedup import WIDE_PAIR_SPACE
+
+    buckets = (
+        (band_ids * (1 << RHP_BAND_BITS) + band_vals) * 2654435761
+    ) % WIDE_PAIR_SPACE
     return pa.table(
         {
-            "bucket": pa.array(out["bucket"], pa.int32()),
-            "band_id": pa.array(out["band_id"], pa.int32()),
-            "band_val": pa.array(out["band_val"], pa.int64()),
-            "vec_id": pa.array(out["vec_id"], pa.int64()),
-            "nvec": pa.array(out["nvec"], pa.list_(pa.float64())),
+            "bucket": pa.array(buckets.astype(np.int32)),
+            "band_id": pa.array(band_ids.astype(np.int32)),
+            "band_val": pa.array(band_vals),
+            "vec_id": pa.array(np.repeat(vec_ids, RHP_BANDS)),
         }
     )
 
 
-def rhp_bucket_pairs(group: pa.Table, threshold: float = COS_DUP_THRESHOLD
-                     ) -> pa.Table:
-    """One coarse bucket: exact-cosine verify every (band_id, band_val)
-    posting list (one small matmul per list), emit i<j pairs with
-    round(cos, 6) >= threshold."""
+def rhp_candidate_pairs(group: pa.Table) -> pa.Table:
+    """One sort partition of band rows: i<j candidate pairs per
+    (band_id, band_val) posting list (UNVERIFIED — cosine happens in the
+    co-group verify stage, where the vectors live)."""
     posting: dict = {}
-    for b, bv, d, nv in zip(
+    for b, bv, d in zip(
         group.column("band_id").to_pylist(),
         group.column("band_val").to_pylist(),
         group.column("vec_id").to_pylist(),
-        group.column("nvec").to_pylist(),
     ):
-        posting.setdefault((b, bv), {})[d] = nv
-    a_out, b_out, c_out = [], [], []
+        posting.setdefault((b, bv), set()).add(d)
+    seen = set()
+    a_out, b_out = [], []
     for members in posting.values():
         if len(members) < 2:
             continue
-        ids = np.array(sorted(members), dtype=np.int64)
-        mat = np.array([members[i] for i in ids], dtype=np.float64)
-        cos = np.floor((mat @ mat.T) * 1e6 + 0.5) / 1e6
-        ii, jj = np.nonzero(np.triu(cos >= threshold, k=1))
-        a_out.extend(int(v) for v in ids[ii])
-        b_out.extend(int(v) for v in ids[jj])
-        c_out.extend(float(c) for c in cos[ii, jj])
+        ms = sorted(members)
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                p = (ms[i], ms[j])
+                if p not in seen:
+                    seen.add(p)
+                    a_out.append(ms[i])
+                    b_out.append(ms[j])
     return pa.table(
         {
             "doc_id_a": pa.array(a_out, pa.int64()),
             "doc_id_b": pa.array(b_out, pa.int64()),
-            "cos_r": pa.array(c_out, pa.float64()),
+            "one": pa.array([1] * len(a_out), pa.int64()),
         }
     )
+
+
+_KNUTH64 = np.uint64(2654435761)
+_PAIR_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _vkey_bucket(keys: np.ndarray, space: int) -> np.ndarray:
+    return (
+        (keys.astype(np.uint64) * _KNUTH64) % np.uint64(space)
+    ).astype(np.int64)
+
+
+def _pair_bucket(a: np.ndarray, b: np.ndarray, space: int) -> np.ndarray:
+    mixed = a.astype(np.uint64) * _KNUTH64 ^ b.astype(np.uint64) * _PAIR_MIX
+    return (mixed % np.uint64(space)).astype(np.int64)
 
 
 def cosine_dup_pairs_lsh(ds, threshold: float = COS_DUP_THRESHOLD):
-    """Near-dup pairs via random-hyperplane LSH banding + in-bucket exact
-    cosine — the scale path: no corpus broadcast, no O(N²) matmul.
+    """Near-dup pairs via integer-RHP LSH banding + exact-cosine verify —
+    the scale path: no corpus broadcast, no O(N²) matmul, and the shuffle
+    carries each embedding ~once (not once per band).
 
-    Exact-duplicate pairs (cos = 1) share every sign bit, so recall on
-    them is deterministic 1.0.  For 0.99 <= cos < 1 the per-pair miss
-    probability is (1 - (1-p)^8)^8 with p = arccos(cos)/pi — ≈ 3e-6 at
-    the 0.99 threshold.  Output matches cosine_dup_pairs: (vec_id_a,
-    vec_id_b), distinct across bands via the native Max aggregate."""
-    from .dedup import _distinct_pairs
+    Stages (all balanced wide-space sorts, stages/dedup.py discipline):
+
+    1. light band rows -> sort(bucket) -> candidate pairs per posting
+       list -> native-Min distinct across bands/partitions.
+    2. VERIFY CO-GROUP: pair rows split into two sides keyed by the
+       member vec_id, unioned with a single-copy (vec_id -> normalized
+       vector) side, sorted by the key's bucket; each partition attaches
+       the vector to every pair-side row it hosts.
+    3. attached sides sorted by a pair-hash bucket; each partition
+       computes round6(cos) per pair from its two sides and keeps
+       >= threshold.
+
+    Exact-duplicate pairs share every sign bit -> deterministic recall
+    1.0.  For 0.99 <= cos < 1 the miss probability is
+    (1 - (1-p)^8)^8, p = arccos(cos)/pi — ~3e-6 at 0.99.  The DuckDB
+    oracle mirrors the banding bit-for-bit (integer hyperplanes), so the
+    hash check is robust for ANY embedding content, not just exact
+    copies."""
+    from ray.data.aggregate import Min
+
+    from .coalesce import coalesce_small
+    from .dedup import WIDE_PAIR_SPACE, _bucket_sorted
 
     rows = ds.map_batches(rhp_band_rows, batch_format="pyarrow")
-    pairs = rows.groupby("bucket").map_groups(
-        lambda g: rhp_bucket_pairs(g, threshold), batch_format="pyarrow"
+    cand = _bucket_sorted(rows).map_batches(
+        rhp_candidate_pairs, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True,
     )
-    out = _distinct_pairs(pairs, "cos_r")
+    # cross-band/partition distinct: native aggregate, C-side reduce
+    pairs = coalesce_small(cand, 8).groupby(
+        ["doc_id_a", "doc_id_b"]
+    ).aggregate(Min("one"))
 
-    def rename(batch: pa.Table) -> pa.Table:
+    def pair_sides(batch: pa.Table) -> pa.Table:
+        a = num_col(batch.column("doc_id_a"), np.int64)
+        b = num_col(batch.column("doc_id_b"), np.int64)
+        vkey = np.concatenate([a, b])
+        pair_a = np.concatenate([a, a])
+        pair_b = np.concatenate([b, b])
         return pa.table(
             {
-                "vec_id_a": batch["doc_id_a"],
-                "vec_id_b": batch["doc_id_b"],
+                "bucket": pa.array(_vkey_bucket(vkey, WIDE_PAIR_SPACE)),
+                "vkey": pa.array(vkey),
+                "pair_a": pa.array(pair_a),
+                "pair_b": pa.array(pair_b),
+                "kind": pa.array(np.ones(len(vkey), dtype=np.int32)),
+                "nvec": pa.array(
+                    [[]] * len(vkey), pa.list_(pa.float64())
+                ),
             }
         )
 
-    return out.map_batches(rename, batch_format="pyarrow")
+    def vec_rows(batch: pa.Table) -> pa.Table:
+        vec_ids = num_col(batch.column("vec_id"), np.int64)
+        if len(vec_ids) == 0:
+            return pa.table(
+                {
+                    "bucket": pa.array([], pa.int64()),
+                    "vkey": pa.array([], pa.int64()),
+                    "pair_a": pa.array([], pa.int64()),
+                    "pair_b": pa.array([], pa.int64()),
+                    "kind": pa.array([], pa.int32()),
+                    "nvec": pa.array([], pa.list_(pa.float64())),
+                }
+            )
+        nvecs = _norm(emb_matrix(batch.column("embedding")))
+        zeros = np.zeros(len(vec_ids), dtype=np.int64)
+        offsets = np.arange(len(vec_ids) + 1, dtype=np.int64) * nvecs.shape[1]
+        nvec_col = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()),
+            pa.array(nvecs.ravel(), pa.float64()),
+        ).cast(pa.list_(pa.float64()))
+        return pa.table(
+            {
+                "bucket": pa.array(_vkey_bucket(vec_ids, WIDE_PAIR_SPACE)),
+                "vkey": pa.array(vec_ids),
+                "pair_a": pa.array(zeros),
+                "pair_b": pa.array(zeros),
+                "kind": pa.array(np.zeros(len(vec_ids), dtype=np.int32)),
+                "nvec": nvec_col,
+            }
+        )
 
+    sides = pairs.map_batches(pair_sides, batch_format="pyarrow")
+    vside = ds.map_batches(vec_rows, batch_format="pyarrow")
 
-def cosine_pairs_batch(batch: pa.Table, corpus_ref,
-                       threshold: float = COS_DUP_THRESHOLD) -> pa.Table:
-    """Near-dup pairs: batch x broadcast-corpus matmul, emit i<j pairs with
-    round(cos, 6) >= threshold.  Normalized corpus cached per worker."""
-    key = (corpus_ref.hex() if hasattr(corpus_ref, "hex") else id(corpus_ref),
-           "normed")
-    cached = _BCAST_CACHE.get(key)
-    if cached is None:
-        ids, mat = ray.get(corpus_ref)
-        cached = _BCAST_CACHE[key] = (ids, _norm(np.asarray(mat, dtype=np.float64)))
-    ids, mat = cached
-    vec_ids = num_col(batch.column("vec_id"), np.int64)
-    vecs = _norm(emb_matrix(batch.column("embedding")))
-    cos = np.floor((vecs @ mat.T) * 1e6 + 0.5) / 1e6  # SQL-twin rounding
-    a_out, b_out = [], []
-    for r in range(cos.shape[0]):
-        hits = np.nonzero(cos[r] >= threshold)[0]
-        for c in hits:
-            if vec_ids[r] < ids[c]:  # i<j once, no self
-                a_out.append(int(vec_ids[r]))
-                b_out.append(int(ids[c]))
-    return pa.table(
-        {
-            "vec_id_a": pa.array(a_out, pa.int64()),
-            "vec_id_b": pa.array(b_out, pa.int64()),
+    def attach(part: pa.Table) -> pa.Table:
+        kinds = num_col(part.column("kind"), np.int32)
+        vkeys = num_col(part.column("vkey"), np.int64)
+        nvec_l = part.column("nvec").to_pylist()
+        vecs = {
+            int(k): nvec_l[i]
+            for i, k in enumerate(vkeys)
+            if kinds[i] == 0
         }
+        pa_l = num_col(part.column("pair_a"), np.int64)
+        pb_l = num_col(part.column("pair_b"), np.int64)
+        out_a, out_b, out_k, out_v = [], [], [], []
+        for i in range(len(kinds)):
+            if kinds[i] == 1:
+                out_a.append(int(pa_l[i]))
+                out_b.append(int(pb_l[i]))
+                out_k.append(int(vkeys[i]))
+                out_v.append(vecs.get(int(vkeys[i]), []))
+        a_arr = np.asarray(out_a, dtype=np.int64)
+        b_arr = np.asarray(out_b, dtype=np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    _pair_bucket(a_arr, b_arr, WIDE_PAIR_SPACE)
+                ),
+                "pair_a": pa.array(a_arr),
+                "pair_b": pa.array(b_arr),
+                "vkey": pa.array(out_k, pa.int64()),
+                "nvec": pa.array(out_v, pa.list_(pa.float64())),
+            }
+        )
+
+    attached = _bucket_sorted(sides.union(vside)).map_batches(
+        attach, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True,
     )
 
+    def verify(part: pa.Table) -> pa.Table:
+        pa_l = num_col(part.column("pair_a"), np.int64)
+        pb_l = num_col(part.column("pair_b"), np.int64)
+        vk_l = num_col(part.column("vkey"), np.int64)
+        nv_l = part.column("nvec").to_pylist()
+        by_pair: dict = {}
+        for i in range(len(pa_l)):
+            by_pair.setdefault((int(pa_l[i]), int(pb_l[i])), {})[
+                int(vk_l[i])
+            ] = nv_l[i]
+        a_out, b_out = [], []
+        for (a, b), sides_map in sorted(by_pair.items()):
+            va, vb = sides_map.get(a), sides_map.get(b)
+            if not va or not vb:
+                continue
+            cos = float(
+                np.asarray(va, dtype=np.float64)
+                @ np.asarray(vb, dtype=np.float64)
+            )
+            if np.floor(cos * 1e6 + 0.5) / 1e6 >= threshold:
+                a_out.append(a)
+                b_out.append(b)
+        return pa.table(
+            {
+                "vec_id_a": pa.array(a_out, pa.int64()),
+                "vec_id_b": pa.array(b_out, pa.int64()),
+            }
+        )
 
-def cosine_dup_pairs(ds, corpus_ref, threshold: float = COS_DUP_THRESHOLD,
-                     batch_size: int = 512):
-    return ds.map_batches(
-        cosine_pairs_batch,
-        fn_kwargs={"corpus_ref": corpus_ref, "threshold": threshold},
-        batch_format="pyarrow",
-        batch_size=batch_size,
+    return _bucket_sorted(attached).map_batches(
+        verify, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True,
     )
