@@ -58,9 +58,15 @@ def cmd_extract(args) -> dict:
             "docs": sum(r["doc_count"] for r in recs),
             "errors": sum(r["error_count"] for r in recs),
         }
+    salted = {"auto": "auto", "true": True, "false": False}[
+        str(args.salted).lower()
+    ]
+    hlb = str(args.heavy_lane_bytes).lower()
+    heavy_lane = (
+        "auto" if hlb == "auto" else None if hlb == "none" else int(hlb)
+    )
     ds = extraction_pipeline(
-        spans, models=models, salted=args.salted,
-        heavy_lane_bytes=args.heavy_lane_bytes,
+        spans, models=models, salted=salted, heavy_lane_bytes=heavy_lane,
     )
     ds.write_parquet(args.out)
     return {"rows": ds.count()}
@@ -147,8 +153,12 @@ def main(argv=None) -> None:
     p.add_argument("--out", required=True)
     p.add_argument("--checkpoint", action="store_true")
     p.add_argument("--num-partitions", type=int, default=8)
-    p.add_argument("--salted", action="store_true")
-    p.add_argument("--heavy-lane-bytes", type=int, default=None)
+    p.add_argument("--salted", default="auto",
+                   help="auto (default: salt only the heavy lane), "
+                        "true (whole pipeline), false (never)")
+    p.add_argument("--heavy-lane-bytes", default="auto",
+                   help="auto (default: metadata probe + census), an "
+                        "explicit byte threshold, or none (single lane)")
     p.set_defaults(fn=cmd_extract)
 
     p = sub.add_parser("eval")
