@@ -17,16 +17,21 @@ from ..functions.media import parse_media
 from ..sources.storage import read_spans, read_table
 from ..sources.synth import build_spans_table
 from ..stages.reassemble import reassemble
-from .extraction import extraction_pipeline
 
 QUERY_NUM_BUCKETS = 32
 
 
 def extraction_query(model: str):
     def run(sf_dir: str):
-        path = build_spans_table(sf_dir)
-        ds = extraction_pipeline(
-            path, models=(model,), num_buckets=QUERY_NUM_BUCKETS
+        # shared per-(sf_dir, model) extraction cache: the first consumer
+        # computes and writes, every later one (other extract queries,
+        # scores_build) streams the rows back (pipelines/extractcache.py)
+        from . import extractcache
+
+        ds = extractcache.read(
+            sf_dir, (model,),
+            columns=["doc_id", "model", "plaintext"],
+            num_buckets=QUERY_NUM_BUCKETS,
         )
 
         def finalize(batch: pa.Table) -> pa.Table:
@@ -153,8 +158,13 @@ def extract_spans_signature(sf_dir: str):
     extracted span sequence serialized as kind|text|media_ref|order records
     (unit-separator joined) — span-sequence equality becomes a plain string
     hash-compare against the SQL oracle's reconstruction."""
-    path = build_spans_table(sf_dir)
-    ds = extraction_pipeline(path, models=("bte",), num_buckets=QUERY_NUM_BUCKETS)
+    from . import extractcache
+
+    ds = extractcache.read(
+        sf_dir, ("bte",),
+        columns=["doc_id", "model", "spans"],
+        num_buckets=QUERY_NUM_BUCKETS,
+    )
 
     def serialize(batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_pylist()
