@@ -54,7 +54,11 @@ def _agg_tables(sf_dir: str, scorer: str = "rouge",
     per_ds = agg_scores_by_dataset(scores, scorer).to_pandas()
     micro = agg_scores_micro(scores, scorer).to_pandas()
     macro = agg_scores_macro(scores, scorer)
-    quant = agg_quantiles(scores, scorer).to_pandas()
+    # five exact quantiles: q25/q75 are the reference's error bars; the
+    # p05/median/p95 additions feed the box/bar figure (svgplot.py)
+    quant = agg_quantiles(
+        scores, scorer, qs=(0.05, 0.25, 0.5, 0.75, 0.95)
+    ).to_pandas()
     banded = eval_agg_by_complexity(sf_dir, scores=banded_scores).to_pandas()
     return {
         "per_dataset": per_ds,
@@ -136,21 +140,165 @@ def render_markdown(tables: dict[str, pd.DataFrame], sf_dir: str,
     return "\n".join(parts)
 
 
+def figure_stats(tables: dict[str, pd.DataFrame]) -> list[dict]:
+    """Per-model quantile records for the performance figures, ranked by
+    median desc (the reference's _sort_vectors order, eval.py:196-198)."""
+    q = tables["quantile_bars"].pivot(index="model", columns="q",
+                                      values="value")
+    recs = []
+    for model, row in q.iterrows():
+        recs.append(
+            {
+                "model": model,
+                "p05": float(row[0.05]),
+                "q25": float(row[0.25]),
+                "median": float(row[0.5]),
+                "q75": float(row[0.75]),
+                "p95": float(row[0.95]),
+            }
+        )
+    return sorted(recs, key=lambda r: (-r["median"], r["model"]))
+
+
+def _latex_escape(s: str) -> str:
+    return str(s).replace("_", r"\_")
+
+
+def _bold_max_mask(df: pd.DataFrame) -> pd.DataFrame:
+    """True where a cell holds its numeric column's max — the reference's
+    highlight_max / per-dataset bold styling (eval.py:203-208, 231-239)."""
+    import numpy as np
+
+    mask = pd.DataFrame(False, index=df.index, columns=df.columns)
+    for c in df.columns:
+        if pd.api.types.is_numeric_dtype(df[c]) and c not in ("n",):
+            col = df[c].to_numpy(dtype=np.float64)
+            if len(col):
+                mask[c] = col >= np.nanmax(col)
+    return mask
+
+
+def render_latex_table(df: pd.DataFrame, caption: str) -> str:
+    """Booktabs-style LaTeX with \\bfseries on each column's max,
+    precision 3 — the analogue of the reference's styler.to_latex with
+    highlight_max(props='bf:') (eval.py:231-239)."""
+    mask = _bold_max_mask(df)
+
+    def cell(v, bold):
+        s = f"{v:.3f}" if isinstance(v, float) else _latex_escape(v)
+        return rf"\bfseries {s}" if bold else s
+
+    cols = list(df.columns)
+    lines = [
+        r"\begin{table}",
+        rf"\caption{{{_latex_escape(caption)}}}",
+        r"\begin{tabular}{l" + "r" * (len(cols) - 1) + "}",
+        r"\toprule",
+        " & ".join(_latex_escape(c) for c in cols) + r" \\",
+        r"\midrule",
+    ]
+    for i in range(len(df)):
+        lines.append(
+            " & ".join(
+                cell(df.iloc[i][c], bool(mask.iloc[i][c])) for c in cols
+            )
+            + r" \\"
+        )
+    lines += [r"\bottomrule", r"\end{tabular}", r"\end{table}", ""]
+    return "\n".join(lines)
+
+
+def render_html_table(df: pd.DataFrame, caption: str) -> str:
+    """Styled HTML (font-weight: bold on column maxima, precision 3) —
+    the spreadsheet-styling analogue: this sandbox has no openpyxl, and
+    a styled HTML table opens in any spreadsheet app with the styling
+    intact (the reference's styler.to_excel, eval.py:209-230)."""
+    mask = _bold_max_mask(df)
+
+    def cell(v, bold):
+        s = f"{v:.3f}" if isinstance(v, float) else str(v)
+        style = ' style="font-weight: bold"' if bold else ""
+        return f"<td{style}>{s}</td>"
+
+    cols = list(df.columns)
+    rows = [
+        "<table>",
+        f"<caption>{caption}</caption>",
+        "<tr>" + "".join(f"<th>{c}</th>" for c in cols) + "</tr>",
+    ]
+    for i in range(len(df)):
+        rows.append(
+            "<tr>"
+            + "".join(cell(df.iloc[i][c], bool(mask.iloc[i][c])) for c in cols)
+            + "</tr>"
+        )
+    rows.append("</table>")
+    return "\n".join(rows)
+
+
 def write_report(sf_dir: str, out_dir: str, scorer: str = "rouge",
-                 formats=("csv", "md"),
+                 formats=("csv", "md", "svg", "tex", "html"),
                  scores_path: str | None = None) -> dict[str, str]:
-    """Write the report files; returns {artifact: path}."""
+    """Write the report files; returns {artifact: path}.
+
+    Artifacts beyond CSV/markdown close the reference's S16 surface:
+    the ranked-model performance figures as deterministic SVG
+    (svgplot.py — the reference's eval.py:179-193 PDF plots) and the
+    styled score tables as LaTeX + HTML with per-column bold maxima
+    (the reference's styler.to_latex / to_excel, eval.py:201-239)."""
     tables = score_report(sf_dir, scorer, scores_path=scores_path)
     os.makedirs(out_dir, exist_ok=True)
     written: dict[str, str] = {}
+
+    def emit(name: str, content: str) -> None:
+        p = os.path.join(out_dir, name)
+        with open(p, "w") as f:
+            f.write(content)
+        written[name] = p
+
     if "csv" in formats:
         for name, df in tables.items():
             p = os.path.join(out_dir, f"{name}.csv")
             df.to_csv(p, index=False)
             written[name] = p
     if "md" in formats:
-        p = os.path.join(out_dir, "report.md")
-        with open(p, "w") as f:
-            f.write(render_markdown(tables, sf_dir, scorer))
-        written["report_md"] = p
+        emit("report.md", render_markdown(tables, sf_dir, scorer))
+        written["report_md"] = written.pop("report.md")
+    if "svg" in formats:
+        from .svgplot import performance_bar_svg, performance_box_svg
+
+        stats = figure_stats(tables)
+        ylabel = "ROUGE-LSum F1" if scorer == "rouge" else "Levenshtein sim."
+        emit(
+            f"{scorer}_box.svg",
+            performance_box_svg(stats, f"Models ranked by median ({scorer})",
+                                ylabel),
+        )
+        emit(
+            f"{scorer}_bar.svg",
+            performance_bar_svg(stats, f"Models ranked by median ({scorer})",
+                                ylabel),
+        )
+    if "tex" in formats:
+        emit(
+            "score_matrix.tex",
+            render_latex_table(tables["score_matrix"],
+                               f"Score matrix ({scorer})"),
+        )
+        emit(
+            "model_ranking.tex",
+            render_latex_table(tables["model_ranking"],
+                               f"Models ranked by micro median ({scorer})"),
+        )
+    if "html" in formats:
+        emit(
+            "score_matrix.html",
+            render_html_table(tables["score_matrix"],
+                              f"Score matrix ({scorer})"),
+        )
+        emit(
+            "model_ranking.html",
+            render_html_table(tables["model_ranking"],
+                              f"Models ranked by micro median ({scorer})"),
+        )
     return written
