@@ -77,11 +77,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["tsne_project"] = tsne_project
     from web_content_extraction_benchmark_ray.pipelines.training import (
         leaf_examples,
+        leaf_seq_examples,
+        leafmodel_seq2_train,
         leafmodel_train,
     )
 
     out["leaf_examples"] = leaf_examples
     out["leafmodel_train"] = leafmodel_train
+    out["leaf_seq_examples"] = leaf_seq_examples
+    out["leafmodel_seq2_train"] = leafmodel_seq2_train
     return out
 
 
@@ -130,9 +134,13 @@ def oracle_sql() -> dict[str, str]:
     out["feature_project"] = project_oracle_sql()
     from web_content_extraction_benchmark_ray.pipelines.training import (
         leaf_examples_sql,
+        leaf_seq_examples_sql,
+        leafmodel_seq2_train_sql,
         leafmodel_train_sql,
     )
 
     out["leaf_examples"] = leaf_examples_sql()
     out["leafmodel_train"] = leafmodel_train_sql()
+    out["leaf_seq_examples"] = leaf_seq_examples_sql()
+    out["leafmodel_seq2_train"] = leafmodel_seq2_train_sql()
     return out

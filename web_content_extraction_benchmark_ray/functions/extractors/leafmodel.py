@@ -134,7 +134,84 @@ def leafmodel_seq_from_segments(blocks, weights: dict = SEQ_WEIGHTS) -> str:
     return "\n".join(kept)
 
 
+# ---------------------------------------------------------------------------
+# 2-step receptive field (E15, closing the round-2 "BiLSTM-class" gap):
+# the score of block i sees (words, link density) of i-1, i+1 AND i-2,
+# i+2 with distance-decayed weights — the linear analogue of stacking a
+# second recurrent step.  12-dim feature vector, trainable end to end by
+# the integer-GD pipeline (pipelines/training.py:leafmodel_seq2_train
+# learns THESE weights' signs from data, hash-verified vs the SQL twin).
+#
+# Margin proof sketch for the fixed table (template-provable oracle):
+# context terms are bounded by ±3.0 total (four neighbour word fractions
+# in [0,1] at weights 1.0/0.5, four link ratios likewise), while every
+# block class's context-free margin is >= |5.8| (the leafmodel_seq
+# bound) — so the decision set still equals the main paragraphs exactly
+# (pinned by tests/test_template_provable.py).
+
+SEQ2_WEIGHTS = {
+    **WEIGHTS,
+    "w_ctx1_words": 1.0,   # (min(prev1_w,32)+min(next1_w,32))/32
+    "w_ctx1_link": -1.0,   # prev1_lr + next1_lr
+    "w_ctx2_words": 0.5,   # (min(prev2_w,32)+min(next2_w,32))/32
+    "w_ctx2_link": -0.5,   # prev2_lr + next2_lr
+}
+
+
+def block_score_seq2(words: int, link_ratio: float, is_heading: bool,
+                     ctx1_words: int, ctx1_link: float,
+                     ctx2_words: int, ctx2_link: float,
+                     weights: dict = SEQ2_WEIGHTS) -> float:
+    z = (
+        weights["w_words"] * (min(words, WORD_CAP) / WORD_CAP)
+        + weights["w_link"] * link_ratio
+        + weights["w_heading"] * (1.0 if is_heading else 0.0)
+        + weights["w_ctx1_words"] * (ctx1_words / WORD_CAP)
+        + weights["w_ctx1_link"] * ctx1_link
+        + weights["w_ctx2_words"] * (ctx2_words / WORD_CAP)
+        + weights["w_ctx2_link"] * ctx2_link
+        + weights["bias"]
+    )
+    return 1.0 / (1.0 + math.exp(-z))
+
+
+@register_extractor("leafmodel_seq2")
+def leafmodel_seq2(html: str, weights: dict = SEQ2_WEIGHTS) -> str:
+    return leafmodel_seq2_from_segments(
+        segment_blocks(body_or_root(parse(html))), weights
+    )
+
+
+def _neighbor(feats, i: int):
+    """(capped words, link ratio) of feature row i, or zeros off the ends."""
+    if 0 <= i < len(feats):
+        return min(feats[i][1], WORD_CAP), feats[i][2]
+    return 0, 0.0
+
+
+def leafmodel_seq2_from_segments(blocks, weights: dict = SEQ2_WEIGHTS) -> str:
+    feats = []
+    for b in blocks:
+        text = sub_common_entities(b.text())
+        words = len(tokenize_ws(text))
+        lr = (b.link_chars / len(text)) if text else 0.0
+        feats.append((text, words, lr, b.is_heading))
+    kept = []
+    for i, (text, words, lr, heading) in enumerate(feats):
+        if not text:
+            continue
+        (pw1, pl1), (nw1, nl1) = _neighbor(feats, i - 1), _neighbor(feats, i + 1)
+        (pw2, pl2), (nw2, nl2) = _neighbor(feats, i - 2), _neighbor(feats, i + 2)
+        if block_score_seq2(
+            words, lr, heading,
+            pw1 + nw1, pl1 + nl1, pw2 + nw2, pl2 + nl2, weights,
+        ) > 0.5:
+            kept.append(text)
+    return "\n".join(kept)
+
+
 from . import register_shared  # noqa: E402
 
 register_shared("leafmodel", "blocks", leafmodel_from_segments)
 register_shared("leafmodel_seq", "blocks", leafmodel_seq_from_segments)
+register_shared("leafmodel_seq2", "blocks", leafmodel_seq2_from_segments)

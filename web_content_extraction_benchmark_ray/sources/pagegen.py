@@ -193,6 +193,9 @@ EXPECTED_BY_MODEL = {
     # cross the template's >=|5.8| base margins, so the decision set is
     # identical (functions/extractors/leafmodel.py:leafmodel_seq)
     "leafmodel_seq": lambda doc_id, text: expected_density(text),
+    # 2-step receptive field: context terms bounded by ±3.0 — still
+    # inside the same margins (leafmodel.py:SEQ2_WEIGHTS margin sketch)
+    "leafmodel_seq2": lambda doc_id, text: expected_density(text),
     "layout": lambda doc_id, text: expected_layout(text),
 }
 
