@@ -120,3 +120,57 @@ def test_media_decode_query_matches_oracle(ray_session):
         .reset_index(drop=True)
     )
     assert df.sort_index(axis=1).equals(odf.sort_index(axis=1))
+
+
+# ------------------------------------------------------------------- PDF
+def test_pdf_roundtrip_compressed_and_raw():
+    from web_content_extraction_benchmark_ray.functions.pdf import (
+        decode_pdf_text,
+        encode_pdf,
+    )
+
+    lines = [
+        "hello world one",
+        "two (parens) and \\ backslash",
+        "third line here",
+        "x",
+    ]
+    for compress in (True, False):
+        payload = encode_pdf(lines, compress=compress)
+        assert payload.startswith(b"%PDF-1.4")
+        assert b"%%EOF" in payload
+        assert decode_pdf_text(payload) == "\n".join(lines)
+    # compressed payload must not contain the plaintext
+    assert b"hello world" not in encode_pdf(lines, compress=True)
+
+
+def test_pdf_decodes_foreign_fixture():
+    """A hand-written PDF the encoder did not produce: uncompressed
+    stream, escaped parens, octal escape, TJ kerning array."""
+    from web_content_extraction_benchmark_ray.functions.pdf import (
+        decode_pdf_text,
+    )
+
+    foreign = (
+        b"%PDF-1.1\n1 0 obj\n<< /Length 90 >>\nstream\n"
+        b"BT /F1 10 Tf 50 700 Td (First \\(foreign\\) \\101 line) Tj "
+        b"0 -12 Td [(A) -50 (B C)] TJ ET\nendstream\nendobj\n%%EOF\n"
+    )
+    assert decode_pdf_text(foreign) == "First (foreign) A line\nAB C"
+
+
+def test_pdf_decoder_rejects_garbage():
+    import pytest as _pytest
+
+    from web_content_extraction_benchmark_ray.functions.pdf import (
+        decode_pdf_text,
+    )
+
+    with _pytest.raises(ValueError):
+        decode_pdf_text(b"not a pdf at all")
+    with _pytest.raises(ValueError):
+        # valid header, corrupt Flate stream
+        decode_pdf_text(
+            b"%PDF-1.4\n1 0 obj\n<< /Length 4 /Filter /FlateDecode >>\n"
+            b"stream\n\x00\x01\x02\x03\nendstream\nendobj\n"
+        )

@@ -1,14 +1,18 @@
 """Media-span path (PDF/layout parse).
 
 The north rule adds a PDF/layout-parse stage for ``kind='media'`` spans —
-a capability the reference lacks (SURVEY.md §1.4).  The real decoders
-(pdf/image libraries) are not available in this container, so the decode
-step is stubbed behind a deterministic fake, while the Ray-side plumbing
-(schema, actor signature, span emission, ordering) is real and tested.
+a capability the reference lacks (SURVEY.md §1.4).  The REAL binary
+decoders live in ``functions/binmedia.py`` (BMP/WAV) and
+``functions/pdf.py`` (a genuine pure-Python PDF text extractor: stream
+walk, zlib FlateDecode, Tj/TJ/Td operators, string escapes — exercised
+on actual payload bytes by the ``pdf_extract`` query).
 
-``parse_media(media_ref)`` is the seam: swap ``_fake_layout_parse`` for a
-real parser (pdfminer / pypdf / OCR model held in actor state) without
-touching the pipeline.
+This module keeps the lighter REF-string path used by the media-SPAN
+queries: those rows carry a ``media_ref`` (no payload bytes travel with
+the span), so their parse is a deterministic function of the ref —
+``parse_media(media_ref)`` remains the seam where a payload fetch +
+``functions.pdf.decode_pdf_text`` (or an OCR model held in actor state)
+slots in when refs resolve to real storage.
 """
 from __future__ import annotations
 

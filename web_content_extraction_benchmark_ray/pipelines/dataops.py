@@ -281,6 +281,64 @@ def media_decode(sf_dir: str):
     return decode_binary_media(ds).drop_columns(["error"])
 
 
+PDF_LINE_WORDS = 10
+
+
+def _pdf_payload_rows(batch: pa.Table) -> pa.Table:
+    """Every MEDIA_EVERY-th doc carries a REAL (Flate-compressed) PDF
+    whose page text is derived from the doc: line 1 = the first
+    PDF_LINE_WORDS whitespace tokens, line 2 = a parens/backslash tail
+    that exercises the string-escape path end to end."""
+    from ..functions.pdf import encode_pdf
+    from ..functions.text import tokenize_ws
+
+    ids, payloads = [], []
+    for i, t in zip(
+        batch.column("doc_id").to_pylist(),
+        batch.column("text").to_pylist(),
+    ):
+        if i % MEDIA_EVERY == 0:
+            line1 = " ".join(tokenize_ws(t)[:PDF_LINE_WORDS])
+            line2 = f"({i}) \\ tail"
+            ids.append(int(i))
+            payloads.append(encode_pdf([line1, line2]))
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+
+
+def _pdf_decode_rows(batch: pa.Table) -> pa.Table:
+    from ..functions.pdf import decode_pdf_text
+
+    ids = batch.column("doc_id").to_pylist()
+    texts = [
+        decode_pdf_text(p) for p in batch.column("payload").to_pylist()
+    ]
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+
+
+def pdf_extract(sf_dir: str):
+    """Real PDF text extraction over actual binary payloads — encode on
+    one side of the pipeline, parse (header walk, zlib inflate, text
+    operators, escapes) on the other (functions/pdf.py); the oracle
+    rebuilds the embedded text from the source table, so the hash check
+    proves the decoder extracts exactly what was encoded."""
+    ds = _docs(sf_dir).map_batches(_pdf_payload_rows, batch_format="pyarrow")
+    # payload-sized batches: the operative memory bound is
+    # batch x payload x concurrency (stages/media.py discipline)
+    return ds.map_batches(
+        _pdf_decode_rows, batch_format="pyarrow", batch_size=32
+    )
+
+
 def dataops_queries() -> dict:
     return {
         "dedup_exact": dedup_exact,
@@ -299,4 +357,5 @@ def dataops_queries() -> dict:
         "doc_fingerprint": doc_fingerprint,
         "media_features": media_features,
         "media_decode": media_decode,
+        "pdf_extract": pdf_extract,
     }

@@ -416,6 +416,18 @@ SELECT 2 * doc_id + 1, 'wav', CAST({wav_bytes} AS BIGINT),
         FROM generate_series(0, {WAV_N_SAMPLES - 1}) g(k))
 FROM dm"""
 
+    from .dataops import PDF_LINE_WORDS
+
+    # pdf_extract: the decoder's output must equal the text the encoder
+    # embedded — line 1 = first PDF_LINE_WORDS ws-tokens of the doc,
+    # line 2 = '(<id>) \\ tail' (the escape-path probe)
+    sqls["pdf_extract"] = f"""SELECT doc_id,
+       array_to_string(l[1:{PDF_LINE_WORDS}], ' ') || chr(10) ||
+       '(' || CAST(doc_id AS VARCHAR) || ') ' || chr(92) || ' tail' AS text
+FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS l
+      FROM documents)
+WHERE doc_id % {MEDIA_EVERY} = 0"""
+
     sqls["media_features"] = f"""WITH m AS (
   SELECT 'pdf://' || CAST(doc_id AS VARCHAR) || '/0' AS media_ref,
          16 * (4 + doc_id % 13) AS n_bytes
