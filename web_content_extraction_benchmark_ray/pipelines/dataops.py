@@ -197,6 +197,60 @@ def lang_id_q(sf_dir: str):
     return _docs(sf_dir).map_batches(stats, batch_format="pyarrow")
 
 
+def repetition_stats(sf_dir: str):
+    """Gopher-style repetition filter statistics (Rae et al. 2021 §A1.1:
+    'fraction of characters in the most common n-gram' / duplicate-n-gram
+    filters) — the quality gate every LLM-data pipeline applies before
+    training.  Per doc over whitespace tokens:
+
+    - n_2grams / n_distinct: word-bigram volume and distinctness
+    - dup_2gram_ratio: 1 - distinct/total (repeatedness)
+    - top_2gram_frac: occurrences of the most frequent bigram / total
+      (a tie shares the same count, so the fraction needs no tie-break)
+    """
+    from collections import Counter
+
+    from ..functions.text import round6, tokenize_ws
+
+    def stats(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        out = {"n_2grams": [], "n_distinct": [], "dup_2gram_ratio": [],
+               "top_2gram_frac": []}
+        for t in batch.column("text").to_pylist():
+            toks = tokenize_ws(t)
+            grams = [
+                toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1)
+            ]
+            n = len(grams)
+            if n == 0:
+                out["n_2grams"].append(0)
+                out["n_distinct"].append(0)
+                out["dup_2gram_ratio"].append(0.0)
+                out["top_2gram_frac"].append(0.0)
+                continue
+            counts = Counter(grams)
+            mx = max(counts.values())
+            out["n_2grams"].append(n)
+            out["n_distinct"].append(len(counts))
+            out["dup_2gram_ratio"].append(round6(1.0 - len(counts) / n))
+            out["top_2gram_frac"].append(round6(mx / n))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_2grams": pa.array(out["n_2grams"], pa.int64()),
+                "n_distinct": pa.array(out["n_distinct"], pa.int64()),
+                "dup_2gram_ratio": pa.array(
+                    out["dup_2gram_ratio"], pa.float64()
+                ),
+                "top_2gram_frac": pa.array(
+                    out["top_2gram_frac"], pa.float64()
+                ),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(stats, batch_format="pyarrow")
+
+
 def doc_fingerprint(sf_dir: str):
     from ..functions.hashing import fingerprint_digest, winnow_fingerprints
 
@@ -358,4 +412,5 @@ def dataops_queries() -> dict:
         "media_features": media_features,
         "media_decode": media_decode,
         "pdf_extract": pdf_extract,
+        "repetition_stats": repetition_stats,
     }

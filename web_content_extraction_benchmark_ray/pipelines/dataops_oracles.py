@@ -416,6 +416,31 @@ SELECT 2 * doc_id + 1, 'wav', CAST({wav_bytes} AS BIGINT),
         FROM generate_series(0, {WAV_N_SAMPLES - 1}) g(k))
 FROM dm"""
 
+    sqls["repetition_stats"] = r"""WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS l
+  FROM documents
+),
+g AS (
+  SELECT doc_id, l[u.i] || ' ' || l[u.i + 1] AS gram
+  FROM t, UNNEST(generate_series(1, len(l) - 1)) AS u(i)
+  WHERE len(l) >= 2
+),
+c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram),
+a AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS nd, CAST(max(c) AS BIGINT) AS mx
+  FROM c GROUP BY doc_id
+)
+SELECT t.doc_id, coalesce(a.n, 0) AS n_2grams,
+       coalesce(a.nd, 0) AS n_distinct,
+       CASE WHEN a.n IS NULL THEN 0.0
+            ELSE floor((1.0 - CAST(a.nd AS DOUBLE) / a.n) * 1000000 + 0.5)
+                 / 1000000 END AS dup_2gram_ratio,
+       CASE WHEN a.n IS NULL THEN 0.0
+            ELSE floor((CAST(a.mx AS DOUBLE) / a.n) * 1000000 + 0.5)
+                 / 1000000 END AS top_2gram_frac
+FROM t LEFT JOIN a ON t.doc_id = a.doc_id"""
+
     from .dataops import PDF_LINE_WORDS
 
     # pdf_extract: the decoder's output must equal the text the encoder
