@@ -363,26 +363,49 @@ def partial_assemble_group(group: pa.Table) -> pa.Table:
     return pa.concat_tables([partial, media])
 
 
+def _wide_sorted(ds, partitions: int | None = None):
+    """Balanced shuffle for the salted phases: explicit uniform
+    boundaries over the wide bucket space, one consumer call per
+    partition (the same discipline as reassemble() — a groupby over a
+    SMALL discrete bucket space samples boundaries that skew partition
+    rows ~3x, the exact trap stages/dedup.py documents)."""
+    p = partitions or _default_partitions()
+    bounds = [WIDE_BUCKET_SPACE * i // p for i in range(1, p)]
+    return ds.sort("bucket", boundaries=bounds)
+
+
 def reassemble_salted(
     ds,
-    num_buckets: int = DEFAULT_NUM_BUCKETS,
+    num_buckets: int | None = None,
     salt_range: int = DEFAULT_SALT_RANGE,
 ):
-    """Skew-resistant two-phase reassembly; output-equal to reassemble()."""
+    """Skew-resistant two-phase reassembly; output-equal to reassemble().
+
+    Both phases route over the WIDE bucket space with explicit uniform
+    sort boundaries (``num_buckets`` is accepted for call-site
+    compatibility but the wide space is always used — phase correctness
+    only needs "same (doc_id, salt) shard → same partition", which any
+    deterministic bucket gives).  ``partial_assemble_group`` /
+    ``assemble_group`` already handle arbitrarily many shards per call,
+    so one vectorized call per sort partition replaces per-group Python
+    dispatch."""
     ds = ds.map_batches(explode_spans, batch_format="pyarrow")
     ds = ds.map_batches(
         add_salt_bucket,
-        fn_kwargs={"num_buckets": num_buckets, "salt_range": salt_range},
+        fn_kwargs={"num_buckets": WIDE_BUCKET_SPACE,
+                   "salt_range": salt_range},
         batch_format="pyarrow",
     )
-    partials = ds.groupby("bucket").map_groups(
-        partial_assemble_group, batch_format="pyarrow"
+    partials = _wide_sorted(ds).map_batches(
+        partial_assemble_group, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True,
     )
     # phase 2: plain reassembly over the (much smaller) partial-span set
     partials = partials.map_batches(
-        add_bucket, fn_kwargs={"num_buckets": num_buckets},
+        add_bucket, fn_kwargs={"num_buckets": WIDE_BUCKET_SPACE},
         batch_format="pyarrow",
     )
-    return partials.groupby("bucket").map_groups(
-        assemble_group, batch_format="pyarrow"
+    return _wide_sorted(partials).map_batches(
+        assemble_group, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True,
     )
