@@ -251,6 +251,78 @@ def repetition_stats(sf_dir: str):
     return _docs(sf_dir).map_batches(stats, batch_format="pyarrow")
 
 
+def unigram_logprob(sf_dir: str):
+    """CCNet-style language-model quality score (Wenzek et al. 2020 use
+    LM perplexity to rank CommonCrawl docs; the from-scratch analogue is
+    a corpus unigram model).  Per doc: the mean integer-log2 frequency
+    of its tokens, normalized by the corpus total's log2 —
+
+        lm_score = floor(1e6 * Σ_t ilog2(count(t)) / (n_tok * ilog2(N)))
+                   / 1e6,  ilog2(c) = bit_length(c) - 1
+
+    The log is INTEGER-quantized (bit length), so Ray and the SQL twin
+    (``length(bin(c)) - 1``) agree bit for bit — no transcendental-libm
+    parity risk.  Shape: distributed wordcount (per-batch Counter
+    combiner → native Sum groupby) → the vocab table is the SMALL side
+    (token types, not tokens) so it broadcasts via ``ray.put`` and the
+    scoring pass is shuffle-free; a corpus whose vocab outgrows worker
+    memory would flip the second stage to an unnest join instead."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.text import tokenize_ws
+
+    def wc(batch: pa.Table) -> pa.Table:
+        c = Counter()
+        for t in batch.column("text").to_pylist():
+            c.update(tokenize_ws(t))
+        return pa.table(
+            {
+                "tok": pa.array(list(c.keys()), pa.string()),
+                "c": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    vocab_rows = (
+        _docs(sf_dir).map_batches(wc, batch_format="pyarrow")
+        .groupby("tok").aggregate(Sum("c", alias_name="c"))
+        .take_all()
+    )
+    counts = {r["tok"]: int(r["c"]) for r in vocab_rows}
+    total = sum(counts.values())
+    d_log = total.bit_length() - 1
+    ref = ray.put(counts)
+
+    def score(batch: pa.Table) -> pa.Table:
+        from ..stages.simsearch import _get_broadcast
+
+        cmap = _get_broadcast(ref)
+        ids = batch.column("doc_id").to_pylist()
+        n_out, s_out, q_out = [], [], []
+        for t in batch.column("text").to_pylist():
+            toks = tokenize_ws(t)
+            slp = sum(cmap[tok].bit_length() - 1 for tok in toks)
+            n_out.append(len(toks))
+            s_out.append(slp)
+            q_out.append(
+                (slp * 1_000_000 // (len(toks) * d_log)) / 1e6
+                if toks and d_log else 0.0
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    [int(i) for i in ids], pa.int64()
+                ),
+                "n_tokens": pa.array(n_out, pa.int64()),
+                "sum_log2": pa.array(s_out, pa.int64()),
+                "lm_score": pa.array(q_out, pa.float64()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(score, batch_format="pyarrow")
+
+
 def doc_fingerprint(sf_dir: str):
     from ..functions.hashing import fingerprint_digest, winnow_fingerprints
 
@@ -413,4 +485,5 @@ def dataops_queries() -> dict:
         "media_decode": media_decode,
         "pdf_extract": pdf_extract,
         "repetition_stats": repetition_stats,
+        "unigram_logprob": unigram_logprob,
     }

@@ -416,6 +416,23 @@ SELECT 2 * doc_id + 1, 'wav', CAST({wav_bytes} AS BIGINT),
         FROM generate_series(0, {WAV_N_SAMPLES - 1}) g(k))
 FROM dm"""
 
+    sqls["unigram_logprob"] = r"""WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS l
+  FROM documents
+),
+w AS (SELECT doc_id, u.tok FROM t, UNNEST(l) AS u(tok)),
+c AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM w GROUP BY tok),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM w),
+d AS (
+  SELECT w.doc_id, CAST(count(*) AS BIGINT) AS ntok,
+         CAST(sum(length(bin(c.c)) - 1) AS BIGINT) AS slp
+  FROM w JOIN c USING (tok) GROUP BY w.doc_id
+)
+SELECT d.doc_id, d.ntok AS n_tokens, d.slp AS sum_log2,
+       CAST(d.slp * 1000000 // (d.ntok * (length(bin(n.n)) - 1)) AS DOUBLE)
+         / 1000000 AS lm_score
+FROM d, n"""
+
     sqls["repetition_stats"] = r"""WITH t AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS l
   FROM documents
