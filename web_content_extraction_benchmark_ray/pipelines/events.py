@@ -114,6 +114,81 @@ def events_window(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+SLIDE_S = 900  # sliding step; WINDOW_S / SLIDE_S = 4 overlapping windows
+
+
+def events_sliding(sf_dir: str):
+    """SLIDING-window aggregate (1 h window, 15 min slide): every event
+    contributes to WINDOW_S/SLIDE_S = 4 overlapping windows.  Same
+    combiner discipline as events_window — the per-batch explode is a
+    numpy repeat (4 window starts per event), partials aggregate inside
+    the batch, and the global reduce moves one row per (window, type)
+    per block, never raw events (overlap multiplies the COMBINER's key
+    space, not the shuffle volume)."""
+    from ray.data.aggregate import Sum
+
+    k = WINDOW_S // SLIDE_S
+
+    def partials(batch: pa.Table) -> pa.Table:
+        secs = _epoch_s(batch.column("ts"))
+        base = secs // SLIDE_S
+        # windows containing t: starts ((t//S) - j) * S for j in 0..k-1
+        starts = (
+            (base[:, None] - np.arange(k, dtype=np.int64)[None, :]) * SLIDE_S
+        ).ravel()
+        etype = np.repeat(
+            np.asarray(batch.column("event_type").to_pylist(), dtype=object),
+            k,
+        )
+        val = np.repeat(
+            np.asarray(batch.column("value").to_pylist(), dtype=np.float64),
+            k,
+        )
+        agg: dict = {}
+        for w, t, v in zip(starts, etype, val):
+            key = (int(w), t)
+            if key in agg:
+                a = agg[key]
+                a[0] += 1
+                a[1] += v
+            else:
+                agg[key] = [1, v]
+        keys = list(agg.keys())
+        return pa.table(
+            {
+                "window_start_s": pa.array([x[0] for x in keys], pa.int64()),
+                "event_type": pa.array([x[1] for x in keys], pa.string()),
+                "n_part": pa.array([agg[x][0] for x in keys], pa.int64()),
+                "sum_part": pa.array([agg[x][1] for x in keys], pa.float64()),
+            }
+        )
+
+    ds = _events(sf_dir, columns=["ts", "event_type", "value"])
+    parts = ds.map_batches(partials, batch_format="pyarrow")
+    agg = parts.groupby(["window_start_s", "event_type"]).aggregate(
+        Sum("n_part"), Sum("sum_part")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = np.asarray(batch["sum(n_part)"].to_pylist(), dtype=np.int64)
+        s = np.asarray(batch["sum(sum_part)"].to_pylist(), dtype=np.float64)
+        return pa.table(
+            {
+                "window_start_s": pc.cast(batch["window_start_s"], pa.int64()),
+                "event_type": batch["event_type"],
+                "n": pa.array(n, pa.int64()),
+                "sum_value": pa.array(
+                    np.floor(s * 1e6 + 0.5) / 1e6, pa.float64()
+                ),
+                "mean_value": pa.array(
+                    np.floor((s / n) * 1e6 + 0.5) / 1e6, pa.float64()
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 # --------------------------------------------------------- sessionization
 def derived_user_buckets(n_cpus: int | None = None) -> int:
     """User-bucket count scaled to the session's cores.  A fixed constant
@@ -257,6 +332,7 @@ def events_props(sf_dir: str):
 def events_queries() -> dict:
     return {
         "events_window": events_window,
+        "events_sliding": events_sliding,
         "events_sessionize": events_sessionize,
         "events_asof": events_asof,
         "events_props": events_props,
@@ -273,6 +349,19 @@ SELECT ((epoch_us(ts) // 1000000) // {WINDOW_S}) * {WINDOW_S} AS window_start_s,
        {r6.format('sum(value)')} AS sum_value,
        {r6.format('sum(value) / count(*)')} AS mean_value
 FROM events GROUP BY 1, 2"""
+    sqls["events_sliding"] = f"""
+WITH e AS (
+  SELECT epoch_us(ts) // 1000000 AS t, event_type, value FROM events
+),
+x AS (
+  SELECT ((t // {SLIDE_S}) - g.j) * {SLIDE_S} AS window_start_s,
+         event_type, value
+  FROM e, UNNEST(generate_series(0, {WINDOW_S // SLIDE_S - 1})) AS g(j)
+)
+SELECT window_start_s, event_type, count(*) AS n,
+       {r6.format('sum(value)')} AS sum_value,
+       {r6.format('sum(value) / count(*)')} AS mean_value
+FROM x GROUP BY 1, 2"""
     sqls["events_sessionize"] = f"""
 WITH o AS (
   SELECT event_id, user_id, epoch_us(ts) // 1000000 AS s,
