@@ -158,10 +158,12 @@ def extraction_pipeline(
         raise ValueError(
             f"unknown extractor(s) {unknown}; available: {list_extractors()}"
         )
+    # `concurrency` is accepted for call-site compatibility: the extract
+    # stage became plain-function tasks in round 2 (an actor pool starved
+    # the adjacent sort — stages/extract.py), so no pool size applies.
+    del concurrency
     heavy_lane_salted = salted is not False  # explicit False wins everywhere
     heavy_ids, salted = _resolve_heavy_ids(spans_path, heavy_lane_bytes, salted)
-    if concurrency is None:
-        concurrency = (1, max(2, _cpu_budget()))
     if heavy_ids:
         # Two-lane routing, split AT THE SOURCE by a broadcast id
         # predicate: oversized docs go through a salted reassembly and a
