@@ -174,3 +174,31 @@ def test_pdf_decoder_rejects_garbage():
             b"%PDF-1.4\n1 0 obj\n<< /Length 4 /Filter /FlateDecode >>\n"
             b"stream\n\x00\x01\x02\x03\nendstream\nendobj\n"
         )
+
+
+def test_pdf_roundtrip_property():
+    """Hypothesis: any printable line set (incl. parens, backslashes,
+    escape-lookalikes) round-trips exactly through encode -> decode."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from web_content_extraction_benchmark_ray.functions.pdf import (
+        decode_pdf_text,
+        encode_pdf,
+    )
+
+    line = st.text(
+        alphabet=st.characters(
+            min_codepoint=0x20, max_codepoint=0x7E
+        ),
+        min_size=1,
+        max_size=60,
+    )
+
+    @given(st.lists(line, min_size=1, max_size=6), st.booleans())
+    @settings(max_examples=60, deadline=None)
+    def check(lines, compress):
+        payload = encode_pdf(lines, compress=compress)
+        assert decode_pdf_text(payload) == "\n".join(lines)
+
+    check()
