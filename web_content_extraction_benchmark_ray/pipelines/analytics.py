@@ -186,12 +186,23 @@ def kmeans_iterate(sf_dir: str, iters: int = KMEANS_ITERS):
     differ in ulps by reduction order).  Headroom: |x|~O(1) quantizes to
     ~1e6, so int64 holds exact sums beyond 1e12 members per cluster.
     Returns the final (vec_id, cluster) assignment."""
-    cents = _load_centroids(sf_dir)
     ds = read_table(
         os.path.join(sf_dir, "embeddings.parquet"),
         columns=["vec_id", "embedding"],
     ).materialize()  # iters+1 passes re-read the object store, not parquet
+    cents = train_centroids(ds, _load_centroids(sf_dir), iters)
+    cent_ref = ray.put(cents)
+    return ds.map_batches(
+        _assign_batch, fn_kwargs={"cent_ref": cent_ref},
+        batch_format="pyarrow", batch_size=1024,
+    )
 
+
+def train_centroids(ds, cents: np.ndarray, iters: int) -> np.ndarray:
+    """The distributed Lloyd loop of kmeans_iterate, reusable as a
+    QUANTIZER trainer (e.g. the IVF coarse quantizer, dataops
+    knn_ivf_trained).  ``ds`` should be materialized by the caller when
+    it feeds multiple passes."""
     for _ in range(iters):
         cent_ref = ray.put(cents)
 
@@ -244,11 +255,7 @@ def kmeans_iterate(sf_dir: str, iters: int = KMEANS_ITERS):
             new[int(row["cluster"])] = np.array(row["centroid"])
         cents = new
 
-    cent_ref = ray.put(cents)
-    return ds.map_batches(
-        _assign_batch, fn_kwargs={"cent_ref": cent_ref},
-        batch_format="pyarrow", batch_size=1024,
-    )
+    return cents
 
 
 # ----------------------------------------------------- A10: dataset stats

@@ -137,6 +137,41 @@ def knn_ivf(sf_dir: str):
     return ss.knn_ivf(_emb(sf_dir), queries_ref).drop_columns(["cos_r"])
 
 
+def knn_ivf_trained(sf_dir: str):
+    """IVF top-k with a TRAINED coarse quantizer: distributed Lloyd
+    k-means (pipelines/analytics.py:train_centroids, the hash-verified
+    kmeans_iterate loop) learns the list centroids, vectors are assigned
+    to their max-cosine list by a broadcast matmul, and the per-list
+    partial-top-k/merge machinery of knn_ivf runs over the learned lists.
+    With nprobe = all lists the result is exactly the brute-force answer
+    (same oracle as knn_cosine) — at scale nprobe < lists buys a
+    lists/nprobe scan reduction at bounded recall loss, with list
+    balance coming from the quantizer instead of a table column."""
+    from .analytics import (
+        KMEANS_ITERS,
+        _assign_batch,
+        _load_centroids,
+        train_centroids,
+    )
+
+    import pyarrow.compute as pc
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    ds = read_table(path, columns=["vec_id", "embedding"]).materialize()
+    cents = train_centroids(ds, _load_centroids(sf_dir), KMEANS_ITERS)
+    cent_ref = ray.put(cents)
+
+    def label_rows(batch: pa.Table) -> pa.Table:
+        assigned = _assign_batch(batch, cent_ref)
+        return batch.append_column(
+            "label", pc.cast(assigned.column("cluster"), pa.int32())
+        )
+
+    labeled = ds.map_batches(label_rows, batch_format="pyarrow")
+    queries_ref = ray.put(ss.load_query_matrix(path))
+    return ss.knn_ivf(labeled, queries_ref).drop_columns(["cos_r"])
+
+
 def embedding_dup_pairs(sf_dir: str):
     """Embedding near-dup pairs via random-hyperplane LSH banding +
     in-bucket exact cosine (stages/simsearch.py:cosine_dup_pairs_lsh) —
@@ -476,6 +511,7 @@ def dataops_queries() -> dict:
         "dedup_jaccard_prefix": dedup_jaccard_prefix,
         "knn_cosine": knn_cosine,
         "knn_ivf": knn_ivf,
+        "knn_ivf_trained": knn_ivf_trained,
         "embedding_dup_pairs": embedding_dup_pairs,
         "token_count": token_count,
         "text_quality": text_quality,

@@ -247,6 +247,7 @@ r AS (
 SELECT query_id, vec_id, rank FROM r WHERE rank <= {KNN_K}"""
     sqls["knn_cosine"] = _knn
     sqls["knn_ivf"] = _knn  # nprobe = all lists -> exact
+    sqls["knn_ivf_trained"] = _knn  # trained quantizer, nprobe=all -> exact
 
     # Mirrors stages/simsearch.py:cosine_dup_pairs_lsh BIT FOR BIT:
     # integer-quantized embeddings x md5-derived integer hyperplanes ->
