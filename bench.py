@@ -172,9 +172,18 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
             timed("dedup_jaccard", lambda: _consume(d.dedup_ngram_jaccard(sf_dir)))
             timed("knn_cosine", lambda: _consume(d.knn_cosine(sf_dir)))
             timed("knn_ivf", lambda: _consume(d.knn_ivf(sf_dir)))
+            timed("knn_ivf_trained",
+                  lambda: _consume(d.knn_ivf_trained(sf_dir)))
+            timed("embedding_dup_pairs",
+                  lambda: _consume(d.embedding_dup_pairs(sf_dir)))
             timed("text_quality", lambda: _consume(d.text_quality(sf_dir)))
             timed("lang_id", lambda: _consume(d.lang_id_q(sf_dir)))
             timed("doc_fingerprint", lambda: _consume(d.doc_fingerprint(sf_dir)))
+            timed("repetition_stats",
+                  lambda: _consume(d.repetition_stats(sf_dir)))
+            timed("unigram_logprob",
+                  lambda: _consume(d.unigram_logprob(sf_dir)))
+            timed("pdf_extract", lambda: _consume(d.pdf_extract(sf_dir)))
         except ImportError:
             pass
         try:
@@ -199,6 +208,8 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
             timed("events_sessionize",
                   lambda: _consume(ev.events_sessionize(sf_dir)))
             timed("events_asof", lambda: _consume(ev.events_asof(sf_dir)))
+            timed("events_sliding",
+                  lambda: _consume(ev.events_sliding(sf_dir)))
         except ImportError:
             pass
 

@@ -26,6 +26,7 @@ source table, proving the decoder extracts exactly what was encoded.
 """
 from __future__ import annotations
 
+import re
 import zlib
 
 # -------------------------------------------------------------- encoder
@@ -188,18 +189,44 @@ def decode_pdf_text(payload: bytes) -> str:
         s = payload.find(b"stream", pos)
         if s < 0:
             break
-        e = payload.find(b"endstream", s)
-        if e < 0:
-            break
         obj_at = payload.rfind(b"obj", 0, s)
         sdict = payload[obj_at if obj_at >= 0 else 0 : s]
-        data = payload[s + len(b"stream") : e]
         # exactly one EOL follows the 'stream' keyword (spec 7.3.8.1)
-        if data.startswith(b"\r\n"):
-            data = data[2:]
-        elif data[:1] in (b"\n", b"\r"):
-            data = data[1:]
-        data = data.rstrip(b"\r\n")
+        dstart = s + len(b"stream")
+        if payload[dstart : dstart + 2] == b"\r\n":
+            dstart += 2
+        elif payload[dstart : dstart + 1] in (b"\n", b"\r"):
+            dstart += 1
+        # Slice by the dict's /Length when declared — compressed bytes may
+        # legitimately contain b"endstream" or END in 0x0A/0x0D, so both
+        # find()-based truncation and a greedy trailing rstrip corrupt
+        # streams (the rstrip form was a real bug: ~5% of deflate payloads
+        # end in an EOL byte).  Fallback without /Length: cut at
+        # 'endstream' and strip exactly ONE separator EOL.
+        m = re.search(rb"/Length\s+(\d+)", sdict)
+        dend = dstart + int(m.group(1)) if m else -1
+        # trust /Length only when 'endstream' actually follows it (within
+        # the separator EOL) — a lying /Length falls back to the scan
+        if (
+            m
+            and dend <= n
+            and payload[dend : dend + 2].lstrip(b"\r\n")[:1]
+            == b"e"
+            and payload[dend:].lstrip(b"\r\n").startswith(b"endstream")
+        ):
+            data = payload[dstart:dend]
+            e = payload.find(b"endstream", dend)
+        else:
+            e = payload.find(b"endstream", dstart)
+            if e < 0:
+                break
+            data = payload[dstart:e]
+            if data.endswith(b"\r\n"):
+                data = data[:-2]
+            elif data[-1:] in (b"\n", b"\r"):
+                data = data[:-1]
+        if e < 0:
+            break
         if b"/FlateDecode" in sdict:
             try:
                 data = zlib.decompress(data)
