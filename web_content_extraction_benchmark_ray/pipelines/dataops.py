@@ -178,7 +178,12 @@ def embedding_dup_pairs(sf_dir: str):
     no corpus broadcast, no all-pairs matmul (the round-1 broadcast form
     did not scale past a worker's heap)."""
     ds = _emb(sf_dir).map_batches(_augment_emb, batch_format="pyarrow")
-    return ss.cosine_dup_pairs_lsh(ds)
+    # size-fitted sort partitions: three all-to-alls at 2/CPU partitions
+    # are pure scheduling overhead on small corpora (~1 per 16 MiB, the
+    # extraction pipeline's PARTITION_TARGET_BYTES discipline)
+    nbytes = os.path.getsize(os.path.join(sf_dir, "embeddings.parquet"))
+    parts = max(4, -(-(nbytes * 8) // (16 << 20)))
+    return ss.cosine_dup_pairs_lsh(ds, partitions=parts)
 
 
 # ------------------------------------------------------------ text analysis

@@ -284,7 +284,6 @@ def rhp_candidate_pairs(group: pa.Table) -> pa.Table:
         {
             "doc_id_a": pa.array(a_out, pa.int64()),
             "doc_id_b": pa.array(b_out, pa.int64()),
-            "one": pa.array([1] * len(a_out), pa.int64()),
         }
     )
 
@@ -304,43 +303,48 @@ def _pair_bucket(a: np.ndarray, b: np.ndarray, space: int) -> np.ndarray:
     return (mixed % np.uint64(space)).astype(np.int64)
 
 
-def cosine_dup_pairs_lsh(ds, threshold: float = COS_DUP_THRESHOLD):
+def cosine_dup_pairs_lsh(ds, threshold: float = COS_DUP_THRESHOLD,
+                         partitions: int | None = None):
     """Near-dup pairs via integer-RHP LSH banding + exact-cosine verify —
     the scale path: no corpus broadcast, no O(N²) matmul, and the shuffle
     carries each embedding ~once (not once per band).
 
-    Stages (all balanced wide-space sorts, stages/dedup.py discipline):
+    Stages (all balanced wide-space sorts, stages/dedup.py discipline —
+    exactly THREE all-to-alls, the minimum for this shape):
 
     1. light band rows -> sort(bucket) -> candidate pairs per posting
-       list -> native-Min distinct across bands/partitions.
+       list.  Candidates stay DUPLICATED across bands/partitions here:
+       pairs are rare, so shuffling a few duplicates is far cheaper than
+       a dedicated distinct groupby stage (the verify co-group's keyed
+       dict collapses them for free — same bucket, same partition).
     2. VERIFY CO-GROUP: pair rows split into two sides keyed by the
        member vec_id, unioned with a single-copy (vec_id -> normalized
        vector) side, sorted by the key's bucket; each partition attaches
        the vector to every pair-side row it hosts.
     3. attached sides sorted by a pair-hash bucket; each partition
-       computes round6(cos) per pair from its two sides and keeps
-       >= threshold.
+       computes round6(cos) per pair from its two sides (duplicates
+       collapse in the per-pair map) and keeps >= threshold.
 
     Exact-duplicate pairs share every sign bit -> deterministic recall
     1.0.  For 0.99 <= cos < 1 the miss probability is
     (1 - (1-p)^8)^8, p = arccos(cos)/pi — ~3e-6 at 0.99.  The DuckDB
     oracle mirrors the banding bit-for-bit (integer hyperplanes), so the
     hash check is robust for ANY embedding content, not just exact
-    copies."""
-    from ray.data.aggregate import Min
+    copies.
 
-    from .coalesce import coalesce_small
+    ``partitions`` bounds every sort's partition count — the pipeline
+    runs THREE all-to-alls, so at small inputs the default 2/CPU
+    partitioning is pure scheduling overhead (measured 11s for a 2k-vec
+    corpus at 32 CPUs vs ~2s with size-fitted partitions); callers that
+    know the corpus bytes should pass ~1 partition per 16 MiB.
+    """
     from .dedup import WIDE_PAIR_SPACE, _bucket_sorted
 
     rows = ds.map_batches(rhp_band_rows, batch_format="pyarrow")
-    cand = _bucket_sorted(rows).map_batches(
+    pairs = _bucket_sorted(rows, partitions).map_batches(
         rhp_candidate_pairs, batch_format="pyarrow", batch_size=None,
         zero_copy_batch=True,
     )
-    # cross-band/partition distinct: native aggregate, C-side reduce
-    pairs = coalesce_small(cand, 8).groupby(
-        ["doc_id_a", "doc_id_b"]
-    ).aggregate(Min("one"))
 
     def pair_sides(batch: pa.Table) -> pa.Table:
         a = num_col(batch.column("doc_id_a"), np.int64)
@@ -427,7 +431,7 @@ def cosine_dup_pairs_lsh(ds, threshold: float = COS_DUP_THRESHOLD):
             }
         )
 
-    attached = _bucket_sorted(sides.union(vside)).map_batches(
+    attached = _bucket_sorted(sides.union(vside), partitions).map_batches(
         attach, batch_format="pyarrow", batch_size=None,
         zero_copy_batch=True,
     )
@@ -461,7 +465,7 @@ def cosine_dup_pairs_lsh(ds, threshold: float = COS_DUP_THRESHOLD):
             }
         )
 
-    return _bucket_sorted(attached).map_batches(
+    return _bucket_sorted(attached, partitions).map_batches(
         verify, batch_format="pyarrow", batch_size=None,
         zero_copy_batch=True,
     )
