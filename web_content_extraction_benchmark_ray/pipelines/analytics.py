@@ -313,6 +313,76 @@ def sample_split(sf_dir: str):
     return ds.map_batches(split, batch_format="pyarrow")
 
 
+STRAT_K = 40  # per-group sample size
+
+
+def sample_stratified(sf_dir: str):
+    """Stratified top-K sampling: per language, the STRAT_K docs with
+    the smallest deterministic hash — how data-mixture quotas are drawn
+    reproducibly (equal-size per-group samples with no RNG state).
+
+    Distributed shape: per-batch PARTIAL top-K per group (combiner — at
+    most groups x K rows leave each batch), then one tiny per-group
+    merge; the shuffle never moves the corpus (the vocab_topk
+    discipline applied per stratum)."""
+    import heapq
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        best: dict = {}
+        for i, lg in zip(ids, langs):
+            h = hash60(f"strat:{i}")
+            heap = best.setdefault(lg, [])
+            # max-heap of size K via negated keys
+            item = (-h, -int(i))
+            if len(heap) < STRAT_K:
+                heapq.heappush(heap, item)
+            elif item > heap[0]:
+                heapq.heapreplace(heap, item)
+        out_l, out_i, out_h = [], [], []
+        for lg, heap in best.items():
+            for nh, ni in heap:
+                out_l.append(lg)
+                out_i.append(-ni)
+                out_h.append(-nh)
+        return pa.table(
+            {
+                "lang": pa.array(out_l, pa.string()),
+                "doc_id": pa.array(out_i, pa.int64()),
+                "h": pa.array(out_h, pa.int64()),
+            }
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        import numpy as np_
+
+        langs = group.column("lang").to_pylist()
+        ids = np_.asarray(group.column("doc_id").to_pylist(), dtype=np_.int64)
+        hs = np_.asarray(group.column("h").to_pylist(), dtype=np_.int64)
+        order = np_.lexsort((ids, hs))[:STRAT_K]
+        return pa.table(
+            {
+                "lang": pa.array([langs[0]] * len(order), pa.string()),
+                "doc_id": pa.array(
+                    [int(v) for v in ids[order]], pa.int64()
+                ),
+            }
+        )
+
+    from ..stages.coalesce import coalesce_small
+
+    ds = read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
+    )
+    parts = ds.map_batches(partials, batch_format="pyarrow")
+    # the merge input is at most groups x K x blocks rows — coalesce so
+    # the tiny per-lang groupby has no empty sort partitions
+    return coalesce_small(parts, 1).groupby("lang").map_groups(
+        merge, batch_format="pyarrow"
+    )
+
+
 def analytics_queries() -> dict:
     return {
         "eval_agg_by_complexity": eval_agg_by_complexity,
@@ -320,6 +390,7 @@ def analytics_queries() -> dict:
         "kmeans_assign": kmeans_assign,
         "kmeans_iterate": kmeans_iterate,
         "sample_split": sample_split,
+        "sample_stratified": sample_stratified,
         "dataset_stats": dataset_stats,
     }
 
@@ -441,4 +512,14 @@ SELECT doc_id,
                  < {TRAIN_PCT}
             THEN 'train' ELSE 'test' END AS split
 FROM documents"""
+
+    strat_h = _H60.format("'strat:' || CAST(doc_id AS VARCHAR)")
+    sqls["sample_stratified"] = f"""
+WITH r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY {strat_h}, doc_id) AS rn
+  FROM documents
+)
+SELECT lang, doc_id FROM r WHERE rn <= {STRAT_K}"""
     return sqls

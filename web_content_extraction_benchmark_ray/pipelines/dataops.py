@@ -172,6 +172,41 @@ def knn_ivf_trained(sf_dir: str):
     return ss.knn_ivf(labeled, queries_ref).drop_columns(["cos_r"])
 
 
+def embedding_dup_survivors(sf_dir: str):
+    """Embedding near-dup SURVIVORS: the LSH pair pipeline composed with
+    the connected-components min-label machinery (stages/dedup.py:
+    neardup_survivors) — one canonical vec per near-dup component plus
+    every unpaired vec.  Demonstrates that the dedup survivor stage is
+    modality-agnostic: anything producing (id_a, id_b) pairs plugs in."""
+    from ..stages.dedup import neardup_survivors
+
+    ds = _emb(sf_dir).map_batches(_augment_emb, batch_format="pyarrow")
+    nbytes = os.path.getsize(os.path.join(sf_dir, "embeddings.parquet"))
+    parts = max(4, -(-(nbytes * 8) // (16 << 20)))
+    pairs = ss.cosine_dup_pairs_lsh(ds, partitions=parts)
+
+    def pair_ids(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id_a": batch.column("vec_id_a"),
+                "doc_id_b": batch.column("vec_id_b"),
+            }
+        )
+
+    def vec_ids_only(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch.column("vec_id")})
+
+    out = neardup_survivors(
+        ds.map_batches(vec_ids_only, batch_format="pyarrow"),
+        pairs.map_batches(pair_ids, batch_format="pyarrow"),
+    )
+
+    def back(batch: pa.Table) -> pa.Table:
+        return pa.table({"vec_id": batch.column("doc_id")})
+
+    return out.map_batches(back, batch_format="pyarrow")
+
+
 def embedding_dup_pairs(sf_dir: str):
     """Embedding near-dup pairs via random-hyperplane LSH banding +
     in-bucket exact cosine (stages/simsearch.py:cosine_dup_pairs_lsh) —
@@ -518,6 +553,7 @@ def dataops_queries() -> dict:
         "knn_ivf": knn_ivf,
         "knn_ivf_trained": knn_ivf_trained,
         "embedding_dup_pairs": embedding_dup_pairs,
+        "embedding_dup_survivors": embedding_dup_survivors,
         "token_count": token_count,
         "text_quality": text_quality,
         "lang_id": lang_id_q,

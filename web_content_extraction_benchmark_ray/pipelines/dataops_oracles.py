@@ -257,7 +257,7 @@ SELECT query_id, vec_id, rank FROM r WHERE rank <= {KNN_K}"""
     # exact-all-pairs oracle only matched while every near-dup was an
     # exact copy with deterministic LSH recall 1.0).
     _hp_w = _H60.format("'rhp:' || d.d || ':' || bi.b")
-    sqls["embedding_dup_pairs"] = f"""WITH emb AS (
+    _rhp_body = f"""emb AS (
   SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
   UNION ALL
   SELECT vec_id + {EMB_COPY_OFFSET}, embedding::DOUBLE[] FROM embeddings
@@ -290,13 +290,36 @@ cand AS (
   FROM bands x JOIN bands y
     ON x.band_id = y.band_id AND x.band_val = y.band_val
    AND x.vec_id < y.vec_id
+),
+vpairs AS (
+  SELECT c.a, c.b
+  FROM cand c
+  JOIN emb ea ON ea.vec_id = c.a
+  JOIN emb eb ON eb.vec_id = c.b
+  WHERE floor(list_cosine_similarity(ea.e, eb.e) * 1000000 + 0.5)
+        / 1000000 >= {COS_DUP_THRESHOLD}
+)"""
+    sqls["embedding_dup_pairs"] = (
+        "WITH " + _rhp_body
+        + "\nSELECT a AS vec_id_a, b AS vec_id_b FROM vpairs"
+    )
+    # survivors: same banding+verify pairs, then the recursive transitive
+    # closure / min-label canonical selection (dedup_minhash_survivors
+    # twin, over vec ids)
+    sqls["embedding_dup_survivors"] = (
+        "WITH RECURSIVE " + _rhp_body + """,
+edges AS (SELECT a, b FROM vpairs UNION SELECT b AS a, a AS b FROM vpairs),
+reach AS (
+  SELECT a AS node, b AS other FROM edges
+  UNION
+  SELECT r.node, e.b AS other FROM reach r JOIN edges e ON r.other = e.a
+),
+comp AS (
+  SELECT node, least(node, min(other)) AS label FROM reach GROUP BY node
 )
-SELECT c.a AS vec_id_a, c.b AS vec_id_b
-FROM cand c
-JOIN emb ea ON ea.vec_id = c.a
-JOIN emb eb ON eb.vec_id = c.b
-WHERE floor(list_cosine_similarity(ea.e, eb.e) * 1000000 + 0.5)
-      / 1000000 >= {COS_DUP_THRESHOLD}"""
+SELECT vec_id FROM emb
+WHERE vec_id NOT IN (SELECT node FROM comp WHERE label <> node)"""
+    )
 
     sqls["token_count"] = r"""SELECT doc_id,
        len(regexp_split_to_array(trim(text), '\s+')) AS n_ws,
