@@ -159,6 +159,31 @@ def test_pdf_decodes_foreign_fixture():
     assert decode_pdf_text(foreign) == "First (foreign) A line\nAB C"
 
 
+def test_pdf_crlf_separator_honors_length():
+    """CRLF stream/endstream separators (spec-legal) must not defeat the
+    /Length validation: this fixture's Flate data is a stored-block
+    deflate that contains the literal bytes b'endstream', so the
+    find()-based fallback scan would truncate it — the decode only
+    succeeds if the declared /Length is trusted."""
+    import zlib as _zlib
+
+    from web_content_extraction_benchmark_ray.functions.pdf import (
+        decode_pdf_text,
+    )
+
+    content = b"BT /F1 10 Tf 50 700 Td (endstream inside) Tj ET"
+    data = _zlib.compress(content, 0)  # stored block: raw bytes verbatim
+    assert b"endstream" in data
+    pdf = (
+        b"%PDF-1.2\n1 0 obj\n<< /Length "
+        + str(len(data)).encode()
+        + b" /Filter /FlateDecode >>\nstream\r\n"
+        + data
+        + b"\r\nendstream\nendobj\n%%EOF\n"
+    )
+    assert decode_pdf_text(pdf) == "endstream inside"
+
+
 def test_pdf_decoder_rejects_garbage():
     import pytest as _pytest
 

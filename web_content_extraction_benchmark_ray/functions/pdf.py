@@ -206,13 +206,16 @@ def decode_pdf_text(payload: bytes) -> str:
         m = re.search(rb"/Length\s+(\d+)", sdict)
         dend = dstart + int(m.group(1)) if m else -1
         # trust /Length only when 'endstream' actually follows it (within
-        # the separator EOL) — a lying /Length falls back to the scan
+        # the separator EOL) — a lying /Length falls back to the scan.
+        # The window is bounded at 2 (CRLF separator) + len('endstream'):
+        # a 2-byte check alone mis-rejected CRLF separators (b"\r\n"
+        # lstrips to empty), sending valid PDFs down the truncating scan.
         if (
             m
             and dend <= n
-            and payload[dend : dend + 2].lstrip(b"\r\n")[:1]
-            == b"e"
-            and payload[dend:].lstrip(b"\r\n").startswith(b"endstream")
+            and payload[dend : dend + 2 + len(b"endstream")]
+            .lstrip(b"\r\n")
+            .startswith(b"endstream")
         ):
             data = payload[dstart:dend]
             e = payload.find(b"endstream", dend)

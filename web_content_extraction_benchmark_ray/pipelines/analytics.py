@@ -28,7 +28,6 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -88,8 +87,20 @@ def eval_agg_by_complexity(sf_dir: str, scores=None):
 # ------------------------------------------------------- A11: vocab top-k
 def vocab_topk(sf_dir: str):
     """Global word counts -> top VOCAB_K by (count desc, word asc).
-    Counts are pre-aggregated per batch (combiner) so the shuffle moves
-    one row per distinct word per block, never per token."""
+
+    Scale shape (reference A11, boilernet/net/preprocess.py:99-106, which
+    sorts the WHOLE vocab in one process — the two web-scale traps here
+    are a per-word Python call and a full-vocab global sort over 10^8+
+    distinct tokens):
+
+    1. per-batch Counter combiner — one row per distinct word per block,
+       never per token;
+    2. NATIVE ``groupby('word').aggregate(Sum)`` — C-side reduction, no
+       per-group Python;
+    3. per-block PARTIAL top-K (each totals block emits <= K rows), so
+       the final sort ranks <= blocks x K rows, never the vocabulary.
+    """
+    from ray.data.aggregate import Sum
 
     def partial_counts(batch: pa.Table) -> pa.Table:
         counts: dict[str, int] = {}
@@ -103,13 +114,20 @@ def vocab_topk(sf_dir: str):
             }
         )
 
-    def merge(group: pa.Table) -> pa.Table:
+    def block_topk(batch: pa.Table) -> pa.Table:
+        words = batch.column("word").to_pylist()
+        n = np.asarray(batch.column("n").to_pylist(), dtype=np.int64)
+        if len(words) <= VOCAB_K:
+            keep = np.arange(len(words))
+        else:
+            # (count desc, word asc) — lexsort's last key is primary
+            keep = np.lexsort((np.asarray(words, dtype=object), -n))[
+                :VOCAB_K
+            ]
         return pa.table(
             {
-                "word": group.column("word").slice(0, 1),
-                "n": pa.array(
-                    [pc.sum(group.column("n")).as_py()], pa.int64()
-                ),
+                "word": pa.array([words[i] for i in keep], pa.string()),
+                "n": pa.array(n[keep], pa.int64()),
             }
         )
 
@@ -119,7 +137,11 @@ def vocab_topk(sf_dir: str):
     counts = coalesce_small(
         ds.map_batches(partial_counts, batch_format="pyarrow")
     )
-    totals = counts.groupby("word").map_groups(merge, batch_format="pyarrow")
+    totals = (
+        counts.groupby("word")
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(block_topk, batch_format="pyarrow")
+    )
     return totals.sort(["n", "word"], descending=[True, False]).limit(VOCAB_K)
 
 
