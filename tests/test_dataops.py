@@ -392,3 +392,24 @@ def test_jaccard_prefix_equals_full(ray_session):
     assert {(1, 2), (1, 4), (2, 4)} <= set(
         zip(full["doc_id_a"], full["doc_id_b"])
     )
+
+
+def test_unigram_logprob_join_path_matches_broadcast(ray_session):
+    """The big-vocab token-explode join must be integer-identical to the
+    broadcast path (threshold 0 forces the join), including zero-token
+    docs kept alive by the sentinel row."""
+    from web_content_extraction_benchmark_ray.pipelines.dataops import (
+        unigram_logprob,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = (
+        unigram_logprob(sf).to_pandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        unigram_logprob(sf, broadcast_max_types=0).to_pandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    assert len(a) == len(b) == 500
+    assert a.equals(b)

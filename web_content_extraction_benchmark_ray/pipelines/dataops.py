@@ -16,6 +16,7 @@ from __future__ import annotations
 import os
 
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -326,7 +327,16 @@ def repetition_stats(sf_dir: str):
     return _docs(sf_dir).map_batches(stats, batch_format="pyarrow")
 
 
-def unigram_logprob(sf_dir: str):
+# Vocab sizes up to this many types broadcast as a dict (a few hundred MB
+# of worker heap at the limit); above it, the shuffle-join path runs.  A
+# whitespace-token vocab over 100 TB of web text is billions of types —
+# neither the driver (take_all) nor the workers (one dict copy each) can
+# hold it, so the big-vocab path never materializes the vocabulary in any
+# single process.
+UNIGRAM_BROADCAST_MAX_TYPES = 2_000_000
+
+
+def unigram_logprob(sf_dir: str, broadcast_max_types: int | None = None):
     """CCNet-style language-model quality score (Wenzek et al. 2020 use
     LM perplexity to rank CommonCrawl docs; the from-scratch analogue is
     a corpus unigram model).  Per doc: the mean integer-log2 frequency
@@ -337,16 +347,30 @@ def unigram_logprob(sf_dir: str):
 
     The log is INTEGER-quantized (bit length), so Ray and the SQL twin
     (``length(bin(c)) - 1``) agree bit for bit — no transcendental-libm
-    parity risk.  Shape: distributed wordcount (per-batch Counter
-    combiner → native Sum groupby) → the vocab table is the SMALL side
-    (token types, not tokens) so it broadcasts via ``ray.put`` and the
-    scoring pass is shuffle-free; a corpus whose vocab outgrows worker
-    memory would flip the second stage to an unnest join instead."""
+    parity risk.
+
+    Shape: distributed wordcount (per-batch Counter combiner → native Sum
+    groupby), materialized ONCE in the object store (types, not tokens),
+    then one of two integer-identical scoring paths chosen by vocab size:
+
+    - ``n_types <= broadcast_max_types``: the vocab is genuinely the
+      small side — ``ray.put`` one dict, shuffle-free scoring pass.
+    - larger: token-explode join.  Docs explode to one row per DISTINCT
+      token per doc ``(doc_id, tok, k)`` (the per-doc Counter is the
+      map-side combiner), hash-join against the vocab on ``tok``, then a
+      native Sum groupby on ``doc_id`` rebuilds ``(n_tokens, sum_log2)``.
+      No process ever holds the vocabulary; both sides stream.  A
+      sentinel ``("", k=0)`` row per doc (tokenize_ws never yields "")
+      keeps zero-token docs in the inner join with exact sums.
+    """
     from collections import Counter
 
     from ray.data.aggregate import Sum
 
     from ..functions.text import tokenize_ws
+
+    if broadcast_max_types is None:
+        broadcast_max_types = UNIGRAM_BROADCAST_MAX_TYPES
 
     def wc(batch: pa.Table) -> pa.Table:
         c = Counter()
@@ -359,43 +383,130 @@ def unigram_logprob(sf_dir: str):
             }
         )
 
-    vocab_rows = (
+    vocab = (
         _docs(sf_dir).map_batches(wc, batch_format="pyarrow")
         .groupby("tok").aggregate(Sum("c", alias_name="c"))
-        .take_all()
+        .materialize()
     )
-    counts = {r["tok"]: int(r["c"]) for r in vocab_rows}
-    total = sum(counts.values())
+    total = int(vocab.sum("c") or 0)
     d_log = total.bit_length() - 1
-    ref = ray.put(counts)
 
-    def score(batch: pa.Table) -> pa.Table:
-        from ..stages.simsearch import _get_broadcast
+    if vocab.count() <= broadcast_max_types:
+        counts = {r["tok"]: int(r["c"]) for r in vocab.take_all()}
+        ref = ray.put(counts)
 
-        cmap = _get_broadcast(ref)
-        ids = batch.column("doc_id").to_pylist()
-        n_out, s_out, q_out = [], [], []
-        for t in batch.column("text").to_pylist():
-            toks = tokenize_ws(t)
-            slp = sum(cmap[tok].bit_length() - 1 for tok in toks)
-            n_out.append(len(toks))
-            s_out.append(slp)
-            q_out.append(
-                (slp * 1_000_000 // (len(toks) * d_log)) / 1e6
-                if toks and d_log else 0.0
+        def score(batch: pa.Table) -> pa.Table:
+            from ..stages.simsearch import _get_broadcast
+
+            cmap = _get_broadcast(ref)
+            ids = batch.column("doc_id").to_pylist()
+            n_out, s_out, q_out = [], [], []
+            for t in batch.column("text").to_pylist():
+                toks = tokenize_ws(t)
+                slp = sum(cmap[tok].bit_length() - 1 for tok in toks)
+                n_out.append(len(toks))
+                s_out.append(slp)
+                q_out.append(
+                    (slp * 1_000_000 // (len(toks) * d_log)) / 1e6
+                    if toks and d_log else 0.0
+                )
+            return pa.table(
+                {
+                    "doc_id": pa.array(
+                        [int(i) for i in ids], pa.int64()
+                    ),
+                    "n_tokens": pa.array(n_out, pa.int64()),
+                    "sum_log2": pa.array(s_out, pa.int64()),
+                    "lm_score": pa.array(q_out, pa.float64()),
+                }
             )
+
+        return _docs(sf_dir).map_batches(score, batch_format="pyarrow")
+
+    # ---- big-vocab path: token-explode hash join, vocabulary never held
+    # in one process.
+    from .evalpipe import join_partitions
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids_out, tok_out, k_out = [], [], []
+        for i, t in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("text").to_pylist(),
+        ):
+            i = int(i)
+            c = Counter(tokenize_ws(t))
+            ids_out.extend([i] * (len(c) + 1))
+            tok_out.extend(c.keys())
+            k_out.extend(c.values())
+            tok_out.append("")  # sentinel: keeps zero-token docs joined
+            k_out.append(0)
         return pa.table(
             {
-                "doc_id": pa.array(
-                    [int(i) for i in ids], pa.int64()
-                ),
-                "n_tokens": pa.array(n_out, pa.int64()),
-                "sum_log2": pa.array(s_out, pa.int64()),
-                "lm_score": pa.array(q_out, pa.float64()),
+                "doc_id": pa.array(ids_out, pa.int64()),
+                "tok": pa.array(tok_out, pa.string()),
+                "k": pa.array(k_out, pa.int64()),
             }
         )
 
-    return _docs(sf_dir).map_batches(score, batch_format="pyarrow")
+    sentinel = ray.data.from_arrow(
+        pa.table({"tok": pa.array([""], pa.string()),
+                  "c": pa.array([1], pa.int64())})
+    )
+    joined = (
+        _docs(sf_dir)
+        .map_batches(explode, batch_format="pyarrow")
+        .join(
+            vocab.union(sentinel),
+            join_type="inner",
+            num_partitions=join_partitions(),
+            on=("tok",),
+        )
+    )
+
+    def contrib(batch: pa.Table) -> pa.Table:
+        k = batch.column("k").to_pylist()
+        c = batch.column("c").to_pylist()
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+                "n_tokens": pa.array(k, pa.int64()),
+                "sum_log2": pa.array(
+                    [ki * (int(ci).bit_length() - 1)
+                     for ki, ci in zip(k, c)],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    per_doc = (
+        joined.map_batches(contrib, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(
+            Sum("n_tokens", alias_name="n_tokens"),
+            Sum("sum_log2", alias_name="sum_log2"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_tokens").to_pylist()
+        s = batch.column("sum_log2").to_pylist()
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+                "n_tokens": pa.array([int(x) for x in n], pa.int64()),
+                "sum_log2": pa.array([int(x) for x in s], pa.int64()),
+                "lm_score": pa.array(
+                    [
+                        (si * 1_000_000 // (ni * d_log)) / 1e6
+                        if ni and d_log else 0.0
+                        for ni, si in zip(n, s)
+                    ],
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return per_doc.map_batches(finish, batch_format="pyarrow")
 
 
 def doc_fingerprint(sf_dir: str):
