@@ -413,3 +413,84 @@ def test_unigram_logprob_join_path_matches_broadcast(ray_session):
     )
     assert len(a) == len(b) == 500
     assert a.equals(b)
+
+
+def test_lsh_posting_cap_rhp(monkeypatch, caplog):
+    """Posting lists over LSH_POSTING_CAP are dropped whole (with a
+    logged count), smaller lists are untouched."""
+    import logging
+
+    from web_content_extraction_benchmark_ray.stages import dedup as dd
+    from web_content_extraction_benchmark_ray.stages.simsearch import (
+        rhp_candidate_pairs,
+    )
+
+    monkeypatch.setattr(dd, "LSH_POSTING_CAP", 8)
+    t = pa.table(
+        {
+            "band_id": pa.array([0] * 9 + [1] * 3, pa.int32()),
+            "band_val": pa.array([0] * 9 + [7] * 3, pa.int64()),
+            "vec_id": pa.array(
+                list(range(9)) + [100, 101, 102], pa.int64()
+            ),
+        }
+    )
+    with caplog.at_level(logging.WARNING):
+        out = rhp_candidate_pairs(t)
+    got = set(zip(out["doc_id_a"].to_pylist(), out["doc_id_b"].to_pylist()))
+    assert got == {(100, 101), (100, 102), (101, 102)}
+    assert any("dropped 1 posting list" in r.message for r in caplog.records)
+
+
+def test_lsh_posting_cap_minhash(monkeypatch, caplog):
+    import logging
+
+    from web_content_extraction_benchmark_ray.functions.hashing import (
+        MINHASH_K,
+    )
+    from web_content_extraction_benchmark_ray.stages import dedup as dd
+
+    monkeypatch.setattr(dd, "LSH_POSTING_CAP", 8)
+    sig = list(range(MINHASH_K))
+    t = pa.table(
+        {
+            "band_id": pa.array([0] * 9 + [1] * 2, pa.int32()),
+            "band_key": pa.array(["aa"] * 9 + ["bb"] * 2, pa.string()),
+            "doc_id": pa.array(list(range(9)) + [100, 101], pa.int64()),
+            "sig": pa.array([sig] * 11, pa.list_(pa.int64())),
+        }
+    )
+    with caplog.at_level(logging.WARNING):
+        out = dd.minhash_bucket_pairs(t)
+    got = set(zip(out["doc_id_a"].to_pylist(), out["doc_id_b"].to_pylist()))
+    assert got == {(100, 101)}
+    assert any("dropped 1 posting list" in r.message for r in caplog.records)
+
+
+def test_cosine_dup_pairs_lsh_constant_vectors_bounded(ray_session):
+    """Degenerate corpus: every embedding identical, so all vectors share
+    every band value (one giant posting list per band).  Uncapped this is
+    C(n,2) ~ 33M candidate pairs through two more all-to-alls; the cap
+    drops the lists and the pipeline completes in bounded time with zero
+    pairs."""
+    import ray
+
+    from web_content_extraction_benchmark_ray.stages.dedup import (
+        LSH_POSTING_CAP,
+    )
+    from web_content_extraction_benchmark_ray.stages.simsearch import (
+        cosine_dup_pairs_lsh,
+    )
+
+    n = LSH_POSTING_CAP + 8
+    mat = np.ones((n, 8), dtype=np.float32)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                "embedding": pa.array(mat.tolist(), pa.list_(pa.float32())),
+            }
+        )
+    )
+    out = cosine_dup_pairs_lsh(ds, partitions=4).to_pandas()
+    assert len(out) == 0

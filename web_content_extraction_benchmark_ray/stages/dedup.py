@@ -28,6 +28,8 @@ use NATIVE aggregates (Min/Max/Count) that reduce C-side.
 from __future__ import annotations
 
 import hashlib
+import logging
+import os
 
 import numpy as np
 
@@ -152,9 +154,40 @@ def minhash_band_rows(batch: pa.Table,
     )
 
 
+# Per-(band, key) posting-list member cap — the MAX_DF discipline applied
+# to LSH banding.  A degenerate band value (near-identical boilerplate
+# text, zero/constant embeddings whose sign pattern is all-ones) otherwise
+# enumerates O(m^2) candidate pairs from one posting list and the verify
+# shuffle re-ships each hot member once per pair.  Lists OVER the cap are
+# dropped whole (deterministic; mirrors the MAX_DF df-cut) and the drop is
+# logged loudly — never silent.  The cap never binds on the benchmark
+# corpora (max observed list ~ tens of members), so the DuckDB oracles
+# stay exact below it; a corpus that trips it is trading bounded recall
+# loss on pathological near-constant content for bounded runtime.
+LSH_POSTING_CAP = int(os.environ.get("WCEB_LSH_POSTING_CAP", "8192"))
+
+_log = logging.getLogger(__name__)
+
+
+def _cap_posting(posting: dict, what: str) -> dict:
+    import sys
+
+    cap = sys.modules[__name__].LSH_POSTING_CAP
+    over = {k: len(v) for k, v in posting.items() if len(v) > cap}
+    if over:
+        _log.warning(
+            "%s: dropped %d posting list(s) over cap %d (%d rows): %s",
+            what, len(over), cap, sum(over.values()),
+            list(over.items())[:4],
+        )
+        posting = {k: v for k, v in posting.items() if len(v) <= cap}
+    return posting
+
+
 def minhash_bucket_pairs(group: pa.Table) -> pa.Table:
     """One coarse bucket: group its rows by (band_id, band_key) in one
-    call, emit verified pairs (est_j >= threshold)."""
+    call, emit verified pairs (est_j >= threshold).  Posting lists over
+    ``LSH_POSTING_CAP`` are dropped with a logged count."""
     bands = group.column("band_id").to_pylist()
     keys = group.column("band_key").to_pylist()
     ids = group.column("doc_id").to_pylist()
@@ -162,6 +195,7 @@ def minhash_bucket_pairs(group: pa.Table) -> pa.Table:
     posting: dict = {}
     for b, k, d, s in zip(bands, keys, ids, sigs):
         posting.setdefault((b, k), []).append((d, tuple(s)))
+    posting = _cap_posting(posting, "minhash_bucket_pairs")
     a_out, b_out, j_out = [], [], []
     for members in posting.values():
         if len(members) < 2:

@@ -259,7 +259,12 @@ def rhp_band_rows(batch: pa.Table) -> pa.Table:
 def rhp_candidate_pairs(group: pa.Table) -> pa.Table:
     """One sort partition of band rows: i<j candidate pairs per
     (band_id, band_val) posting list (UNVERIFIED — cosine happens in the
-    co-group verify stage, where the vectors live)."""
+    co-group verify stage, where the vectors live).  A crowded band value
+    (e.g. zero/near-constant embeddings all sharing the all-ones sign
+    pattern) would emit O(m^2) rows into two more all-to-alls, so lists
+    over ``dedup.LSH_POSTING_CAP`` are dropped with a logged count."""
+    from .dedup import _cap_posting
+
     posting: dict = {}
     for b, bv, d in zip(
         group.column("band_id").to_pylist(),
@@ -267,6 +272,7 @@ def rhp_candidate_pairs(group: pa.Table) -> pa.Table:
         group.column("vec_id").to_pylist(),
     ):
         posting.setdefault((b, bv), set()).add(d)
+    posting = _cap_posting(posting, "rhp_candidate_pairs")
     seen = set()
     a_out, b_out = [], []
     for members in posting.values():
