@@ -78,3 +78,50 @@ def test_code_fingerprint_changes_cache_dir(monkeypatch):
     monkeypatch.setattr(ec, "_CODE_FP", "deadbeef")
     assert ec._cache_dir(SF) != d1
     assert ec._cache_dir(SF).endswith("-deadbeef")
+
+
+def test_concurrent_ensure_computes_once(monkeypatch, tmp_path):
+    """Two drivers racing on the same cold cache: the writer lock +
+    double-checked manifest re-read mean exactly one computes; neither
+    clobbers the other's batch dir or drops its manifest entry."""
+    import json
+    import threading
+    import time
+
+    from web_content_extraction_benchmark_ray.pipelines import (
+        extraction as ex,
+        extractcache as ec,
+    )
+    from web_content_extraction_benchmark_ray.sources import synth
+
+    monkeypatch.setattr(ec, "CACHE_ROOT", str(tmp_path))
+    calls = []
+
+    class FakeDs:
+        def write_parquet(self, out):
+            os.makedirs(out, exist_ok=True)
+            with open(os.path.join(out, "part.parquet"), "w") as f:
+                f.write("x")
+
+    def fake_pipeline(spans, models=(), **kw):
+        calls.append(tuple(models))
+        time.sleep(0.3)  # force the threads to overlap
+        return FakeDs()
+
+    monkeypatch.setattr(ex, "extraction_pipeline", fake_pipeline)
+    monkeypatch.setattr(synth, "build_spans_table", lambda sf: "/dev/null")
+
+    results = {}
+
+    def run(tag):
+        results[tag] = ec.ensure(SF, ("bte",))
+
+    t1 = threading.Thread(target=run, args=("a",))
+    t2 = threading.Thread(target=run, args=("b",))
+    t1.start(); t2.start(); t1.join(); t2.join()
+
+    assert calls == [("bte",)]  # computed exactly once
+    assert results["a"] == results["b"]
+    root = ec._cache_dir(SF)
+    with open(os.path.join(root, "_MANIFEST.json")) as f:
+        assert json.load(f)["batches"] == {"b0000": ["bte"]}

@@ -36,6 +36,7 @@ import hashlib
 import json
 import os
 import shutil
+from contextlib import contextmanager
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -108,10 +109,41 @@ def clear(sf_dir: str) -> None:
     shutil.rmtree(_cache_dir(sf_dir), ignore_errors=True)
 
 
+@contextmanager
+def _writer_lock(root: str):
+    """Exclusive advisory lock for the compute+manifest-update critical
+    section.  Two concurrent drivers over the same sf_dir previously both
+    read the same manifest, picked the same next batch name, and
+    rmtree'd/overwrote each other's parquet output while the second
+    ``_store_manifest`` silently dropped the first's batch entry — a
+    lost-update race on what is the production output sink.  flock scopes
+    the lock to the fd, so a crashed holder releases it automatically.
+
+    The lock file lives NEXT TO the cache dir, not inside it: the
+    stale-cache wipe in ``_load_manifest`` rmtree's the dir, and a lock
+    file deleted mid-hold would hand the next opener a fresh inode whose
+    flock no longer excludes the current holder."""
+    import fcntl
+
+    os.makedirs(os.path.dirname(root) or ".", exist_ok=True)
+    fd = os.open(root + ".lock", os.O_CREAT | os.O_RDWR, 0o644)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        yield
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
+
+
 def ensure(sf_dir: str, models, **pipeline_kwargs) -> list[str]:
     """Make sure every model in ``models`` has cached extraction output;
     compute the missing ones in one shared-parse pipeline run.  Returns
-    the batch directories that together cover ``models``."""
+    the batch directories that together cover ``models``.
+
+    Fully-cached requests take the lock-free fast path; a cache miss
+    enters the writer lock and RE-READS the manifest (double-checked
+    locking), so concurrent drivers compute each missing model exactly
+    once and never clobber each other's batch directories."""
     from .extraction import extraction_pipeline
     from ..sources.synth import build_spans_table
 
@@ -120,18 +152,22 @@ def ensure(sf_dir: str, models, **pipeline_kwargs) -> list[str]:
     src = os.path.abspath(sf_dir)
     manifest = _load_manifest(root, src)
     have = {m for ms in manifest["batches"].values() for m in ms}
-    missing = tuple(m for m in models if m not in have)
-    if missing:
-        spans = build_spans_table(sf_dir)
-        name = f"b{len(manifest['batches']):04d}"
-        out = os.path.join(root, name)
-        shutil.rmtree(out, ignore_errors=True)
-        os.makedirs(root, exist_ok=True)
-        extraction_pipeline(
-            spans, models=missing, **pipeline_kwargs
-        ).write_parquet(out)
-        manifest["batches"][name] = list(missing)
-        _store_manifest(root, src, manifest)
+    if not all(m in have for m in models):
+        with _writer_lock(root):
+            manifest = _load_manifest(root, src)
+            have = {m for ms in manifest["batches"].values() for m in ms}
+            missing = tuple(m for m in models if m not in have)
+            if missing:
+                spans = build_spans_table(sf_dir)
+                name = f"b{len(manifest['batches']):04d}"
+                out = os.path.join(root, name)
+                shutil.rmtree(out, ignore_errors=True)
+                os.makedirs(root, exist_ok=True)
+                extraction_pipeline(
+                    spans, models=missing, **pipeline_kwargs
+                ).write_parquet(out)
+                manifest["batches"][name] = list(missing)
+                _store_manifest(root, src, manifest)
     wanted = set(models)
     return [
         os.path.join(root, name)
