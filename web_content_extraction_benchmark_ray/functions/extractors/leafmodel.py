@@ -190,16 +190,23 @@ def _neighbor(feats, i: int):
 
 
 def leafmodel_seq2_from_segments(blocks, weights: dict = SEQ2_WEIGHTS) -> str:
+    """Context windows index the NON-EMPTY block sequence, mirroring the
+    trained form (pipelines/training.py:leaf_seq_examples and its
+    lag/lead SQL twin) — an earlier form let empty-text blocks occupy
+    window positions, so trained seq2 weights and this extractor computed
+    different features for the same document whenever empties separated
+    content.  On the provable template the margin bound covers both
+    window semantics, so the oracle is unaffected."""
     feats = []
     for b in blocks:
         text = sub_common_entities(b.text())
+        if not text:
+            continue
         words = len(tokenize_ws(text))
-        lr = (b.link_chars / len(text)) if text else 0.0
+        lr = b.link_chars / len(text)
         feats.append((text, words, lr, b.is_heading))
     kept = []
     for i, (text, words, lr, heading) in enumerate(feats):
-        if not text:
-            continue
         (pw1, pl1), (nw1, nl1) = _neighbor(feats, i - 1), _neighbor(feats, i + 1)
         (pw2, pl2), (nw2, nl2) = _neighbor(feats, i - 2), _neighbor(feats, i + 2)
         if block_score_seq2(
