@@ -494,3 +494,23 @@ def test_cosine_dup_pairs_lsh_constant_vectors_bounded(ray_session):
     )
     out = cosine_dup_pairs_lsh(ds, partitions=4).to_pandas()
     assert len(out) == 0
+
+
+def test_knn_ivf_trained_sample_path_is_exact(ray_session, monkeypatch):
+    """Force the capped hash-sample quantizer path (cap far below the
+    corpus): with nprobe = all lists the IVF answer is exactly the
+    brute-force top-k for ANY centroids, so sample-training must not
+    change a single row."""
+    from web_content_extraction_benchmark_ray.pipelines import dataops as dop
+
+    sf = "/root/testdata/sf0.001"
+    base = (
+        dop.knn_cosine(sf).to_pandas()
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    monkeypatch.setattr(dop, "KMEANS_TRAIN_MAX", 20)
+    got = (
+        dop.knn_ivf_trained(sf).to_pandas()
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert base.equals(got)

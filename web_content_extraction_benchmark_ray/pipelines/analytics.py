@@ -207,7 +207,13 @@ def kmeans_iterate(sf_dir: str, iters: int = KMEANS_ITERS):
     which makes fixed-iteration Lloyd hash-verifiable (float sums would
     differ in ulps by reduction order).  Headroom: |x|~O(1) quantizes to
     ~1e6, so int64 holds exact sums beyond 1e12 members per cluster.
-    Returns the final (vec_id, cluster) assignment."""
+    Returns the final (vec_id, cluster) assignment.
+
+    This is the EXACT full-corpus form — the hash-verified oracle of the
+    Lloyd loop itself, so its materialize is the semantics, not a scale
+    oversight.  Consumers that only need a quantizer (knn_ivf_trained,
+    pipelines/dataops.py) train on a capped deterministic hash-sample
+    and never materialize the corpus."""
     ds = read_table(
         os.path.join(sf_dir, "embeddings.parquet"),
         columns=["vec_id", "embedding"],

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
@@ -138,6 +139,32 @@ def knn_ivf(sf_dir: str):
     return ss.knn_ivf(_emb(sf_dir), queries_ref).drop_columns(["cos_r"])
 
 
+# Quantizer training set cap: the iterative Lloyd passes re-read their
+# input, so it must be materialized — materialize a bounded hash-sample,
+# never the corpus.  100k vectors is orders beyond what a coarse
+# quantizer needs (FAISS guidance is ~39-256 points per list).
+KMEANS_TRAIN_MAX = 100_000
+
+
+def _hash_sample(ds, n_rows: int, max_rows: int, key: str = "vec_id"):
+    """Deterministic id-hash sample of ~max_rows rows (knuth-multiply mod
+    2^20 — same integer hash family as the LSH bucketing, so it is
+    reproducible across runs and nodes, unlike random_sample)."""
+    from ..functions.arrownp import num_col
+    from ..stages.simsearch import _vkey_bucket
+
+    space = 1 << 20
+    keep_below = max(1, (max_rows * space) // max(n_rows, 1))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = num_col(batch.column(key), np.int64)
+        return batch.filter(
+            pa.array(_vkey_bucket(ids, space) < keep_below)
+        )
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def knn_ivf_trained(sf_dir: str):
     """IVF top-k with a TRAINED coarse quantizer: distributed Lloyd
     k-means (pipelines/analytics.py:train_centroids, the hash-verified
@@ -145,9 +172,19 @@ def knn_ivf_trained(sf_dir: str):
     to their max-cosine list by a broadcast matmul, and the per-list
     partial-top-k/merge machinery of knn_ivf runs over the learned lists.
     With nprobe = all lists the result is exactly the brute-force answer
-    (same oracle as knn_cosine) — at scale nprobe < lists buys a
-    lists/nprobe scan reduction at bounded recall loss, with list
-    balance coming from the quantizer instead of a table column."""
+    (same oracle as knn_cosine) FOR ANY centroids — at scale
+    nprobe < lists buys a lists/nprobe scan reduction at bounded recall
+    loss, with list balance coming from the quantizer.
+
+    Scale shape: only the Lloyd passes need a re-readable input, so the
+    quantizer trains on a materialized deterministic hash-sample capped
+    at KMEANS_TRAIN_MAX rows; the corpus itself streams through the
+    assignment and search stages exactly once — no full-table
+    materialize on any path.  Corpora at or under the cap train on every
+    row (the sample IS the corpus), so small-scale runs are unchanged.
+    ``kmeans_iterate`` (pipelines/analytics.py) keeps the exact
+    full-corpus loop: it is the hash-verified oracle form of Lloyd
+    itself, not a quantizer consumer."""
     from .analytics import (
         KMEANS_ITERS,
         _assign_batch,
@@ -158,8 +195,14 @@ def knn_ivf_trained(sf_dir: str):
     import pyarrow.compute as pc
 
     path = os.path.join(sf_dir, "embeddings.parquet")
-    ds = read_table(path, columns=["vec_id", "embedding"]).materialize()
-    cents = train_centroids(ds, _load_centroids(sf_dir), KMEANS_ITERS)
+    ds = read_table(path, columns=["vec_id", "embedding"])
+    n_rows = ds.count()  # parquet metadata — no scan
+    train = (
+        _hash_sample(ds, n_rows, KMEANS_TRAIN_MAX)
+        if n_rows > KMEANS_TRAIN_MAX
+        else ds
+    ).materialize()
+    cents = train_centroids(train, _load_centroids(sf_dir), KMEANS_ITERS)
     cent_ref = ray.put(cents)
 
     def label_rows(batch: pa.Table) -> pa.Table:
