@@ -87,3 +87,74 @@ def test_report_figures_and_styled_tables(ray_session, tmp_path):
     assert r"\bfseries" in tex and r"\toprule" in tex
     html = open(w1["score_matrix.html"]).read()
     assert 'style="font-weight: bold"' in html
+
+
+def test_xlsx_sink_roundtrip_and_determinism(tmp_path):
+    """The from-scratch OOXML writer: parse the zip back with stdlib
+    tools and recover every value and every bold (column-max) flag; two
+    writes are byte-identical."""
+    import zipfile
+    import xml.etree.ElementTree as ET
+
+    from web_content_extraction_benchmark_ray.pipelines.report import (
+        _bold_max_mask,
+    )
+    from web_content_extraction_benchmark_ray.sources.xlsx import (
+        col_letter,
+        write_xlsx,
+    )
+
+    assert [col_letter(i) for i in (0, 25, 26, 51, 701, 702)] == [
+        "A", "Z", "AA", "AZ", "ZZ", "AAA"
+    ]
+
+    df = pd.DataFrame(
+        {
+            "model": ["bte", "justext", "whole_text"],
+            "mean": [0.91, 0.87, 0.5],
+            "n": [10, 10, 10],
+        }
+    )
+    p1, p2 = str(tmp_path / "a.xlsx"), str(tmp_path / "b.xlsx")
+    masks = {"scores": _bold_max_mask(df)}
+    write_xlsx(p1, {"scores": df}, bold_masks=masks)
+    write_xlsx(p2, {"scores": df}, bold_masks=masks)
+    assert open(p1, "rb").read() == open(p2, "rb").read()
+
+    ns = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+    with zipfile.ZipFile(p1) as z:
+        names = set(z.namelist())
+        assert {
+            "[Content_Types].xml", "_rels/.rels", "xl/workbook.xml",
+            "xl/_rels/workbook.xml.rels", "xl/styles.xml",
+            "xl/worksheets/sheet1.xml",
+        } <= names
+        sheet = ET.fromstring(z.read("xl/worksheets/sheet1.xml"))
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+    assert [s.get("name") for s in wb.iter(f"{ns}sheet")] == ["scores"]
+
+    cells = {}
+    for c in sheet.iter(f"{ns}c"):
+        if c.get("t") == "inlineStr":
+            val = c.find(f"{ns}is/{ns}t").text
+        else:
+            v = c.find(f"{ns}v")
+            val = float(v.text) if v is not None else None
+        cells[c.get("r")] = (val, c.get("s") == "1")
+    # header row is bold; values round-trip; column maxima are bold
+    assert cells["A1"] == ("model", True)
+    assert cells["B2"] == (0.91, True)   # mean max
+    assert cells["B3"] == (0.87, False)
+    assert cells["C2"] == (10.0, False)  # 'n' excluded from highlighting
+    assert cells["A2"] == ("bte", False)
+
+
+def test_write_report_emits_xlsx(ray_session, tmp_path):
+    from web_content_extraction_benchmark_ray.pipelines.report import (
+        write_report,
+    )
+
+    written = write_report(SF, str(tmp_path), formats=("xlsx",))
+    import zipfile
+
+    assert zipfile.is_zipfile(written["rouge_scores.xlsx"])

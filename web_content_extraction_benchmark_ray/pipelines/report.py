@@ -4,9 +4,10 @@
 ``plt.py:16-32``: XLSX/LaTeX score matrices + a PDF plot of models ranked
 by median score).
 
-This sandbox has no openpyxl/matplotlib, and an engine should not emit
-binary spreadsheets anyway — the report surface here is CSV (one file per
-table, machine-readable) plus a single human-readable markdown file, all
+This sandbox has no openpyxl/matplotlib — the report surface is CSV (one
+file per table, machine-readable), a human-readable markdown file,
+styled LaTeX/HTML tables, deterministic SVG figures, and a real .xlsx
+workbook written by the from-scratch OOXML sink (sources/xlsx.py), all
 rendered driver-side from the ALREADY-AGGREGATED datasets (A1-A5 are
 tiny: models × datasets rows).  Every value is taken verbatim from the
 same aggregation pipelines the driver hash-verifies (eval_agg_*), so the
@@ -237,7 +238,7 @@ def render_html_table(df: pd.DataFrame, caption: str) -> str:
 
 
 def write_report(sf_dir: str, out_dir: str, scorer: str = "rouge",
-                 formats=("csv", "md", "svg", "tex", "html"),
+                 formats=("csv", "md", "svg", "tex", "html", "xlsx"),
                  scores_path: str | None = None) -> dict[str, str]:
     """Write the report files; returns {artifact: path}.
 
@@ -301,4 +302,23 @@ def write_report(sf_dir: str, out_dir: str, scorer: str = "rouge",
             render_html_table(tables["model_ranking"],
                               f"Models ranked by micro median ({scorer})"),
         )
+    if "xlsx" in formats:
+        # the reference's styler.to_excel (eval.py:209-230): one workbook,
+        # bold on each column's max, written by the from-scratch OOXML
+        # sink (sources/xlsx.py — no openpyxl in this environment)
+        from ..sources.xlsx import write_xlsx
+
+        p = os.path.join(out_dir, f"{scorer}_scores.xlsx")
+        write_xlsx(
+            p,
+            {
+                "score_matrix": tables["score_matrix"],
+                "model_ranking": tables["model_ranking"],
+            },
+            bold_masks={
+                "score_matrix": _bold_max_mask(tables["score_matrix"]),
+                "model_ranking": _bold_max_mask(tables["model_ranking"]),
+            },
+        )
+        written[f"{scorer}_scores.xlsx"] = p
     return written
