@@ -247,3 +247,88 @@ def test_jsonl_roundtrip_and_sorted(tmp_path):
     gz = str(tmp_path / "answers.jsonl.gz")
     write_jsonl_sorted(rows, gz)
     assert [r["page_id"] for r in read_jsonl(gz)] == ["aaa", "zzz"]
+
+
+def test_dataset_name_dispatch_covers_all_eight():
+    """Reference read_raw_dataset parity (dataset_readers.py:345-370):
+    every reference dataset NAME resolves to a format reader with the
+    right specialization."""
+    from web_content_extraction_benchmark_ray.sources.readers import (
+        DATASET_KINDS,
+        READERS,
+        read_dataset,
+    )
+
+    assert sorted(DATASET_KINDS) == [
+        "cetd", "cleaneval", "cleanportaleval", "dragnet",
+        "google-trends-2017", "l3s-gn1", "readability", "scrapinghub",
+    ]
+    for name, (kind, _) in DATASET_KINDS.items():
+        r = read_dataset(name, "/nonexistent")
+        assert isinstance(r.inner, READERS[kind]), name
+        assert r.name == name
+
+    r = read_dataset("cleanportaleval", "/nonexistent")
+    assert (r.inner.orig_dir, r.inner.clean_dir) == ("input", "GoldStandard")
+    r = read_dataset("google-trends-2017", "/nonexistent")
+    assert (r.inner.marker, r.inner.attr) == ("1", "__boilernet_label")
+    r = read_dataset("l3s-gn1", "/nonexistent")
+    assert (r.inner.marker, r.inner.attr) == ("x-nc-sel", "class")
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown dataset"):
+        read_dataset("nope", "/x")
+
+
+def test_boilernet_attribute_marker(tmp_path):
+    """google-trends-2017 style: [__boilernet_label="1"] attribute
+    EQUALITY selects truth nodes (label "10" must not match)."""
+    from web_content_extraction_benchmark_ray.sources.readers import (
+        read_dataset,
+    )
+
+    html = (
+        '<html><body><p __boilernet_label="1">keep me</p>'
+        '<p __boilernet_label="10">not me</p>'
+        "<p>boiler</p>"
+        '<div __boilernet_label="1"><span>nested kept</span></div>'
+        "</body></html>"
+    )
+    (tmp_path / "a.html").write_text(html)
+    truth = dict(
+        read_dataset("google-trends-2017", str(tmp_path),
+                     ground_truth=True).read()
+    )
+    assert len(truth) == 1
+    rec = next(iter(truth.values()))
+    assert rec["dataset"] == "google-trends-2017"
+    assert "keep me" in rec["plaintext"]
+    assert "nested kept" in rec["plaintext"]
+    assert "not me" not in rec["plaintext"]
+    assert "boiler" not in rec["plaintext"]
+
+
+def test_cleanportaleval_directory_layout(tmp_path):
+    from web_content_extraction_benchmark_ray.sources.readers import (
+        read_dataset,
+    )
+
+    (tmp_path / "input").mkdir()
+    (tmp_path / "GoldStandard").mkdir()
+    (tmp_path / "input" / "c1.html").write_text(
+        "<text><p>hello portal</p></text>"
+    )
+    (tmp_path / "GoldStandard" / "c1.txt").write_text(
+        "URL: http://x\nhello portal"
+    )
+    pages = dict(read_dataset("cleanportaleval", str(tmp_path)).read())
+    truth = dict(
+        read_dataset("cleanportaleval", str(tmp_path),
+                     ground_truth=True).read()
+    )
+    (page,) = pages.values()
+    (t,) = truth.values()
+    assert page["dataset"] == t["dataset"] == "cleanportaleval"
+    assert "hello portal" in page["html"]
+    assert t["plaintext"] == "hello portal"

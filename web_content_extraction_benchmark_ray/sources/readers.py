@@ -121,15 +121,25 @@ class PairedReader:
                 }
 
 
-def extract_with_class_marker(html: str, marker: str) -> str:
-    """Leaf-text extraction over elements whose ``class`` contains
-    ``marker``, inserting newlines at block-tag boundaries (capability of
-    reference ``_extract_with_css_selector``, dataset_readers.py:282-298)."""
+def extract_with_class_marker(html: str, marker: str,
+                              attr: str = "class") -> str:
+    """Leaf-text extraction over marked elements, inserting newlines at
+    block-tag boundaries (capability of reference
+    ``_extract_with_css_selector``, dataset_readers.py:282-298).  With
+    ``attr="class"`` an element matches when its class CONTAINS
+    ``marker`` (the `.x-nc-sel1, .x-nc-sel2, ...` selector family);
+    for any other attribute it matches on EQUALITY (the
+    `[__boilernet_label="1"]` selector, dataset_readers.py:301-313)."""
     root = parse(html)
     out: list[str] = []
 
+    def match(node) -> bool:
+        if attr == "class":
+            return marker in node.attrs.get("class", "")
+        return node.attrs.get(attr) == marker
+
     def walk(node, selected: bool):
-        sel = selected or marker in node.attrs.get("class", "")
+        sel = selected or match(node)
         for child in node.children:
             if isinstance(child, str):
                 if sel and child.strip():
@@ -158,11 +168,13 @@ def extract_with_class_marker(html: str, marker: str) -> str:
 
 
 class SelectorReader:
-    """L3S-style: truth embedded in the page via a class marker."""
+    """L3S-style: truth embedded in the page via a class marker (or, with
+    ``attr``, any attribute-equality marker, e.g. BoilerNet labels)."""
 
     def __init__(self, root: str, ground_truth: bool = False,
-                 marker: str = "x-nc-sel"):
+                 marker: str = "x-nc-sel", attr: str = "class"):
         self.root, self.ground_truth, self.marker = root, ground_truth, marker
+        self.attr = attr
 
     def read(self) -> Iterator[tuple[str, dict]]:
         for name in sorted(os.listdir(self.root)):
@@ -174,7 +186,9 @@ class SelectorReader:
             html = decode_page_bytes(raw)
             if self.ground_truth:
                 yield page_id, {
-                    "plaintext": extract_with_class_marker(html, self.marker),
+                    "plaintext": extract_with_class_marker(
+                        html, self.marker, self.attr
+                    ),
                     "dataset": "selector", "case": case,
                 }
             else:
@@ -319,6 +333,59 @@ def read_corpus(kind: str, root: str, ground_truth: bool = False, **kw):
     except KeyError:
         raise ValueError(f"unknown corpus kind {kind!r}; known: {sorted(READERS)}")
     return cls(root, ground_truth=ground_truth, **kw)
+
+
+# The reference dispatches eight dataset NAMES (read_raw_dataset,
+# dataset_readers.py:345-370); each maps onto one of the format kinds
+# above plus the kwargs that specialize it.  A user porting a reference
+# config keeps their dataset names verbatim.
+DATASET_KINDS: dict[str, tuple[str, dict]] = {
+    "cetd": ("verticals", {}),
+    "cleaneval": ("wrapped", {}),
+    # CleanPortalEval is CleanEval's format under different directory
+    # names (dataset_readers.py:171-179)
+    "cleanportaleval": (
+        "wrapped", {"orig_dir": "input", "clean_dir": "GoldStandard"}
+    ),
+    "dragnet": ("paired", {}),
+    # BoilerNet labels: attribute-equality marker
+    # ([__boilernet_label="1"], dataset_readers.py:301-313)
+    "google-trends-2017": (
+        "selector", {"marker": "1", "attr": "__boilernet_label"}
+    ),
+    # .x-nc-sel1/2/3 -> class-contains marker (dataset_readers.py:264-276)
+    "l3s-gn1": ("selector", {"marker": "x-nc-sel", "attr": "class"}),
+    "readability": ("casedir", {}),
+    "scrapinghub": ("jsontruth", {}),
+}
+
+
+class _NamedReader:
+    """Wrap a format reader so records carry the DATASET NAME (the
+    reference's per-dataset labels), not the generic format kind."""
+
+    def __init__(self, inner, name: str):
+        self.inner, self.name = inner, name
+
+    def read(self) -> Iterator[tuple[str, dict]]:
+        for page_id, rec in self.inner.read():
+            yield page_id, {**rec, "dataset": self.name}
+
+
+def read_dataset(name: str, root: str, ground_truth: bool = False, **kw):
+    """Reference-name dispatch (read_raw_dataset parity): resolve one of
+    the eight dataset names to its format reader + kwargs."""
+    try:
+        kind, defaults = DATASET_KINDS[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown dataset {name!r}; known: {sorted(DATASET_KINDS)}"
+        )
+    return _NamedReader(
+        read_corpus(kind, root, ground_truth=ground_truth,
+                    **{**defaults, **kw}),
+        name,
+    )
 
 
 def corpus_to_dataset(reader):
