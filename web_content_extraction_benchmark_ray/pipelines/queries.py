@@ -56,21 +56,20 @@ def media_spans(sf_dir: str):
     assembled = reassemble(read_spans(path))
 
     def emit(batch: pa.Table) -> pa.Table:
-        doc_ids, refs_col = (
-            batch.column("doc_id").to_pylist(),
-            batch.column("media_refs").to_pylist(),
+        # Arrow-side explode: parent indices + flatten replace the nested
+        # Python loop; only the per-ref codec dispatch stays in Python.
+        refs = batch.column("media_refs").combine_chunks()
+        parents = pc.list_parent_indices(refs)
+        flat = pc.list_flatten(refs)
+        doc_ids = pc.cast(
+            pc.take(batch.column("doc_id"), parents), pa.int64()
         )
-        out_id, out_ref, out_text = [], [], []
-        for did, refs in zip(doc_ids, refs_col):
-            for ref in refs or []:
-                out_id.append(int(did))
-                out_ref.append(ref)
-                out_text.append(parse_media(ref))
+        texts = [parse_media(r) for r in flat.to_pylist()]
         return pa.table(
             {
-                "doc_id": pa.array(out_id, pa.int64()),
-                "media_ref": pa.array(out_ref, pa.string()),
-                "media_text": pa.array(out_text, pa.string()),
+                "doc_id": doc_ids,
+                "media_ref": pc.cast(flat, pa.string()),
+                "media_text": pa.array(texts, pa.string()),
             }
         )
 
