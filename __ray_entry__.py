@@ -130,6 +130,8 @@ _SAMPLE_FIRST = [
     "embedding_dup_survivors",
     "knn_ivf_trained",
     "pdf_extract",
+    # new in round 4
+    "chunk_windows",
     # flagship + north-rule invariant canaries
     "extract_bte",
     "extract_spans_signature",

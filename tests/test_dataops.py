@@ -514,3 +514,45 @@ def test_knn_ivf_trained_sample_path_is_exact(ray_session, monkeypatch):
         .sort_values(["query_id", "rank"]).reset_index(drop=True)
     )
     assert base.equals(got)
+
+
+def test_chunk_windows_shape_and_content(ray_session):
+    """Window math: starts 0, s, 2s, ... while start < n; trailing
+    windows clamp to n; chunk_text is the space-joined token slice."""
+    from web_content_extraction_benchmark_ray.pipelines.dataops import (
+        CHUNK_S,
+        CHUNK_W,
+        chunk_windows,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    df = (
+        chunk_windows(sf).to_pandas()
+        .sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    )
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(
+        sf + "/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    expect = []
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        toks = text.strip().split()
+        n = max(len(toks), 1)
+        start = 0
+        cid = 0
+        while start < n:
+            sl = toks[start : start + CHUNK_W]
+            expect.append(
+                (int(did), cid, " ".join(sl), min(start + CHUNK_W, n) - start)
+            )
+            cid += 1
+            start += CHUNK_S
+    got = list(
+        df[["doc_id", "chunk_id", "chunk_text", "n_tokens"]].itertuples(
+            index=False, name=None
+        )
+    )
+    assert sorted(got) == sorted(expect)
+    # every doc's chunk 0 exists and overlap is w - s tokens
+    assert (df.groupby("doc_id")["chunk_id"].min() == 0).all()

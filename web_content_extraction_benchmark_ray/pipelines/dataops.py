@@ -694,6 +694,67 @@ def pdf_extract(sf_dir: str):
     )
 
 
+# RAG / context-window chunking: every doc is exploded into overlapping
+# fixed-width token windows (the training-data "chunking" classic).
+CHUNK_W = 8  # window width in tokens
+CHUNK_S = 4  # stride in tokens
+
+
+def chunk_windows(sf_dir: str, w: int = CHUNK_W, s: int = CHUNK_S):
+    """Explode each document into overlapping token windows of ``w``
+    tokens at stride ``s`` (starts 0, s, 2s, ... while start < n_tokens;
+    trailing windows may be shorter).  Fully Arrow/numpy-vectorized: the
+    per-chunk token gather is one ``take`` over the flat token buffer and
+    the join-with-spaces is a C++ ``binary_join`` — no Python per row.
+
+    Tokenization mirrors the oracle's ``regexp_split_to_array(trim(text),
+    '\\s+')`` (trim + whitespace-run split; a blank doc is one '' token,
+    per the no-empty-documents corpus note in dataops_oracles.py).
+
+    At 100 TB this is a stateless map: no shuffle, output ~w/s x input
+    tokens; batch memory is bounded by batch_size x (w/s) x doc bytes.
+    """
+
+    def chunk(batch: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(
+            pc.utf8_trim_whitespace(batch.column("text"))
+        ).combine_chunks()
+        n = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        k = -(-n // s)  # ceil(n / s) chunks per doc; n >= 1 (trim conv.)
+        parent = np.repeat(np.arange(len(n), dtype=np.int64), k)
+        first = np.cumsum(k) - k
+        chunk_id = np.arange(int(k.sum()), dtype=np.int64) - np.repeat(
+            first, k
+        )
+        start = chunk_id * s
+        stop = np.minimum(start + w, n[parent])
+        ln = stop - start
+        # flat token-gather indices: doc offset + start + 0..ln-1
+        offs = toks.offsets.to_numpy().astype(np.int64)[:-1]
+        gidx = np.repeat(offs[parent] + start, ln) + (
+            np.arange(int(ln.sum()), dtype=np.int64)
+            - np.repeat(np.cumsum(ln) - ln, ln)
+        )
+        flat = pc.take(toks.values, pa.array(gidx, pa.int64()))
+        loffs = np.concatenate(([0], np.cumsum(ln)))
+        chunks = pa.ListArray.from_arrays(
+            pa.array(loffs, pa.int32()), flat
+        )
+        return pa.table(
+            {
+                "doc_id": pc.cast(
+                    pc.take(batch.column("doc_id"), pa.array(parent)),
+                    pa.int64(),
+                ),
+                "chunk_id": pa.array(chunk_id, pa.int64()),
+                "chunk_text": pc.binary_join(chunks, " "),
+                "n_tokens": pa.array(ln, pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(chunk, batch_format="pyarrow")
+
+
 def dataops_queries() -> dict:
     return {
         "dedup_exact": dedup_exact,
@@ -717,4 +778,5 @@ def dataops_queries() -> dict:
         "pdf_extract": pdf_extract,
         "repetition_stats": repetition_stats,
         "unigram_logprob": unigram_logprob,
+        "chunk_windows": chunk_windows,
     }

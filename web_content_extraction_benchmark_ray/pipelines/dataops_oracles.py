@@ -511,4 +511,25 @@ SELECT media_ref, n_bytes, width, height,
          AS caption
 FROM d"""
 
+    from .dataops import CHUNK_S, CHUNK_W
+
+    # chunk_windows: starts 0, s, 2s, ... while start < n_tokens; the
+    # slice upper bound is clamped to n so trailing windows are shorter
+    # (1-based inclusive DuckDB array slices).
+    sqls["chunk_windows"] = f"""WITH t AS (
+  SELECT doc_id, l, len(l) AS n
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS l
+        FROM documents)
+)
+SELECT doc_id,
+       i - 1 AS chunk_id,
+       array_to_string(
+         l[(i - 1) * {CHUNK_S} + 1
+           : least((i - 1) * {CHUNK_S} + {CHUNK_W}, n)], ' ') AS chunk_text,
+       least((i - 1) * {CHUNK_S} + {CHUNK_W}, n)
+         - (i - 1) * {CHUNK_S} AS n_tokens
+FROM t,
+     UNNEST(generate_series(
+       1, CAST(ceil(n * 1.0 / {CHUNK_S}) AS BIGINT))) AS u(i)"""
+
     return sqls
