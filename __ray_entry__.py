@@ -132,6 +132,7 @@ _SAMPLE_FIRST = [
     "pdf_extract",
     # new in round 4
     "chunk_windows",
+    "dup_span_stats",
     # flagship + north-rule invariant canaries
     "extract_bte",
     "extract_spans_signature",

@@ -184,6 +184,10 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
             timed("unigram_logprob",
                   lambda: _consume(d.unigram_logprob(sf_dir)))
             timed("pdf_extract", lambda: _consume(d.pdf_extract(sf_dir)))
+            timed("chunk_windows",
+                  lambda: _consume(d.chunk_windows(sf_dir)))
+            timed("dup_span_stats",
+                  lambda: _consume(d.dup_span_stats(sf_dir)))
         except ImportError:
             pass
         try:

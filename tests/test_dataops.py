@@ -556,3 +556,67 @@ def test_chunk_windows_shape_and_content(ray_session):
     assert sorted(got) == sorted(expect)
     # every doc's chunk 0 exists and overlap is w - s tokens
     assert (df.groupby("doc_id")["chunk_id"].min() == 0).all()
+
+
+def test_dup_span_stats_matches_bruteforce(ray_session):
+    """Exact copies (every 10th doc) must make BOTH twins fully
+    duplicated; the whole table must equal a brute-force recompute."""
+    from collections import Counter
+
+    from web_content_extraction_benchmark_ray.functions.text import tokenize_ws
+    from web_content_extraction_benchmark_ray.pipelines.dataops import (
+        EXACT_COPY_EVERY,
+        EXACT_COPY_OFFSET,
+        NEAR_DUP_EVERY,
+        NEAR_DUP_OFFSET,
+        SPAN_W,
+        dup_span_stats,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    df = (
+        dup_span_stats(sf).to_pandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(
+        sf + "/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    corpus = {int(i): t for i, t in zip(docs["doc_id"], docs["text"])}
+    for i in list(corpus):
+        if i % EXACT_COPY_EVERY == 0:
+            corpus[i + EXACT_COPY_OFFSET] = corpus[i]
+        if i % NEAR_DUP_EVERY == 0:
+            corpus[i + NEAR_DUP_OFFSET] = " ".join(
+                tokenize_ws(corpus[i])[:-1]
+            )
+
+    def wins(t):
+        toks = tokenize_ws(t)
+        if len(toks) < SPAN_W:
+            return [" ".join(toks)]
+        return [
+            " ".join(toks[j : j + SPAN_W])
+            for j in range(len(toks) - SPAN_W + 1)
+        ]
+
+    total = Counter()
+    for t in corpus.values():
+        total.update(wins(t))
+    expect = {}
+    for i, t in corpus.items():
+        ws = wins(t)
+        nd = sum(1 for w in ws if total[w] >= 2)
+        expect[i] = (
+            len(ws), nd, ((nd * 2_000_000 + len(ws)) // (2 * len(ws))) / 1e6
+        )
+    got = {
+        int(r.doc_id): (int(r.n_windows), int(r.n_dup), float(r.dup_ratio))
+        for r in df.itertuples()
+    }
+    assert got == expect
+    # the exact-copy twins are fully duplicated
+    full = [i for i in corpus if i % EXACT_COPY_EVERY == 0
+            and i < NEAR_DUP_OFFSET]
+    assert all(got[i + EXACT_COPY_OFFSET][2] == 1.0 for i in full)

@@ -694,6 +694,120 @@ def pdf_extract(sf_dir: str):
     )
 
 
+# ExactSubstr-style duplicated-window analysis (Lee et al. 2022,
+# "Deduplicating Training Data Makes Language Models Better"): stride-1
+# token windows; an occurrence is duplicated iff its window string
+# occurs >= 2 times corpus-wide (cross- OR within-doc).
+SPAN_W = 5  # window width in tokens (docs shorter -> one whole-doc window)
+
+
+def dup_span_stats(sf_dir: str):
+    """Per-doc duplicated-window statistics over the augmented corpus
+    view: ``n_windows`` stride-1 ``SPAN_W``-token windows, ``n_dup`` of
+    whose occurrences are corpus-duplicated, and their round6 ratio.
+
+    Shape (the unigram_logprob join discipline): distributed window-hash
+    count (per-batch Counter combiner -> native Sum groupby; the REDUCED
+    window-type table is what's pinned, never occurrence rows) ->
+    occurrence-explode hash join on the window hash -> per-doc native
+    Sum.  The stateless explode runs twice (count pass + join pass) —
+    recompute is deliberately preferred over materializing the far
+    larger occurrence side.  No process ever holds the window table;
+    ratio is integer-exact (floor(x*1e6+0.5) via (2an+b)//2b) so the
+    SQL twin matches bit for bit.
+    """
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import hash60
+    from ..functions.text import tokenize_ws
+    from .evalpipe import join_partitions
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids_out, h_out, k_out = [], [], []
+        for i, t in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("text").to_pylist(),
+        ):
+            toks = tokenize_ws(t)
+            if len(toks) < SPAN_W:
+                wins = [" ".join(toks)]
+            else:
+                wins = [
+                    " ".join(toks[j : j + SPAN_W])
+                    for j in range(len(toks) - SPAN_W + 1)
+                ]
+            c = Counter(hash60(w) for w in wins)
+            ids_out.extend([int(i)] * len(c))
+            h_out.extend(c.keys())
+            k_out.extend(c.values())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_out, pa.int64()),
+                "h": pa.array(h_out, pa.int64()),
+                "k": pa.array(k_out, pa.int64()),
+            }
+        )
+
+    def occurrences():
+        return _aug_docs(sf_dir).map_batches(explode, batch_format="pyarrow")
+
+    counts = (
+        occurrences().groupby("h").aggregate(Sum("k", alias_name="c"))
+    )
+    joined = occurrences().join(
+        counts,
+        join_type="inner",
+        num_partitions=join_partitions(),
+        on=("h",),
+    )
+
+    def contrib(batch: pa.Table) -> pa.Table:
+        k = pc.cast(batch.column("k"), pa.int64())
+        dup = pc.if_else(
+            pc.greater_equal(pc.cast(batch.column("c"), pa.int64()), 2),
+            k,
+            pa.scalar(0, pa.int64()),
+        )
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+                "n_windows": k,
+                "n_dup": dup,
+            }
+        )
+
+    per_doc = (
+        joined.map_batches(contrib, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(
+            Sum("n_windows", alias_name="n_windows"),
+            Sum("n_dup", alias_name="n_dup"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = [int(x) for x in batch.column("n_windows").to_pylist()]
+        d = [int(x) for x in batch.column("n_dup").to_pylist()]
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+                "n_windows": pa.array(n, pa.int64()),
+                "n_dup": pa.array(d, pa.int64()),
+                "dup_ratio": pa.array(
+                    [
+                        ((di * 2_000_000 + ni) // (2 * ni)) / 1e6
+                        for ni, di in zip(n, d)
+                    ],
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return per_doc.map_batches(finish, batch_format="pyarrow")
+
+
 # RAG / context-window chunking: every doc is exploded into overlapping
 # fixed-width token windows (the training-data "chunking" classic).
 CHUNK_W = 8  # window width in tokens
@@ -779,4 +893,5 @@ def dataops_queries() -> dict:
         "repetition_stats": repetition_stats,
         "unigram_logprob": unigram_logprob,
         "chunk_windows": chunk_windows,
+        "dup_span_stats": dup_span_stats,
     }

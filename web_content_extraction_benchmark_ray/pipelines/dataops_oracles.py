@@ -532,4 +532,40 @@ FROM t,
      UNNEST(generate_series(
        1, CAST(ceil(n * 1.0 / {CHUNK_S}) AS BIGINT))) AS u(i)"""
 
+    from .dataops import SPAN_W
+
+    # dup_span_stats: stride-1 SPAN_W-token windows over the augmented
+    # view; an occurrence is duplicated iff its window occurs >= 2 times
+    # corpus-wide; ratio is the integer floor(x*1e6+0.5) twin.
+    sqls["dup_span_stats"] = f"""WITH {_AUG.strip()},
+toks AS (
+  SELECT doc_id, l, len(l) AS n
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS l
+        FROM aug)
+),
+win AS (
+  SELECT doc_id,
+         CASE WHEN n < {SPAN_W} THEN array_to_string(l, ' ')
+              ELSE array_to_string(l[i : i + {SPAN_W - 1}], ' ')
+         END AS w
+  FROM toks,
+       UNNEST(generate_series(1, greatest(n - {SPAN_W - 1}, 1))) AS u(i)
+),
+wh AS (SELECT doc_id, {_H60.format('w')} AS h FROM win),
+cnt AS (SELECT h, count(*) AS c FROM wh GROUP BY h),
+per AS (
+  SELECT wh.doc_id,
+         count(*) AS n_windows,
+         CAST(sum(CASE WHEN cnt.c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup
+  FROM wh JOIN cnt USING (h)
+  GROUP BY wh.doc_id
+)
+SELECT doc_id,
+       n_windows,
+       n_dup,
+       ((n_dup * 2000000 + n_windows) // (2 * n_windows)) / 1000000.0
+         AS dup_ratio
+FROM per"""
+
     return sqls
