@@ -620,3 +620,22 @@ def test_dup_span_stats_matches_bruteforce(ray_session):
     full = [i for i in corpus if i % EXACT_COPY_EVERY == 0
             and i < NEAR_DUP_OFFSET]
     assert all(got[i + EXACT_COPY_OFFSET][2] == 1.0 for i in full)
+
+
+def test_dup_span_stats_join_path_matches_broadcast(ray_session):
+    """Forcing the shuffle-join scale path (threshold 0) must reproduce
+    the broadcast path bit for bit."""
+    from web_content_extraction_benchmark_ray.pipelines.dataops import (
+        dup_span_stats,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = (
+        dup_span_stats(sf).to_pandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        dup_span_stats(sf, broadcast_max_types=0).to_pandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    assert a.equals(b)

@@ -701,20 +701,29 @@ def pdf_extract(sf_dir: str):
 SPAN_W = 5  # window width in tokens (docs shorter -> one whole-doc window)
 
 
-def dup_span_stats(sf_dir: str):
+def dup_span_stats(sf_dir: str, broadcast_max_types: int | None = None):
     """Per-doc duplicated-window statistics over the augmented corpus
     view: ``n_windows`` stride-1 ``SPAN_W``-token windows, ``n_dup`` of
     whose occurrences are corpus-duplicated, and their round6 ratio.
 
-    Shape (the unigram_logprob join discipline): distributed window-hash
-    count (per-batch Counter combiner -> native Sum groupby; the REDUCED
-    window-type table is what's pinned, never occurrence rows) ->
-    occurrence-explode hash join on the window hash -> per-doc native
-    Sum.  The stateless explode runs twice (count pass + join pass) —
-    recompute is deliberately preferred over materializing the far
-    larger occurrence side.  No process ever holds the window table;
-    ratio is integer-exact (floor(x*1e6+0.5) via (2an+b)//2b) so the
-    SQL twin matches bit for bit.
+    Shape (the unigram_logprob dual-path discipline): distributed
+    window-hash count (per-batch Counter combiner -> native Sum
+    groupby; the REDUCED window-type table is what's pinned, never
+    occurrence rows), then one of two integer-identical scoring paths
+    chosen by the number of window types:
+
+    - ``<= broadcast_max_types``: dup-hash SET (only counts >= 2 — far
+      smaller than the full window table) broadcast via ``ray.put``;
+      per-doc stats computed inline in one stateless doc pass — no
+      join, no per-doc shuffle.
+    - larger: occurrence-explode hash join on the window hash ->
+      per-doc native Sum.  The stateless explode runs twice (count
+      pass + join pass) — recompute is deliberately preferred over
+      materializing the far larger occurrence side.  No process ever
+      holds the window table.
+
+    Ratio is integer-exact (floor(x*1e6+0.5) via (2an+b)//2b) so the
+    SQL twin matches bit for bit on either path.
     """
     from collections import Counter
 
@@ -723,6 +732,9 @@ def dup_span_stats(sf_dir: str):
     from ..functions.hashing import hash60
     from ..functions.text import tokenize_ws
     from .evalpipe import join_partitions
+
+    if broadcast_max_types is None:
+        broadcast_max_types = UNIGRAM_BROADCAST_MAX_TYPES
 
     def explode(batch: pa.Table) -> pa.Table:
         ids_out, h_out, k_out = [], [], []
@@ -755,7 +767,63 @@ def dup_span_stats(sf_dir: str):
 
     counts = (
         occurrences().groupby("h").aggregate(Sum("k", alias_name="c"))
+        .materialize()
     )
+
+    def finish_rows(ids, n, d):
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_windows": pa.array(n, pa.int64()),
+                "n_dup": pa.array(d, pa.int64()),
+                "dup_ratio": pa.array(
+                    [
+                        ((di * 2_000_000 + ni) // (2 * ni)) / 1e6
+                        for ni, di in zip(n, d)
+                    ],
+                    pa.float64(),
+                ),
+            }
+        )
+
+    if counts.count() <= broadcast_max_types:
+        # small-corpus fast path: ship ONLY the duplicated hashes (the
+        # counts>=2 subset), score in one stateless doc pass
+        dup_hashes = counts.map_batches(
+            lambda b: b.filter(
+                pc.greater_equal(pc.cast(b.column("c"), pa.int64()), 2)
+            ).select(["h"]),
+            batch_format="pyarrow",
+        )
+        dup_set = frozenset(r["h"] for r in dup_hashes.take_all())
+        ref = ray.put(dup_set)
+
+        def score(batch: pa.Table) -> pa.Table:
+            from ..stages.simsearch import _get_broadcast
+
+            dset = _get_broadcast(ref)
+            ids_out, n_out, d_out = [], [], []
+            for i, t in zip(
+                batch.column("doc_id").to_pylist(),
+                batch.column("text").to_pylist(),
+            ):
+                toks = tokenize_ws(t)
+                if len(toks) < SPAN_W:
+                    wins = [" ".join(toks)]
+                else:
+                    wins = [
+                        " ".join(toks[j : j + SPAN_W])
+                        for j in range(len(toks) - SPAN_W + 1)
+                    ]
+                ids_out.append(int(i))
+                n_out.append(len(wins))
+                d_out.append(
+                    sum(1 for w in wins if hash60(w) in dset)
+                )
+            return finish_rows(ids_out, n_out, d_out)
+
+        return _aug_docs(sf_dir).map_batches(score, batch_format="pyarrow")
+
     joined = occurrences().join(
         counts,
         join_type="inner",
@@ -788,21 +856,10 @@ def dup_span_stats(sf_dir: str):
     )
 
     def finish(batch: pa.Table) -> pa.Table:
-        n = [int(x) for x in batch.column("n_windows").to_pylist()]
-        d = [int(x) for x in batch.column("n_dup").to_pylist()]
-        return pa.table(
-            {
-                "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
-                "n_windows": pa.array(n, pa.int64()),
-                "n_dup": pa.array(d, pa.int64()),
-                "dup_ratio": pa.array(
-                    [
-                        ((di * 2_000_000 + ni) // (2 * ni)) / 1e6
-                        for ni, di in zip(n, d)
-                    ],
-                    pa.float64(),
-                ),
-            }
+        return finish_rows(
+            [int(x) for x in batch.column("doc_id").to_pylist()],
+            [int(x) for x in batch.column("n_windows").to_pylist()],
+            [int(x) for x in batch.column("n_dup").to_pylist()],
         )
 
     return per_doc.map_batches(finish, batch_format="pyarrow")
