@@ -133,6 +133,8 @@ _SAMPLE_FIRST = [
     # new in round 4
     "chunk_windows",
     "dup_span_stats",
+    "extract_cascade",
+    "extract_topnode",
     # flagship + north-rule invariant canaries
     "extract_bte",
     "extract_spans_signature",

@@ -51,6 +51,7 @@ def _ensure_loaded():
     from . import (  # noqa: F401
         baselines,
         bte,
+        cascade,
         density,
         ensemble,
         justext,
@@ -58,6 +59,7 @@ def _ensure_loaded():
         leafmodel,
         readability,
         tagclean,
+        topnode,
     )
 
 

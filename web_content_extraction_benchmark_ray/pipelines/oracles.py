@@ -79,8 +79,8 @@ def extraction_oracle_sql() -> dict[str, str]:
     newline = "chr(10)"
     space = "' '"
     sqls = {}
-    for model in ("bte", "density", "readability", "leafmodel",
-                  "leafmodel_seq", "leafmodel_seq2"):
+    for model in ("bte", "density", "readability", "cascade", "topnode",
+                  "leafmodel", "leafmodel_seq", "leafmodel_seq2"):
         sqls[f"extract_{model}"] = _main_cte(newline) + _select(
             model, "m.main_text"
         )

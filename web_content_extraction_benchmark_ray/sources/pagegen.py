@@ -170,6 +170,21 @@ def expected_readability(text: str) -> str:
     return expected_main_joined(text, "\n")
 
 
+def expected_cascade(text: str) -> str:
+    """Trafilatura-class cascade: zone selection hits div#main (id anchor),
+    whose blocks are exactly the main paragraphs; every paragraph exceeds
+    the glue length, so the sanity check always passes tier 1
+    (functions/extractors/cascade.py)."""
+    return expected_main_joined(text, "\n")
+
+
+def expected_topnode(text: str) -> str:
+    """Goose3-class gravity: only the main paragraphs are boostable (the
+    footer <p> has zero stopwords), so div#main is the top node and no
+    sibling qualifies (functions/extractors/topnode.py)."""
+    return expected_main_joined(text, "\n")
+
+
 def expected_ensemble(text: str) -> str:
     return expected_main_joined(text, " ")
 
@@ -182,6 +197,8 @@ EXPECTED_BY_MODEL = {
     "justext": lambda doc_id, text: expected_justext(text),
     "density": lambda doc_id, text: expected_density(text),
     "readability": lambda doc_id, text: expected_readability(text),
+    "cascade": lambda doc_id, text: expected_cascade(text),
+    "topnode": lambda doc_id, text: expected_topnode(text),
     "ensemble": lambda doc_id, text: expected_ensemble(text),
     "ensemble_best": lambda doc_id, text: expected_ensemble(text),
     "ensemble_weighted": lambda doc_id, text: expected_ensemble(text),
