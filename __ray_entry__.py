@@ -135,6 +135,8 @@ _SAMPLE_FIRST = [
     "dup_span_stats",
     "extract_cascade",
     "extract_topnode",
+    "importance_weights",
+    "select_budget",
     # flagship + north-rule invariant canaries
     "extract_bte",
     "extract_spans_signature",

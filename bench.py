@@ -188,6 +188,8 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
                   lambda: _consume(d.chunk_windows(sf_dir)))
             timed("dup_span_stats",
                   lambda: _consume(d.dup_span_stats(sf_dir)))
+            timed("importance_weights",
+                  lambda: _consume(d.importance_weights(sf_dir)))
         except ImportError:
             pass
         try:
@@ -195,6 +197,7 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
 
             timed("decontaminate", lambda: _consume(cu.decontaminate(sf_dir)))
             timed("pack_shards", lambda: _consume(cu.pack_shards(sf_dir)))
+            timed("select_budget", lambda: _consume(cu.select_budget(sf_dir)))
             timed("pii_scrub", lambda: _consume(cu.pii_scrub(sf_dir)))
         except ImportError:
             pass

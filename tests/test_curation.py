@@ -92,3 +92,55 @@ def test_pii_scrub_redacts_augmented_emails(ray_session):
     red = _PII_RE.sub("<EMAIL>", text)
     assert "@" not in red
     assert df.loc[doc_id, "clean_hash"] == hash60(red)
+
+
+def test_select_budget_matches_serial_scan(ray_session):
+    """The two-level distributed scan must equal a single-process sort +
+    cumsum over (quality desc, doc_id asc), and the budget must select a
+    nontrivial strict subset at this scale."""
+    import pyarrow.parquet as pq
+
+    from web_content_extraction_benchmark_ray.functions.text import (
+        tokenize_ws,
+    )
+    from web_content_extraction_benchmark_ray.functions.textstats import (
+        quality_features,
+    )
+    from web_content_extraction_benchmark_ray.pipelines.curation import (
+        SELECT_BUDGET,
+        select_budget,
+    )
+
+    df = select_budget(SF).to_pandas().sort_values("doc_id")
+    t = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    t["n_tokens"] = t["text"].map(lambda s: len(tokenize_ws(s)))
+    t["q_mu"] = t["text"].map(
+        lambda s: int(round(quality_features(s)["quality"] * 1e6))
+    )
+    t = t.sort_values(["q_mu", "doc_id"], ascending=[False, True])
+    t["cum"] = t["n_tokens"].cumsum()
+    t = t.sort_values("doc_id")
+    assert (df["doc_id"].to_numpy() == t["doc_id"].to_numpy()).all()
+    assert (df["n_tokens"].to_numpy() == t["n_tokens"].to_numpy()).all()
+    assert (df["quality_mu"].to_numpy() == t["q_mu"].to_numpy()).all()
+    assert (df["cum_tokens"].to_numpy() == t["cum"].to_numpy()).all()
+    assert (
+        df["selected"].to_numpy()
+        == (t["cum"].to_numpy() <= SELECT_BUDGET).astype(np.int64)
+    ).all()
+    n_sel = int(df["selected"].sum())
+    assert 0 < n_sel < len(df)
+
+
+def test_select_budget_parameterized_budget(ray_session):
+    """budget=0 selects nothing; an over-large budget selects everything."""
+    from web_content_extraction_benchmark_ray.pipelines.curation import (
+        select_budget,
+    )
+
+    none = select_budget(SF, budget=0).to_pandas()
+    assert int(none["selected"].sum()) == 0
+    allb = select_budget(SF, budget=1 << 40).to_pandas()
+    assert int(allb["selected"].sum()) == len(allb)

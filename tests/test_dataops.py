@@ -639,3 +639,70 @@ def test_dup_span_stats_join_path_matches_broadcast(ray_session):
         .sort_values("doc_id").reset_index(drop=True)
     )
     assert a.equals(b)
+
+
+def test_importance_weights_join_path_matches_broadcast(ray_session):
+    """The big-vocab token-explode join must be integer-identical to the
+    broadcast path (threshold 0 forces the join)."""
+    from web_content_extraction_benchmark_ray.pipelines.dataops import (
+        importance_weights,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = (
+        importance_weights(sf).to_pandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        importance_weights(sf, broadcast_max_types=0).to_pandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    assert len(a) == len(b) == 500
+    assert a.equals(b)
+
+
+def test_importance_weights_favor_target_like_docs(ray_session, tmp_path):
+    """A non-target probe doc written in the target slice's vocabulary
+    must outscore an equal-length probe written in target-absent filler
+    (the DSIR ranking direction)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_content_extraction_benchmark_ray.pipelines.dataops import (
+        DSIR_TARGET_EVERY,
+        importance_weights,
+    )
+
+    rows = []
+    # target slice (doc_id % 10 == 0) writes in 'zzz'
+    for i in range(0, 4 * DSIR_TARGET_EVERY, DSIR_TARGET_EVERY):
+        rows.append((i, "zzz zzz zzz zzz"))
+    # bulk non-target docs write in 'www'
+    for i in range(1, 13):
+        rows.append((i * DSIR_TARGET_EVERY + 1, "www www www www"))
+    probe_target_like = 5
+    probe_filler = 7
+    rows.append((probe_target_like, "zzz zzz zzz zzz"))
+    rows.append((probe_filler, "www www www www"))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    for kw in ({}, {"broadcast_max_types": 0}):
+        df = (
+            importance_weights(str(tmp_path), **kw)
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        assert (
+            df.loc[probe_target_like, "sum_ratio"]
+            > df.loc[probe_filler, "sum_ratio"]
+        )
+        # target-enriched tokens weigh positive, target-absent negative
+        assert df.loc[probe_target_like, "sum_ratio"] > 0
+        assert df.loc[probe_filler, "sum_ratio"] < 0

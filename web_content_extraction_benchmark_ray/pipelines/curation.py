@@ -208,6 +208,102 @@ def pack_shards(sf_dir: str, range_size: int = PACK_RANGE,
     return cnt.groupby("bucket").map_groups(assign, batch_format="pyarrow")
 
 
+# ------------------------------------------------------------ select_budget
+SELECT_BUDGET = 10_000  # tokens to fill (test scale)
+_SELECT_QSTEP = 4096  # micro-quality units per scan bucket (<=245 buckets)
+
+
+def select_budget(sf_dir: str, budget: int = SELECT_BUDGET):
+    """Token-budget-capped quality selection — the data-mixing step of an
+    LLM training pipeline: take the best documents until the token budget
+    is filled.  Docs are ordered by (quality desc, doc_id asc) on the
+    integer micro-quality from ``text_quality``'s verified formula; a doc
+    is selected iff the inclusive prefix sum of whitespace-token counts
+    in that order stays within ``budget``.  Output per doc:
+    (doc_id, n_tokens, quality_mu, cum_tokens, selected).
+
+    Distributed scan, not a driver sort (the ``pack_shards`` two-level
+    machinery over a quality key): per-doc (q_mu, n_tokens) index rows
+    bucket by coarse quality range (``q_mu // _SELECT_QSTEP``); native
+    per-bucket Sum -> one tiny driver prefix over the <=245 bucket sums
+    in descending quality -> each bucket independently scans its rows
+    (q desc, doc_id asc) against its bucket offset.  Only 24-byte index
+    rows shuffle — never text.  A corpus whose quality mass collapses
+    into one bucket degrades to one large group; the group still holds
+    index rows only, and a finer QSTEP (or a second-level split on
+    doc_id) is the knob.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..functions.textstats import quality_features
+
+    def counts(batch: pa.Table) -> pa.Table:
+        ids, q_mu, ntok = [], [], []
+        for i, t in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("text").to_pylist(),
+        ):
+            ids.append(int(i))
+            q_mu.append(int(round(quality_features(t)["quality"] * 1e6)))
+            ntok.append(len(tokenize_ws(t)))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "q_mu": pa.array(q_mu, pa.int64()),
+                "n_tokens": pa.array(ntok, pa.int64()),
+                "bucket": pa.array(
+                    [q // _SELECT_QSTEP for q in q_mu], pa.int64()
+                ),
+            }
+        )
+
+    idx = _docs(sf_dir).map_batches(counts, batch_format="pyarrow")
+    idx = idx.materialize()  # tiny (doc_id, q_mu, n_tokens) index, read 2x
+
+    sums = (
+        coalesce_small(idx, 4)
+        .groupby("bucket")
+        .aggregate(Sum("n_tokens"))
+        .to_pandas()
+        .sort_values("bucket", ascending=False)  # high quality first
+    )
+    offsets = dict(
+        zip(
+            sums["bucket"].tolist(),
+            np.concatenate(
+                [[0], np.cumsum(sums["sum(n_tokens)"].to_numpy())[:-1]]
+            ).tolist(),
+        )
+    )
+    off_ref = ray.put(offsets)
+
+    def assign(group: pa.Table, off_ref=off_ref) -> pa.Table:
+        key = off_ref.hex()
+        offs = _OFFSET_CACHE.get(key)
+        if offs is None:
+            offs = _OFFSET_CACHE[key] = ray.get(off_ref)
+        ids = np.asarray(group.column("doc_id").to_pylist(), dtype=np.int64)
+        q = np.asarray(group.column("q_mu").to_pylist(), dtype=np.int64)
+        tok = np.asarray(group.column("n_tokens").to_pylist(), dtype=np.int64)
+        order = np.lexsort((ids, -q))  # q desc, doc_id asc
+        ids, q, tok = ids[order], q[order], tok[order]
+        base = int(offs[int(group.column("bucket")[0].as_py())])
+        cum = base + np.cumsum(tok)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(tok, pa.int64()),
+                "quality_mu": pa.array(q, pa.int64()),
+                "cum_tokens": pa.array(cum, pa.int64()),
+                "selected": pa.array(
+                    (cum <= budget).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return idx.groupby("bucket").map_groups(assign, batch_format="pyarrow")
+
+
 # --------------------------------------------------------------- pii_scrub
 _PII_RE = re.compile(PII_PATTERN)
 
@@ -248,6 +344,7 @@ def curation_queries() -> dict:
     return {
         "decontaminate": decontaminate,
         "pack_shards": pack_shards,
+        "select_budget": select_budget,
         "pii_scrub": pii_scrub,
     }
 
@@ -297,6 +394,39 @@ SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              - n_tokens) // {PACK_BUDGET} AS BIGINT) AS shard_id
 FROM t"""
+
+    # select_budget: text_quality's exact micro-quality expression orders
+    # the window; inclusive running token sum <= budget selects.
+    from ..functions.textstats import STOPWORDS
+
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    q_mu = (
+        "CAST(floor((0.5 * least(1.0, len(l) / 50.0) "
+        "+ 0.3 * least(1.0, (CAST(len(list_filter(l, x -> "
+        f"list_contains([{stop_list}], lower(x)))) AS DOUBLE) / len(l)) * 5.0) "
+        "+ 0.2 * (1.0 - least(1.0, (CAST(len(regexp_extract_all(text, "
+        "'[^\\w\\s]')) AS DOUBLE) / length(text)) * 10.0))) * 1000000 + 0.5) "
+        "AS BIGINT)"
+    )
+    sqls["select_budget"] = f"""WITH t AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS l
+  FROM documents
+),
+c AS (
+  SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tokens, {q_mu} AS q_mu
+  FROM t
+),
+s AS (
+  SELECT doc_id, n_tokens, q_mu,
+         CAST(sum(n_tokens) OVER (ORDER BY q_mu DESC, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum
+  FROM c
+)
+SELECT doc_id, n_tokens, q_mu AS quality_mu, cum AS cum_tokens,
+       CAST(CASE WHEN cum <= {SELECT_BUDGET} THEN 1 ELSE 0 END AS BIGINT)
+         AS selected
+FROM s"""
 
     sqls["pii_scrub"] = f"""WITH aug AS (
   SELECT doc_id,

@@ -379,6 +379,39 @@ def repetition_stats(sf_dir: str):
 UNIGRAM_BROADCAST_MAX_TYPES = 2_000_000
 
 
+def _with_schema(schema: pa.Schema):
+    """Normalize every block of a dataset to ``schema``.  On small inputs
+    a hash aggregate emits zero-column EMPTY blocks; an Acero join fed
+    that side then fails with 'No match for key field <key>'.  Casting
+    each block (empty -> ``schema.empty_table()``) pins the key column
+    so the join paths work at every corpus size."""
+
+    def fix(t: pa.Table) -> pa.Table:
+        if t.schema.equals(schema):
+            return t
+        if t.num_rows == 0 or not all(
+            n in t.column_names for n in schema.names
+        ):
+            return schema.empty_table()
+        return pa.table(
+            {f.name: pc.cast(t.column(f.name), f.type) for f in schema}
+        )
+
+    return fix
+
+
+def _join_parts(n_small_rows: int) -> int:
+    """Partition count for a hash join whose SMALL side has
+    ``n_small_rows`` rows.  Ray 2.49's per-partition Acero join fails on
+    any partition that comes up empty on one side (a zero-column table
+    -> 'No match for key field'), so tiny joins run single-partition;
+    real ones use the reasoned default (>=256 expected rows per
+    partition makes an empty partition practically impossible)."""
+    from .evalpipe import join_partitions
+
+    return join_partitions() if n_small_rows >= 4096 else 1
+
+
 def unigram_logprob(sf_dir: str, broadcast_max_types: int | None = None):
     """CCNet-style language-model quality score (Wenzek et al. 2020 use
     LM perplexity to rank CommonCrawl docs; the from-scratch analogue is
@@ -434,7 +467,8 @@ def unigram_logprob(sf_dir: str, broadcast_max_types: int | None = None):
     total = int(vocab.sum("c") or 0)
     d_log = total.bit_length() - 1
 
-    if vocab.count() <= broadcast_max_types:
+    n_types = vocab.count()
+    if n_types <= broadcast_max_types:
         counts = {r["tok"]: int(r["c"]) for r in vocab.take_all()}
         ref = ray.put(counts)
 
@@ -499,9 +533,14 @@ def unigram_logprob(sf_dir: str, broadcast_max_types: int | None = None):
         _docs(sf_dir)
         .map_batches(explode, batch_format="pyarrow")
         .join(
-            vocab.union(sentinel),
+            vocab.union(sentinel).map_batches(
+                _with_schema(
+                    pa.schema([("tok", pa.string()), ("c", pa.int64())])
+                ),
+                batch_format="pyarrow",
+            ),
             join_type="inner",
-            num_partitions=join_partitions(),
+            num_partitions=_join_parts(n_types),
             on=("tok",),
         )
     )
@@ -546,6 +585,200 @@ def unigram_logprob(sf_dir: str, broadcast_max_types: int | None = None):
                     ],
                     pa.float64(),
                 ),
+            }
+        )
+
+    return per_doc.map_batches(finish, batch_format="pyarrow")
+
+
+# ------------------------------------------------------- importance_weights
+# Every DSIR_TARGET_EVERY-th doc stands in for the trusted seed corpus (the
+# "target distribution" of importance resampling); a production pipeline
+# passes a reference corpus like Wikipedia here.
+DSIR_TARGET_EVERY = 10
+
+
+def importance_weights(sf_dir: str, broadcast_max_types: int | None = None):
+    """DSIR-style importance weight per document (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): rank raw
+    docs by how target-like their token distribution is,
+
+        sum_ratio(d) = Σ_t k_d(t) · (ilog2(R·c_tgt(t) + 1) − ilog2(c_raw(t) + 1))
+
+    with ilog2(c) = bit_length(c) − 1 and R = DSIR_TARGET_EVERY — the
+    integer-quantized unigram log-likelihood ratio between the target
+    slice and the raw corpus.  R·c_tgt/c_raw estimates
+    p_tgt(t)/p_raw(t) exactly when the target slice is 1/R of the
+    corpus, so corpus-typical tokens weigh ≈0, target-enriched tokens
+    positive, target-depleted negative.  (The published estimator uses
+    hashed n-gram counts and real logs; the quantized log keeps Ray and
+    the SQL twin bit-for-bit identical, the ``unigram_logprob``
+    discipline; +1 smooths both sides.)
+
+    Shape: ONE wordcount pass emits ``(tok, c_raw, c_tgt)`` partial
+    counts (per-batch Counter combiner) -> native Sum groupby -> the
+    reduced vocab table; then broadcast-dict scoring at or below
+    ``broadcast_max_types`` types, token-explode hash join above it —
+    no process ever holds the vocabulary on the scale path.  All output
+    columns are integers: zero float-parity risk.
+    """
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.text import tokenize_ws
+
+    if broadcast_max_types is None:
+        broadcast_max_types = UNIGRAM_BROADCAST_MAX_TYPES
+
+    def wc(batch: pa.Table) -> pa.Table:
+        raw: Counter = Counter()
+        tgt: Counter = Counter()
+        for i, t in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("text").to_pylist(),
+        ):
+            toks = tokenize_ws(t)
+            raw.update(toks)
+            if int(i) % DSIR_TARGET_EVERY == 0:
+                tgt.update(toks)
+        keys = list(raw.keys())
+        return pa.table(
+            {
+                "tok": pa.array(keys, pa.string()),
+                "c_raw": pa.array([raw[k] for k in keys], pa.int64()),
+                "c_tgt": pa.array([tgt.get(k, 0) for k in keys], pa.int64()),
+            }
+        )
+
+    vocab = (
+        _docs(sf_dir).map_batches(wc, batch_format="pyarrow")
+        .groupby("tok")
+        .aggregate(
+            Sum("c_raw", alias_name="c_raw"),
+            Sum("c_tgt", alias_name="c_tgt"),
+        )
+        .materialize()
+    )
+
+    def _w(c_tgt: int, c_raw: int) -> int:
+        return (DSIR_TARGET_EVERY * int(c_tgt) + 1).bit_length() - (
+            int(c_raw) + 1
+        ).bit_length()
+
+    n_types = vocab.count()
+    if n_types <= broadcast_max_types:
+        wmap = {
+            r["tok"]: _w(r["c_tgt"], r["c_raw"]) for r in vocab.take_all()
+        }
+        ref = ray.put(wmap)
+
+        def score(batch: pa.Table) -> pa.Table:
+            from ..stages.simsearch import _get_broadcast
+
+            w = _get_broadcast(ref)
+            ids = batch.column("doc_id").to_pylist()
+            n_out, s_out = [], []
+            for t in batch.column("text").to_pylist():
+                toks = tokenize_ws(t)
+                n_out.append(len(toks))
+                s_out.append(sum(w[tok] for tok in toks))
+            return pa.table(
+                {
+                    "doc_id": pa.array([int(i) for i in ids], pa.int64()),
+                    "n_tokens": pa.array(n_out, pa.int64()),
+                    "sum_ratio": pa.array(s_out, pa.int64()),
+                }
+            )
+
+        return _docs(sf_dir).map_batches(score, batch_format="pyarrow")
+
+    # ---- big-vocab path: token-explode hash join (unigram_logprob shape;
+    # sentinel keeps zero-token docs joined with weight 0).
+    from .evalpipe import join_partitions
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids_out, tok_out, k_out = [], [], []
+        for i, t in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("text").to_pylist(),
+        ):
+            i = int(i)
+            c = Counter(tokenize_ws(t))
+            ids_out.extend([i] * (len(c) + 1))
+            tok_out.extend(c.keys())
+            k_out.extend(c.values())
+            tok_out.append("")
+            k_out.append(0)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_out, pa.int64()),
+                "tok": pa.array(tok_out, pa.string()),
+                "k": pa.array(k_out, pa.int64()),
+            }
+        )
+
+    sentinel = ray.data.from_arrow(
+        pa.table(
+            {
+                "tok": pa.array([""], pa.string()),
+                "c_raw": pa.array([1], pa.int64()),
+                "c_tgt": pa.array([0], pa.int64()),
+            }
+        )
+    )
+    joined = (
+        _docs(sf_dir)
+        .map_batches(explode, batch_format="pyarrow")
+        .join(
+            vocab.union(sentinel).map_batches(
+                _with_schema(
+                    pa.schema(
+                        [
+                            ("tok", pa.string()),
+                            ("c_raw", pa.int64()),
+                            ("c_tgt", pa.int64()),
+                        ]
+                    )
+                ),
+                batch_format="pyarrow",
+            ),
+            join_type="inner",
+            num_partitions=_join_parts(n_types),
+            on=("tok",),
+        )
+    )
+
+    def contrib(batch: pa.Table) -> pa.Table:
+        k = batch.column("k").to_pylist()
+        cr = batch.column("c_raw").to_pylist()
+        ct = batch.column("c_tgt").to_pylist()
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+                "n_tokens": pa.array(k, pa.int64()),
+                "sum_ratio": pa.array(
+                    [ki * _w(ti, ri) for ki, ri, ti in zip(k, cr, ct)],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    per_doc = (
+        joined.map_batches(contrib, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(
+            Sum("n_tokens", alias_name="n_tokens"),
+            Sum("sum_ratio", alias_name="sum_ratio"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+                "n_tokens": pc.cast(batch.column("n_tokens"), pa.int64()),
+                "sum_ratio": pc.cast(batch.column("sum_ratio"), pa.int64()),
             }
         )
 
@@ -825,9 +1058,12 @@ def dup_span_stats(sf_dir: str, broadcast_max_types: int | None = None):
         return _aug_docs(sf_dir).map_batches(score, batch_format="pyarrow")
 
     joined = occurrences().join(
-        counts,
+        counts.map_batches(
+            _with_schema(pa.schema([("h", pa.int64()), ("c", pa.int64())])),
+            batch_format="pyarrow",
+        ),
         join_type="inner",
-        num_partitions=join_partitions(),
+        num_partitions=_join_parts(counts.count()),
         on=("h",),
     )
 
@@ -949,6 +1185,7 @@ def dataops_queries() -> dict:
         "pdf_extract": pdf_extract,
         "repetition_stats": repetition_stats,
         "unigram_logprob": unigram_logprob,
+        "importance_weights": importance_weights,
         "chunk_windows": chunk_windows,
         "dup_span_stats": dup_span_stats,
     }

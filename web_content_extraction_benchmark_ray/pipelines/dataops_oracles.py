@@ -457,6 +457,28 @@ SELECT d.doc_id, d.ntok AS n_tokens, d.slp AS sum_log2,
          / 1000000 AS lm_score
 FROM d, n"""
 
+    from .dataops import DSIR_TARGET_EVERY
+
+    # importance_weights: integer-quantized DSIR log-likelihood ratio;
+    # target slice = every DSIR_TARGET_EVERY-th doc, target counts scaled
+    # by the slice ratio R so corpus-typical tokens weigh ~0 (bin() bit
+    # length mirrors Python bit_length(); +1 smooths both sides).
+    sqls["importance_weights"] = rf"""WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS l
+  FROM documents
+),
+w AS (SELECT doc_id, u.tok FROM t, UNNEST(l) AS u(tok)),
+c AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c_raw,
+         CAST(count(*) FILTER (WHERE doc_id % {DSIR_TARGET_EVERY} = 0)
+              AS BIGINT) AS c_tgt
+  FROM w GROUP BY tok
+)
+SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(length(bin({DSIR_TARGET_EVERY} * c.c_tgt + 1))
+                - length(bin(c.c_raw + 1))) AS BIGINT) AS sum_ratio
+FROM w JOIN c USING (tok) GROUP BY w.doc_id"""
+
     sqls["repetition_stats"] = r"""WITH t AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS l
   FROM documents
