@@ -174,3 +174,14 @@ def test_topnode_tie_breaks_to_first_in_document():
         f'<div id="x"><p>{PAR}</p></div><div id="y"><p>{PAR}</p></div>'
     )
     assert topnode(html) == PAR
+
+
+def test_topnode_nested_para_tags_not_double_emitted():
+    # a boostable <p> inside a boostable <td>: the td already carries the
+    # paragraph's text, so the inner p must not duplicate it
+    html = _page(
+        f"<div><table><tr><td>{PAR} cell <p>{PAR} inner</p></td></tr>"
+        f"</table><p>{PAR}</p></div>"
+    )
+    out = topnode(html)
+    assert out.count(f"{PAR} inner") == 1

@@ -102,9 +102,22 @@ def _emit_paras(node: Node) -> list[str]:
     nodes = [node] if node.tag in _PARA_TAGS else []
     nodes.extend(n for n in node.iter_nodes() if n.tag in _PARA_TAGS)
     out = []
+    emitted: set[int] = set()
     for p in nodes:
+        # a para-ish node nested inside an emitted one (<td><p>..) would
+        # duplicate its text — the outer node already carries it
+        anc = p.parent
+        nested = False
+        while anc is not None and anc is not node.parent:
+            if id(anc) in emitted:
+                nested = True
+                break
+            anc = anc.parent
+        if nested:
+            continue
         boost, text = _is_gravity_para(p)
         if boost:
+            emitted.add(id(p))
             out.append(text)
     return out
 
