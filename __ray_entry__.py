@@ -137,6 +137,7 @@ _SAMPLE_FIRST = [
     "extract_topnode",
     "importance_weights",
     "select_budget",
+    "dedup_exact_norm",
     # flagship + north-rule invariant canaries
     "extract_bte",
     "extract_spans_signature",

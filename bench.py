@@ -167,6 +167,8 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
             from web_content_extraction_benchmark_ray.pipelines import dataops as d
 
             timed("dedup_exact", lambda: _consume(d.dedup_exact(sf_dir)))
+            timed("dedup_exact_norm",
+                  lambda: _consume(d.dedup_exact_norm(sf_dir)))
             timed("dedup_minhash", lambda: _consume(d.dedup_minhash_pairs(sf_dir)))
             timed("dedup_simhash", lambda: _consume(d.dedup_simhash_pairs(sf_dir)))
             timed("dedup_jaccard", lambda: _consume(d.dedup_ngram_jaccard(sf_dir)))

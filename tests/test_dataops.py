@@ -706,3 +706,75 @@ def test_importance_weights_favor_target_like_docs(ray_session, tmp_path):
         # target-enriched tokens weigh positive, target-absent negative
         assert df.loc[probe_target_like, "sum_ratio"] > 0
         assert df.loc[probe_filler, "sum_ratio"] < 0
+
+
+def test_dedup_exact_norm_collapses_case_punct_variants(ray_session):
+    """Every uppercased '+ !!' variant and exact copy must collapse onto
+    its original; all original doc_ids survive (corpus has no natural
+    normalized collisions at this scale is NOT assumed — originals are
+    only checked to dominate their own variants)."""
+    from web_content_extraction_benchmark_ray.pipelines.dataops import (
+        CASE_VAR_OFFSET,
+        EXACT_COPY_OFFSET,
+        dedup_exact_norm,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    survivors = set(
+        dedup_exact_norm(sf).to_pandas()["doc_id"].tolist()
+    )
+    assert not any(s >= CASE_VAR_OFFSET for s in survivors)
+    assert not any(EXACT_COPY_OFFSET <= s < CASE_VAR_OFFSET for s in survivors)
+
+
+def test_normalize_text_semantics():
+    from web_content_extraction_benchmark_ray.stages.dedup import (
+        normalize_text,
+    )
+
+    assert normalize_text("Hello,  World!!") == "hello world"
+    assert normalize_text("  a\tb\nc  ") == "a b c"
+    assert normalize_text("UPPER lower") == normalize_text("upper LOWER")
+
+
+def test_importance_weights_matches_serial_reference(ray_session):
+    """Both distributed paths must equal a single-process reference
+    computation of the quantized DSIR estimator over the real table."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from web_content_extraction_benchmark_ray.functions.text import (
+        tokenize_ws,
+    )
+    from web_content_extraction_benchmark_ray.pipelines.dataops import (
+        DSIR_TARGET_EVERY,
+        importance_weights,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(
+        f"{sf}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    raw: Counter = Counter()
+    tgt: Counter = Counter()
+    for i, txt in zip(t["doc_id"], t["text"]):
+        toks = tokenize_ws(txt)
+        raw.update(toks)
+        if int(i) % DSIR_TARGET_EVERY == 0:
+            tgt.update(toks)
+
+    def w(tok):
+        return (DSIR_TARGET_EVERY * tgt.get(tok, 0) + 1).bit_length() - (
+            raw[tok] + 1
+        ).bit_length()
+
+    expect = {
+        int(i): sum(w(tok) for tok in tokenize_ws(txt))
+        for i, txt in zip(t["doc_id"], t["text"])
+    }
+    for kw in ({}, {"broadcast_max_types": 0}):
+        df = importance_weights(sf, **kw).to_pandas().set_index("doc_id")
+        assert len(df) == len(expect)
+        for i, s in expect.items():
+            assert int(df.loc[i, "sum_ratio"]) == s

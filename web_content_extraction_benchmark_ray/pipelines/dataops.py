@@ -34,6 +34,8 @@ NEAR_DUP_EVERY = 20
 NEAR_DUP_OFFSET = 1_000_000
 EMB_COPY_EVERY = 25
 EMB_COPY_OFFSET = 1_000_000
+CASE_VAR_EVERY = 15
+CASE_VAR_OFFSET = 3_000_000
 MEDIA_EVERY = 10
 
 
@@ -70,6 +72,37 @@ def _aug_docs(sf_dir: str):
 # ------------------------------------------------------------------- dedup
 def dedup_exact(sf_dir: str):
     return dd.dedup_exact(_aug_docs(sf_dir))
+
+
+def dedup_exact_norm(sf_dir: str):
+    """Normalized exact dedup (CCNet/RefinedWeb-style): lowercase +
+    punctuation-strip + whitespace-squeeze before hashing, so trivially
+    edited republications collapse.  The view adds a case/punctuation
+    VARIANT of every ``CASE_VAR_EVERY``-th doc (uppercased, ' !!'
+    appended) on top of the exact copies — byte-unequal, normalized-
+    equal — so the check exercises normalization, not just hashing."""
+
+    def add_variants(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_id, out_text = list(ids), list(texts)
+        for i, t in zip(ids, texts):
+            if i % EXACT_COPY_EVERY == 0:
+                out_id.append(i + EXACT_COPY_OFFSET)
+                out_text.append(t)
+            if i % CASE_VAR_EVERY == 0:
+                out_id.append(i + CASE_VAR_OFFSET)
+                out_text.append(t.upper() + " !!")
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "text": pa.array(out_text, pa.string()),
+            }
+        )
+
+    return dd.dedup_exact_norm(
+        _docs(sf_dir).map_batches(add_variants, batch_format="pyarrow")
+    )
 
 
 def dedup_minhash_pairs(sf_dir: str):
@@ -1165,6 +1198,7 @@ def chunk_windows(sf_dir: str, w: int = CHUNK_W, s: int = CHUNK_S):
 def dataops_queries() -> dict:
     return {
         "dedup_exact": dedup_exact,
+        "dedup_exact_norm": dedup_exact_norm,
         "dedup_minhash_pairs": dedup_minhash_pairs,
         "dedup_minhash_survivors": dedup_minhash_survivors,
         "dedup_simhash": dedup_simhash,

@@ -95,6 +95,28 @@ def dataops_oracle_sql() -> dict[str, str]:
     sqls["dedup_exact"] = f"""WITH {_AUG.strip()}
 SELECT min(doc_id) AS doc_id FROM aug GROUP BY md5(text)"""
 
+    from .dataops import CASE_VAR_EVERY, CASE_VAR_OFFSET
+
+    # dedup_exact_norm: its own view (exact copies + byte-unequal but
+    # normalized-equal case/punct variants); normalization = lower ->
+    # punctuation strip -> whitespace squeeze, same order as Python.
+    sqls["dedup_exact_norm"] = rf"""WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {EXACT_COPY_OFFSET} AS doc_id, text
+  FROM documents WHERE doc_id % {EXACT_COPY_EVERY} = 0
+  UNION ALL
+  SELECT doc_id + {CASE_VAR_OFFSET} AS doc_id, upper(text) || ' !!' AS text
+  FROM documents WHERE doc_id % {CASE_VAR_EVERY} = 0
+),
+norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', '', 'g'),
+                             '\s+', ' ', 'g')) AS ntext
+  FROM aug
+)
+SELECT min(doc_id) AS doc_id FROM norm GROUP BY md5(ntext)"""
+
     sqls["dedup_minhash_pairs"] = f"""WITH {_AUG.strip()},
 {_SHINGLES.strip()},
 {_seeds_values()},

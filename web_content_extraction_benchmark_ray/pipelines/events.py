@@ -68,23 +68,30 @@ def events_window(sf_dir: str):
     def partials(batch: pa.Table) -> pa.Table:
         win = (_epoch_s(batch.column("ts")) // WINDOW_S) * WINDOW_S
         etype = batch.column("event_type").to_pylist()
-        val = np.asarray(batch.column("value").to_pylist(), dtype=np.float64)
+        # integer micro-unit quantization: distributed float partial sums
+        # are order-dependent in the last ulp and flipped the round6
+        # boundary vs the SQL twin on 2/14415 rows at sf0.1 — int64
+        # micro-sums are exact and order-independent on both sides
+        val = np.floor(
+            np.asarray(batch.column("value").to_pylist(), dtype=np.float64)
+            * 1e6 + 0.5
+        ).astype(np.int64)
         agg: dict = {}
         for w, t, v in zip(win, etype, val):
             key = (int(w), t)
             if key in agg:
                 a = agg[key]
                 a[0] += 1
-                a[1] += v
+                a[1] += int(v)
             else:
-                agg[key] = [1, v]
+                agg[key] = [1, int(v)]
         keys = list(agg.keys())
         return pa.table(
             {
                 "window_start_s": pa.array([k[0] for k in keys], pa.int64()),
                 "event_type": pa.array([k[1] for k in keys], pa.string()),
                 "n_part": pa.array([agg[k][0] for k in keys], pa.int64()),
-                "sum_part": pa.array([agg[k][1] for k in keys], pa.float64()),
+                "sum_part": pa.array([agg[k][1] for k in keys], pa.int64()),
             }
         )
 
@@ -96,17 +103,16 @@ def events_window(sf_dir: str):
 
     def finish(batch: pa.Table) -> pa.Table:
         n = np.asarray(batch["sum(n_part)"].to_pylist(), dtype=np.int64)
-        s = np.asarray(batch["sum(sum_part)"].to_pylist(), dtype=np.float64)
+        s = np.asarray(batch["sum(sum_part)"].to_pylist(), dtype=np.int64)
+        sv = s.astype(np.float64) / 1e6  # exact int -> single divide
         return pa.table(
             {
                 "window_start_s": pc.cast(batch["window_start_s"], pa.int64()),
                 "event_type": batch["event_type"],
                 "n": pa.array(n, pa.int64()),
-                "sum_value": pa.array(
-                    np.floor(s * 1e6 + 0.5) / 1e6, pa.float64()
-                ),
+                "sum_value": pa.array(sv, pa.float64()),
                 "mean_value": pa.array(
-                    np.floor((s / n) * 1e6 + 0.5) / 1e6, pa.float64()
+                    np.floor((sv / n) * 1e6 + 0.5) / 1e6, pa.float64()
                 ),
             }
         )
@@ -140,8 +146,14 @@ def events_sliding(sf_dir: str):
             np.asarray(batch.column("event_type").to_pylist(), dtype=object),
             k,
         )
+        # same integer micro-unit quantization as events_window (exact,
+        # order-independent partial sums)
         val = np.repeat(
-            np.asarray(batch.column("value").to_pylist(), dtype=np.float64),
+            np.floor(
+                np.asarray(
+                    batch.column("value").to_pylist(), dtype=np.float64
+                ) * 1e6 + 0.5
+            ).astype(np.int64),
             k,
         )
         agg: dict = {}
@@ -150,16 +162,16 @@ def events_sliding(sf_dir: str):
             if key in agg:
                 a = agg[key]
                 a[0] += 1
-                a[1] += v
+                a[1] += int(v)
             else:
-                agg[key] = [1, v]
+                agg[key] = [1, int(v)]
         keys = list(agg.keys())
         return pa.table(
             {
                 "window_start_s": pa.array([x[0] for x in keys], pa.int64()),
                 "event_type": pa.array([x[1] for x in keys], pa.string()),
                 "n_part": pa.array([agg[x][0] for x in keys], pa.int64()),
-                "sum_part": pa.array([agg[x][1] for x in keys], pa.float64()),
+                "sum_part": pa.array([agg[x][1] for x in keys], pa.int64()),
             }
         )
 
@@ -171,17 +183,16 @@ def events_sliding(sf_dir: str):
 
     def finish(batch: pa.Table) -> pa.Table:
         n = np.asarray(batch["sum(n_part)"].to_pylist(), dtype=np.int64)
-        s = np.asarray(batch["sum(sum_part)"].to_pylist(), dtype=np.float64)
+        s = np.asarray(batch["sum(sum_part)"].to_pylist(), dtype=np.int64)
+        sv = s.astype(np.float64) / 1e6  # exact int -> single divide
         return pa.table(
             {
                 "window_start_s": pc.cast(batch["window_start_s"], pa.int64()),
                 "event_type": batch["event_type"],
                 "n": pa.array(n, pa.int64()),
-                "sum_value": pa.array(
-                    np.floor(s * 1e6 + 0.5) / 1e6, pa.float64()
-                ),
+                "sum_value": pa.array(sv, pa.float64()),
                 "mean_value": pa.array(
-                    np.floor((s / n) * 1e6 + 0.5) / 1e6, pa.float64()
+                    np.floor((sv / n) * 1e6 + 0.5) / 1e6, pa.float64()
                 ),
             }
         )
@@ -342,25 +353,34 @@ def events_queries() -> dict:
 def events_oracle_sql() -> dict[str, str]:
     sqls = {}
     r6 = "floor(({}) * 1000000 + 0.5) / 1000000"
+    # values are quantized to int64 micro-units BEFORE summing on both
+    # sides (vq below = the Python combiner's np.floor(v*1e6+0.5)): float
+    # partial sums are order-dependent in the last ulp and flipped the
+    # round6 boundary on 2/14415 sliding rows at sf0.1
+    sv = "CAST(sum(vq) AS DOUBLE) / 1000000"
     sqls["events_window"] = f"""
 SELECT ((epoch_us(ts) // 1000000) // {WINDOW_S}) * {WINDOW_S} AS window_start_s,
        event_type,
        count(*) AS n,
-       {r6.format('sum(value)')} AS sum_value,
-       {r6.format('sum(value) / count(*)')} AS mean_value
-FROM events GROUP BY 1, 2"""
+       {sv} AS sum_value,
+       {r6.format(f'({sv}) / count(*)')} AS mean_value
+FROM (SELECT ts, event_type,
+             CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vq
+      FROM events) GROUP BY 1, 2"""
     sqls["events_sliding"] = f"""
 WITH e AS (
-  SELECT epoch_us(ts) // 1000000 AS t, event_type, value FROM events
+  SELECT epoch_us(ts) // 1000000 AS t, event_type,
+         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vq
+  FROM events
 ),
 x AS (
   SELECT ((t // {SLIDE_S}) - g.j) * {SLIDE_S} AS window_start_s,
-         event_type, value
+         event_type, vq
   FROM e, UNNEST(generate_series(0, {WINDOW_S // SLIDE_S - 1})) AS g(j)
 )
 SELECT window_start_s, event_type, count(*) AS n,
-       {r6.format('sum(value)')} AS sum_value,
-       {r6.format('sum(value) / count(*)')} AS mean_value
+       {sv} AS sum_value,
+       {r6.format(f'({sv}) / count(*)')} AS mean_value
 FROM x GROUP BY 1, 2"""
     sqls["events_sessionize"] = f"""
 WITH o AS (

@@ -30,6 +30,7 @@ from __future__ import annotations
 import hashlib
 import logging
 import os
+import re
 
 import numpy as np
 
@@ -89,6 +90,39 @@ def dedup_exact(ds):
     from ray.data.aggregate import Min
 
     ds = ds.map_batches(add_content_hash, batch_format="pyarrow")
+    agg = ds.groupby("h").aggregate(Min("doc_id"))
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": pc.cast(batch["min(doc_id)"], pa.int64())})
+
+    return agg.map_batches(project, batch_format="pyarrow")
+
+
+_NORM_PUNCT_RE = re.compile(r"[^\w\s]")
+
+
+def normalize_text(t: str) -> str:
+    """CCNet/RefinedWeb-style dedup normalization: lowercase, strip
+    punctuation, squeeze whitespace — so trivially-edited republications
+    (case changes, punctuation noise, spacing) hash identically.  The
+    SQL twin applies lower -> regexp_replace -> trim in the same order."""
+    return " ".join(_NORM_PUNCT_RE.sub("", t.lower()).split())
+
+
+def add_normalized_hash(batch: pa.Table) -> pa.Table:
+    hs = [
+        hashlib.md5(normalize_text(t).encode("utf-8")).hexdigest()
+        for t in batch.column("text").to_pylist()
+    ]
+    return batch.append_column("h", pa.array(hs, pa.string()))
+
+
+def dedup_exact_norm(ds):
+    """``dedup_exact`` over the normalized content hash — same native
+    Min-per-hash shape, zero extra shuffles."""
+    from ray.data.aggregate import Min
+
+    ds = ds.map_batches(add_normalized_hash, batch_format="pyarrow")
     agg = ds.groupby("h").aggregate(Min("doc_id"))
 
     def project(batch: pa.Table) -> pa.Table:
