@@ -52,6 +52,7 @@ def eval_agg_by_complexity(sf_dir: str, scores=None):
     ``scores``: optional SCORES-schema dataset (e.g. a user-selected model
     set) replacing the cached default-model pipeline."""
     from .complexity import complexity_ds, complexity_quantiles
+    from .evalpipe import exact_mean6
     from .queries import eval_rouge, rouge_view
 
     qdf = complexity_quantiles(sf_dir, qs=(BAND_LO, BAND_HI))
@@ -74,7 +75,7 @@ def eval_agg_by_complexity(sf_dir: str, scores=None):
             {
                 "model": [group["model"].iloc[0]],
                 "dataset": [group["dataset"].iloc[0]],
-                "mean_score": [round6(float(v.sum() / len(v)))],
+                "mean_score": [exact_mean6(v)],
                 "n": [len(v)],
             }
         )
@@ -432,6 +433,7 @@ def analytics_oracle_sql() -> dict[str, str]:
         BP_WORDS_BODY,
         BP_WS_PAGE,
         GLUE_WORDS,
+        mean6_sql,
     )
 
     sqls: dict[str, str] = {}
@@ -454,7 +456,7 @@ q AS (SELECT {_R6.format(f'quantile_cont(complexity, {BAND_LO})')} AS lo,
              {_R6.format(f'quantile_cont(complexity, {BAND_HI})')} AS hi
       FROM c),
 f AS ({f1_union})
-SELECT model, dataset, {_R6.format('avg(f1)')} AS mean_score, count(*) AS n
+SELECT model, dataset, {mean6_sql('f1')} AS mean_score, count(*) AS n
 FROM f JOIN c ON f.doc_id = c.doc_id, q
 WHERE c.complexity >= q.lo AND c.complexity <= q.hi
 GROUP BY model, dataset"""

@@ -169,6 +169,17 @@ def _round6(x: float) -> float:
     return float(np.floor(x * 1e6 + 0.5) / 1e6)
 
 
+def exact_mean6(v: np.ndarray) -> float:
+    """Order-independent round6 mean: quantize each value to int64
+    micro-units (deterministic per element), sum EXACTLY, one divide.
+    A plain float sum is order-dependent in the last ulp between the
+    distributed partials and DuckDB's accumulation, and can flip the
+    round6 boundary (observed on events_sliding at sf0.1) — the SQL
+    twins mirror this exact expression."""
+    mu = np.floor(v * 1e6 + 0.5).astype(np.int64)
+    return _round6(float((mu.sum() / 1e6) / len(mu)))
+
+
 def _median_interp(v: np.ndarray) -> float:
     """quantile_cont(0.5) formula: lo + (hi - lo) * frac."""
     return _quantile_interp(v, 0.5)
@@ -196,7 +207,7 @@ def agg_scores_by_dataset(scores_ds, scorer: str = "rouge"):
             {
                 "model": [group["model"].iloc[0]],
                 "dataset": [group["dataset"].iloc[0]],
-                "mean_score": [_round6(float(v.sum() / len(v)))],
+                "mean_score": [exact_mean6(v)],
                 "median_score": [_round6(_median_interp(v))],
                 "n": [len(v)],
             }
@@ -220,7 +231,7 @@ def agg_scores_micro(scores_ds, scorer: str = "rouge"):
         return pd.DataFrame(
             {
                 "model": [group["model"].iloc[0]],
-                "mean_score": [_round6(float(v.sum() / len(v)))],
+                "mean_score": [exact_mean6(v)],
                 "median_score": [_round6(_median_interp(v))],
                 "n": [len(v)],
             }
@@ -239,7 +250,8 @@ def agg_scores_macro(scores_ds, scorer: str = "rouge"):
     per_ds = agg_scores_by_dataset(scores_ds, scorer).to_pandas()
     out = (
         per_ds.groupby("model", as_index=False)
-        .agg(macro_mean=("mean_score", lambda s: _round6(s.sum() / len(s))))
+        .agg(macro_mean=("mean_score",
+                         lambda s: exact_mean6(s.to_numpy(dtype=np.float64))))
         .sort_values("model")
         .reset_index(drop=True)
     )

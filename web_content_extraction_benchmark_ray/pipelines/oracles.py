@@ -185,6 +185,18 @@ counts AS (
 _R6 = "floor({} * 1000000 + 0.5) / 1000000"
 
 
+def mean6_sql(col: str) -> str:
+    """Order-independent round6 mean, mirroring evalpipe.exact_mean6:
+    per-element micro-unit quantization -> exact BIGINT sum -> one
+    divide -> round6 (a float avg() drifts from the distributed partial
+    sums in the last ulp and can flip the rounding boundary)."""
+    s = (
+        f"CAST(sum(CAST(floor({col} * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)"
+        " / 1000000"
+    )
+    return _R6.format(f"(({s}) / count(*))")
+
+
 def eval_oracle_sql() -> dict[str, str]:
     bp = BP_WS_PAGE
     sqls = {}
@@ -214,19 +226,19 @@ SELECT doc_id, model, lang AS dataset, dist FROM (
     )
     sqls["eval_agg_by_dataset"] = _BASE_CTE + f"""
 SELECT model, dataset,
-       {_R6.format('avg(f1)')} AS mean_score,
+       {mean6_sql('f1')} AS mean_score,
        {_R6.format('quantile_cont(f1, 0.5)')} AS median_score,
        count(*) AS n
 FROM {rouge_f1} s GROUP BY model, dataset"""
     sqls["eval_agg_micro"] = _BASE_CTE + f"""
 SELECT model,
-       {_R6.format('avg(f1)')} AS mean_score,
+       {mean6_sql('f1')} AS mean_score,
        {_R6.format('quantile_cont(f1, 0.5)')} AS median_score,
        count(*) AS n
 FROM {rouge_f1} s GROUP BY model"""
     sqls["eval_agg_macro"] = _BASE_CTE + f"""
-SELECT model, {_R6.format('avg(mean_score)')} AS macro_mean FROM (
-  SELECT model, dataset, {_R6.format('avg(f1)')} AS mean_score
+SELECT model, {mean6_sql('mean_score')} AS macro_mean FROM (
+  SELECT model, dataset, {mean6_sql('f1')} AS mean_score
   FROM {rouge_f1} s GROUP BY model, dataset
 ) GROUP BY model"""
     sqls["eval_quantiles"] = _BASE_CTE + f"""
