@@ -778,3 +778,42 @@ def test_importance_weights_matches_serial_reference(ray_session):
         assert len(df) == len(expect)
         for i, s in expect.items():
             assert int(df.loc[i, "sum_ratio"]) == s
+
+
+def test_join_paths_work_on_tiny_corpora(ray_session, tmp_path):
+    """Regression: Ray 2.49's per-partition Acero join fails when a hash
+    partition is empty on one side; forced join paths over a 4-doc corpus
+    must still work (schema-pinned right side + single-partition tiny
+    joins) and agree with the broadcast paths."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_content_extraction_benchmark_ray.pipelines.dataops import (
+        dup_span_stats,
+        unigram_logprob,
+    )
+
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "the cat sat on the hat"),
+        (3, "completely different words entirely here now"),
+        (7, "the cat sat on the mat"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    sf = str(tmp_path)
+    for fn in (unigram_logprob, dup_span_stats):
+        a = fn(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        b = (
+            fn(sf, broadcast_max_types=0)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        assert len(a) > 0
+        assert a.equals(b), fn.__name__
