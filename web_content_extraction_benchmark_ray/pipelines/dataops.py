@@ -458,8 +458,9 @@ def unigram_logprob(sf_dir: str, broadcast_max_types: int | None = None):
     (``length(bin(c)) - 1``) agree bit for bit — no transcendental-libm
     parity risk.
 
-    Shape: distributed wordcount (per-batch Counter combiner → native Sum
-    groupby), materialized ONCE in the object store (types, not tokens),
+    Shape: distributed wordcount (per-batch Counter combiner → bucketed
+    vectorized Sum, stages/vecagg.py), materialized ONCE in the object
+    store (types, not tokens),
     then one of two integer-identical scoring paths chosen by vocab size:
 
     - ``n_types <= broadcast_max_types``: the vocab is genuinely the
@@ -467,14 +468,12 @@ def unigram_logprob(sf_dir: str, broadcast_max_types: int | None = None):
     - larger: token-explode join.  Docs explode to one row per DISTINCT
       token per doc ``(doc_id, tok, k)`` (the per-doc Counter is the
       map-side combiner), hash-join against the vocab on ``tok``, then a
-      native Sum groupby on ``doc_id`` rebuilds ``(n_tokens, sum_log2)``.
+      bucketed vectorized Sum on ``doc_id`` rebuilds ``(n_tokens, sum_log2)``.
       No process ever holds the vocabulary; both sides stream.  A
       sentinel ``("", k=0)`` row per doc (tokenize_ws never yields "")
       keeps zero-token docs in the inner join with exact sums.
     """
     from collections import Counter
-
-    from ray.data.aggregate import Sum
 
     from ..functions.text import tokenize_ws
 
@@ -492,11 +491,12 @@ def unigram_logprob(sf_dir: str, broadcast_max_types: int | None = None):
             }
         )
 
-    vocab = (
-        _docs(sf_dir).map_batches(wc, batch_format="pyarrow")
-        .groupby("tok").aggregate(Sum("c", alias_name="c"))
-        .materialize()
-    )
+    from ..stages.vecagg import bucketed_groupby
+
+    vocab = bucketed_groupby(
+        _docs(sf_dir).map_batches(wc, batch_format="pyarrow"),
+        "tok", ["c"], ["sum"],
+    ).materialize()
     total = int(vocab.sum("c") or 0)
     d_log = total.bit_length() - 1
 
@@ -593,13 +593,11 @@ def unigram_logprob(sf_dir: str, broadcast_max_types: int | None = None):
             }
         )
 
-    per_doc = (
-        joined.map_batches(contrib, batch_format="pyarrow")
-        .groupby("doc_id")
-        .aggregate(
-            Sum("n_tokens", alias_name="n_tokens"),
-            Sum("sum_log2", alias_name="sum_log2"),
-        )
+    from ..stages.vecagg import bucketed_groupby
+
+    per_doc = bucketed_groupby(
+        joined.map_batches(contrib, batch_format="pyarrow"),
+        "doc_id", ["n_tokens", "sum_log2"], ["sum", "sum"],
     )
 
     def finish(batch: pa.Table) -> pa.Table:
@@ -657,8 +655,6 @@ def importance_weights(sf_dir: str, broadcast_max_types: int | None = None):
     """
     from collections import Counter
 
-    from ray.data.aggregate import Sum
-
     from ..functions.text import tokenize_ws
 
     if broadcast_max_types is None:
@@ -684,15 +680,12 @@ def importance_weights(sf_dir: str, broadcast_max_types: int | None = None):
             }
         )
 
-    vocab = (
-        _docs(sf_dir).map_batches(wc, batch_format="pyarrow")
-        .groupby("tok")
-        .aggregate(
-            Sum("c_raw", alias_name="c_raw"),
-            Sum("c_tgt", alias_name="c_tgt"),
-        )
-        .materialize()
-    )
+    from ..stages.vecagg import bucketed_groupby
+
+    vocab = bucketed_groupby(
+        _docs(sf_dir).map_batches(wc, batch_format="pyarrow"),
+        "tok", ["c_raw", "c_tgt"], ["sum", "sum"],
+    ).materialize()
 
     def _w(c_tgt: int, c_raw: int) -> int:
         return (DSIR_TARGET_EVERY * int(c_tgt) + 1).bit_length() - (
@@ -797,13 +790,11 @@ def importance_weights(sf_dir: str, broadcast_max_types: int | None = None):
             }
         )
 
-    per_doc = (
-        joined.map_batches(contrib, batch_format="pyarrow")
-        .groupby("doc_id")
-        .aggregate(
-            Sum("n_tokens", alias_name="n_tokens"),
-            Sum("sum_ratio", alias_name="sum_ratio"),
-        )
+    from ..stages.vecagg import bucketed_groupby
+
+    per_doc = bucketed_groupby(
+        joined.map_batches(contrib, batch_format="pyarrow"),
+        "doc_id", ["n_tokens", "sum_ratio"], ["sum", "sum"],
     )
 
     def finish(batch: pa.Table) -> pa.Table:
@@ -993,8 +984,6 @@ def dup_span_stats(sf_dir: str, broadcast_max_types: int | None = None):
     """
     from collections import Counter
 
-    from ray.data.aggregate import Sum
-
     from ..functions.hashing import hash60
     from ..functions.text import tokenize_ws
     from .evalpipe import join_partitions
@@ -1031,10 +1020,11 @@ def dup_span_stats(sf_dir: str, broadcast_max_types: int | None = None):
     def occurrences():
         return _aug_docs(sf_dir).map_batches(explode, batch_format="pyarrow")
 
-    counts = (
-        occurrences().groupby("h").aggregate(Sum("k", alias_name="c"))
-        .materialize()
-    )
+    from ..stages.vecagg import bucketed_groupby
+
+    counts = bucketed_groupby(
+        occurrences(), "h", ["k"], ["sum"], out_names=["c"]
+    ).materialize()
 
     def finish_rows(ids, n, d):
         return pa.table(
@@ -1115,13 +1105,11 @@ def dup_span_stats(sf_dir: str, broadcast_max_types: int | None = None):
             }
         )
 
-    per_doc = (
-        joined.map_batches(contrib, batch_format="pyarrow")
-        .groupby("doc_id")
-        .aggregate(
-            Sum("n_windows", alias_name="n_windows"),
-            Sum("n_dup", alias_name="n_dup"),
-        )
+    from ..stages.vecagg import bucketed_groupby
+
+    per_doc = bucketed_groupby(
+        joined.map_batches(contrib, batch_format="pyarrow"),
+        "doc_id", ["n_windows", "n_dup"], ["sum", "sum"],
     )
 
     def finish(batch: pa.Table) -> pa.Table:

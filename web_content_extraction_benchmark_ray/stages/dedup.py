@@ -2,9 +2,9 @@
 
 All stages are shuffle-conscious Ray Data compositions:
 
-- exact:    hash-partition by content hash -> NATIVE Min aggregate
+- exact:    hash-partition by content hash -> bucketed vectorized Min
             (the reference's dict-keyed dedup, extract.py:52-53, made
-            distributed: groupby('h') IS the hash partition).
+            distributed: the bucket groupby IS the hash partition).
 - minhash:  signature map -> band flat-map (each band row CARRIES the full
             signature so bucket-local verification needs no broadcast and
             no second join) -> bucketed candidate generation -> native
@@ -84,18 +84,16 @@ def add_content_hash(batch: pa.Table) -> pa.Table:
 def dedup_exact(ds):
     """Dataset(doc_id, text) -> Dataset(doc_id) of surviving documents.
 
-    Survivor = min doc_id per content hash, via the NATIVE Min aggregate:
-    map-side combining plus C-level reduction — no per-group Python call
-    (a map_groups here would fire once per distinct document)."""
-    from ray.data.aggregate import Min
+    Survivor = min doc_id per content hash, via the bucketed vectorized
+    reduce (stages/vecagg.py): Python fires once per coarse bucket, never
+    per distinct document (a map_groups per hash — or Ray 2.49's native
+    Min, which Python-combines per key — would both loop per document)."""
+    from .vecagg import bucketed_groupby
 
     ds = ds.map_batches(add_content_hash, batch_format="pyarrow")
-    agg = ds.groupby("h").aggregate(Min("doc_id"))
-
-    def project(batch: pa.Table) -> pa.Table:
-        return pa.table({"doc_id": pc.cast(batch["min(doc_id)"], pa.int64())})
-
-    return agg.map_batches(project, batch_format="pyarrow")
+    return bucketed_groupby(
+        ds, "h", ["doc_id"], ["min"]
+    ).select_columns(["doc_id"])
 
 
 _NORM_PUNCT_RE = re.compile(r"[^\w\s]")
@@ -118,17 +116,14 @@ def add_normalized_hash(batch: pa.Table) -> pa.Table:
 
 
 def dedup_exact_norm(ds):
-    """``dedup_exact`` over the normalized content hash — same native
+    """``dedup_exact`` over the normalized content hash — same bucketed
     Min-per-hash shape, zero extra shuffles."""
-    from ray.data.aggregate import Min
+    from .vecagg import bucketed_groupby
 
     ds = ds.map_batches(add_normalized_hash, batch_format="pyarrow")
-    agg = ds.groupby("h").aggregate(Min("doc_id"))
-
-    def project(batch: pa.Table) -> pa.Table:
-        return pa.table({"doc_id": pc.cast(batch["min(doc_id)"], pa.int64())})
-
-    return agg.map_batches(project, batch_format="pyarrow")
+    return bucketed_groupby(
+        ds, "h", ["doc_id"], ["min"]
+    ).select_columns(["doc_id"])
 
 
 # -------------------------------------------------------------------- minhash

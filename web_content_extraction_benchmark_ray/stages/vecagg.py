@@ -1,0 +1,103 @@
+"""Bucketed VECTORIZED groupby reductions.
+
+Ray 2.49's native aggregates (Sum/Min/...) Python-combine once per
+distinct key inside the sort-based Aggregate operator — measured 2.7 s
+of events_sliding's 3.6 s for 14.4k keys, and the dominant cost of the
+wordcount/window-hash aggregates (a per-key loop is exactly the
+"map_groups fires once per group" trap, one layer down).  This stage
+keeps the aggregation semantics but makes the key-space cost vectorized:
+
+1. a stateless map adds ``bucket = hash(key) % num_buckets``;
+2. ``groupby(bucket).map_groups`` fires Python once per BUCKET
+   (bounded, default 256), never per key;
+3. inside a bucket the reduction is one ``np.unique`` factorize plus
+   ``np.add.at`` / ``np.minimum.at`` over the value columns — flat
+   array passes regardless of key cardinality.
+
+At 100-TB scale the key space (vocabulary types, window hashes, content
+hashes) is billions; per-key Python work is a scale-killer while
+per-bucket flat reductions track data size.  Buckets are hash-uniform,
+so skew only arises from a single hot KEY, which pre-aggregation in the
+upstream combiner already collapses to one row per block.
+"""
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+DEFAULT_BUCKETS = 256
+
+_OPS = ("sum", "min", "max")
+
+
+def _bucket_of(col: pa.ChunkedArray, num_buckets: int) -> np.ndarray:
+    if pa.types.is_integer(col.type):
+        keys = np.asarray(col.to_pylist(), dtype=np.int64)
+        return (keys % num_buckets + num_buckets) % num_buckets
+    # string keys: crc32 is deterministic across processes/runs (unlike
+    # builtin hash()) and C-speed per call
+    return np.array(
+        [zlib.crc32(s.encode("utf-8")) % num_buckets
+         for s in col.to_pylist()],
+        dtype=np.int64,
+    )
+
+
+def bucketed_groupby(
+    ds,
+    key: str,
+    vals: list[str],
+    ops: list[str],
+    num_buckets: int = DEFAULT_BUCKETS,
+    out_names: list[str] | None = None,
+):
+    """groupby(key).aggregate(ops over vals), bucketed + vectorized.
+
+    Returns a Dataset with columns ``(key, *out_names)`` where
+    ``out_names`` defaults to ``vals``.  ``ops[i]`` in {sum, min, max}
+    applies to int64 column ``vals[i]`` (integer-exact, order-
+    independent — the float-parity discipline)."""
+    assert len(vals) == len(ops) and all(o in _OPS for o in ops)
+    names = list(out_names or vals)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "bucket",
+            pa.array(_bucket_of(batch.column(key), num_buckets), pa.int64()),
+        )
+
+    def reduce(group: pa.Table) -> pa.Table:
+        kcol = group.column(key)
+        is_str = not pa.types.is_integer(kcol.type)
+        if is_str:
+            keys = np.asarray(kcol.to_pylist(), dtype=object)
+        else:
+            keys = np.asarray(kcol.to_pylist(), dtype=np.int64)
+        uk, kinv = np.unique(keys, return_inverse=True)
+        cols: dict = {
+            key: pa.array(
+                uk.tolist() if is_str else uk,
+                pa.string() if is_str else pa.int64(),
+            )
+        }
+        for val, op, name in zip(vals, ops, names):
+            v = np.asarray(group.column(val).to_pylist(), dtype=np.int64)
+            if op == "sum":
+                acc = np.zeros(len(uk), dtype=np.int64)
+                np.add.at(acc, kinv, v)
+            elif op == "min":
+                acc = np.full(len(uk), np.iinfo(np.int64).max, dtype=np.int64)
+                np.minimum.at(acc, kinv, v)
+            else:
+                acc = np.full(len(uk), np.iinfo(np.int64).min, dtype=np.int64)
+                np.maximum.at(acc, kinv, v)
+            cols[name] = pa.array(acc, pa.int64())
+        return pa.table(cols)
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(reduce, batch_format="pyarrow")
+    )
