@@ -138,6 +138,7 @@ _SAMPLE_FIRST = [
     "importance_weights",
     "select_budget",
     "dedup_exact_norm",
+    "dup_span_scrub",
     # changed late in round 4 (exact-mean hardening over the banded join)
     "eval_agg_by_complexity",
     # flagship + north-rule invariant canaries

@@ -190,6 +190,8 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
                   lambda: _consume(d.chunk_windows(sf_dir)))
             timed("dup_span_stats",
                   lambda: _consume(d.dup_span_stats(sf_dir)))
+            timed("dup_span_scrub",
+                  lambda: _consume(d.dup_span_scrub(sf_dir)))
             timed("importance_weights",
                   lambda: _consume(d.importance_weights(sf_dir)))
         except ImportError:

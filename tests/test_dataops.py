@@ -817,3 +817,92 @@ def test_join_paths_work_on_tiny_corpora(ray_session, tmp_path):
         )
         assert len(a) > 0
         assert a.equals(b), fn.__name__
+
+
+def test_dup_span_scrub_matches_bruteforce(ray_session):
+    """The scrub must remove exactly the positions covered by corpus-
+    duplicated windows — verified against a serial recompute over the
+    augmented view; exact-copy twins must scrub to empty."""
+    from collections import Counter
+
+    from web_content_extraction_benchmark_ray.functions.text import tokenize_ws
+    from web_content_extraction_benchmark_ray.pipelines.dataops import (
+        EXACT_COPY_EVERY,
+        EXACT_COPY_OFFSET,
+        NEAR_DUP_EVERY,
+        NEAR_DUP_OFFSET,
+        SPAN_W,
+        dup_span_scrub,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    df = (
+        dup_span_scrub(sf).to_pandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(
+        sf + "/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    corpus = {int(i): t for i, t in zip(docs["doc_id"], docs["text"])}
+    for i in list(corpus):
+        if i % EXACT_COPY_EVERY == 0:
+            corpus[i + EXACT_COPY_OFFSET] = corpus[i]
+        if i % NEAR_DUP_EVERY == 0:
+            corpus[i + NEAR_DUP_OFFSET] = " ".join(
+                tokenize_ws(corpus[i])[:-1]
+            )
+
+    def wins(toks):
+        if len(toks) < SPAN_W:
+            return [" ".join(toks)]
+        return [
+            " ".join(toks[j : j + SPAN_W])
+            for j in range(len(toks) - SPAN_W + 1)
+        ]
+
+    total = Counter()
+    for t in corpus.values():
+        total.update(wins(tokenize_ws(t)))
+    expect = {}
+    for i, t in corpus.items():
+        toks = tokenize_ws(t)
+        covered = [False] * len(toks)
+        for j, w in enumerate(wins(toks)):
+            if total[w] >= 2:
+                for p in range(j, min(j + SPAN_W, len(toks))):
+                    covered[p] = True
+        kept = " ".join(t for t, c in zip(toks, covered) if not c)
+        expect[i] = (kept, len(toks), sum(covered))
+    got = {
+        int(r.doc_id): (r.kept_text, int(r.n_tokens), int(r.n_removed))
+        for r in df.itertuples()
+    }
+    assert got == expect
+    # exact-copy twins are fully duplicated -> scrubbed to nothing
+    full = [i for i in corpus if i % EXACT_COPY_EVERY == 0
+            and i < NEAR_DUP_OFFSET]
+    assert full and all(got[i + EXACT_COPY_OFFSET][0] == "" for i in full)
+    # and some docs survive untouched
+    assert any(v[2] == 0 and v[0] for v in got.values())
+
+
+def test_dup_span_scrub_join_path_matches_broadcast(ray_session):
+    """Forcing the union-co-location scale path (threshold 0) must
+    reproduce the broadcast path bit for bit."""
+    from web_content_extraction_benchmark_ray.pipelines.dataops import (
+        dup_span_scrub,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = (
+        dup_span_scrub(sf).to_pandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        dup_span_scrub(sf, broadcast_max_types=0).to_pandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    assert len(a) == 575
+    assert a.equals(b)

@@ -1122,6 +1122,223 @@ def dup_span_stats(sf_dir: str, broadcast_max_types: int | None = None):
     return per_doc.map_batches(finish, batch_format="pyarrow")
 
 
+def dup_span_scrub(sf_dir: str, broadcast_max_types: int | None = None):
+    """ExactSubstr-style duplicated-span REMOVAL (the rewrite form of
+    ``dup_span_stats``, after Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better"): every stride-1 ``SPAN_W``-token
+    window occurring >= 2 times corpus-wide marks its token positions;
+    the output keeps only unmarked tokens, in original order, per doc
+    of the augmented corpus view.
+
+    Shape: the same distributed window-hash count (per-batch Counter
+    combiner -> bucketed vectorized Sum, stages/vecagg.py), then one of
+    two identical-output scrub paths chosen by window-type count:
+
+    - ``<= broadcast_max_types``: the dup-hash SET (counts >= 2 only)
+      is broadcast via ``ray.put``; one stateless doc pass marks and
+      rewrites — no extra shuffle.
+    - larger: an occurrence-position explode ``(doc_id, s, h)`` is
+      hash-joined against the dup-hash table on ``h`` (both sides
+      stream), then the dup-START rows and the doc-text rows are
+      UNIONED and co-located by ONE wide-bucket sort on ``doc_id``
+      (the reassemble() discipline: Knuth hash over ``WIDE_BUCKET_
+      SPACE``, explicit uniform boundaries, one rewrite call per
+      partition — a key value never splits, so every doc arrives
+      whole).  The corpus text crosses the wire exactly once and no
+      process ever holds the window table or a per-doc start list.
+
+    A window starting at token ``j`` covers positions ``j ..
+    min(j + SPAN_W, n) - 1`` (a short doc's single whole-doc window
+    covers everything); ``n_removed`` counts covered positions.
+    """
+    from collections import Counter
+
+    from ..functions.hashing import hash60
+    from ..functions.text import tokenize_ws
+    from ..stages.vecagg import bucketed_groupby
+
+    if broadcast_max_types is None:
+        broadcast_max_types = UNIGRAM_BROADCAST_MAX_TYPES
+
+    def _wins(toks: list) -> list:
+        if len(toks) < SPAN_W:
+            return [" ".join(toks)]
+        return [
+            " ".join(toks[j : j + SPAN_W])
+            for j in range(len(toks) - SPAN_W + 1)
+        ]
+
+    def count_rows(batch: pa.Table) -> pa.Table:
+        c = Counter()
+        for t in batch.column("text").to_pylist():
+            c.update(hash60(w) for w in _wins(tokenize_ws(t)))
+        return pa.table(
+            {
+                "h": pa.array(list(c.keys()), pa.int64()),
+                "k": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    counts = bucketed_groupby(
+        _aug_docs(sf_dir).map_batches(count_rows, batch_format="pyarrow"),
+        "h", ["k"], ["sum"], out_names=["c"],
+    ).materialize()
+
+    dup_only = counts.map_batches(
+        lambda b: b.filter(
+            pc.greater_equal(pc.cast(b.column("c"), pa.int64()), 2)
+        ).select(["h"]),
+        batch_format="pyarrow",
+    )
+
+    def _scrub_one(toks: list, starts) -> tuple[str, int]:
+        n = len(toks)
+        covered = np.zeros(n, dtype=bool)
+        for s in starts:
+            covered[s : min(s + SPAN_W, n)] = True
+        kept = " ".join(t for t, c in zip(toks, covered) if not c)
+        return kept, int(covered.sum())
+
+    def finish_rows(ids, texts, n_toks, n_rem) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "kept_text": pa.array(texts, pa.string()),
+                "n_tokens": pa.array(n_toks, pa.int64()),
+                "n_removed": pa.array(n_rem, pa.int64()),
+            }
+        )
+
+    if counts.count() <= broadcast_max_types:
+        dup_set = frozenset(r["h"] for r in dup_only.take_all())
+        ref = ray.put(dup_set)
+
+        def scrub(batch: pa.Table) -> pa.Table:
+            from ..stages.simsearch import _get_broadcast
+
+            dset = _get_broadcast(ref)
+            ids, texts, n_toks, n_rem = [], [], [], []
+            for i, t in zip(
+                batch.column("doc_id").to_pylist(),
+                batch.column("text").to_pylist(),
+            ):
+                toks = tokenize_ws(t)
+                starts = [
+                    j
+                    for j, w in enumerate(_wins(toks))
+                    if hash60(w) in dset
+                ]
+                kept, rem = _scrub_one(toks, starts)
+                ids.append(int(i))
+                texts.append(kept)
+                n_toks.append(len(toks))
+                n_rem.append(rem)
+            return finish_rows(ids, texts, n_toks, n_rem)
+
+        return _aug_docs(sf_dir).map_batches(scrub, batch_format="pyarrow")
+
+    # ---- scale path: explode occurrences with positions, join, co-locate
+    from ..stages.reassemble import (
+        _KNUTH,
+        WIDE_BUCKET_SPACE,
+        _default_partitions,
+    )
+
+    def explode_pos(batch: pa.Table) -> pa.Table:
+        ids_out, s_out, h_out = [], [], []
+        for i, t in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("text").to_pylist(),
+        ):
+            for j, w in enumerate(_wins(tokenize_ws(t))):
+                ids_out.append(int(i))
+                s_out.append(j)
+                h_out.append(hash60(w))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_out, pa.int64()),
+                "s": pa.array(s_out, pa.int64()),
+                "h": pa.array(h_out, pa.int64()),
+            }
+        )
+
+    n_dup = dup_only.count()
+    dup_starts = (
+        _aug_docs(sf_dir)
+        .map_batches(explode_pos, batch_format="pyarrow")
+        .join(
+            dup_only.map_batches(
+                _with_schema(pa.schema([("h", pa.int64())])),
+                batch_format="pyarrow",
+            ),
+            join_type="inner",
+            num_partitions=_join_parts(n_dup),
+            on=("h",),
+        )
+        .map_batches(
+            lambda b: b.select(["doc_id", "s"]).append_column(
+                "text", pa.array([""] * b.num_rows, pa.string())
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    doc_rows = _aug_docs(sf_dir).map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": pc.cast(b.column("doc_id"), pa.int64()),
+                "s": pa.array([-1] * b.num_rows, pa.int64()),
+                "text": pc.cast(b.column("text"), pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def add_b(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(
+            batch.column("doc_id").to_pylist(), dtype=np.int64
+        ).astype(np.uint64)
+        bucket = (
+            ((ids * _KNUTH) & np.uint64(0xFFFFFFFF))
+            % np.uint64(WIDE_BUCKET_SPACE)
+        ).astype(np.int64)
+        return batch.append_column("bucket", pa.array(bucket, pa.int64()))
+
+    both = dup_starts.union(doc_rows).map_batches(
+        add_b, batch_format="pyarrow"
+    )
+    p = _default_partitions()
+    bounds = [WIDE_BUCKET_SPACE * i // p for i in range(1, p)]
+
+    def rewrite(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return finish_rows([], [], [], [])
+        # s=-1 sorts the text row first within each doc group
+        g = part.sort_by([("doc_id", "ascending"), ("s", "ascending")])
+        ids = np.asarray(g.column("doc_id").to_pylist(), dtype=np.int64)
+        ss = np.asarray(g.column("s").to_pylist(), dtype=np.int64)
+        texts = g.column("text").to_pylist()
+        out_i, out_t, out_n, out_r = [], [], [], []
+        lo = 0
+        for hi in np.flatnonzero(np.diff(ids)).tolist() + [len(ids) - 1]:
+            hi += 1
+            assert ss[lo] == -1, "doc text row missing from its partition"
+            toks = tokenize_ws(texts[lo])
+            kept, rem = _scrub_one(toks, ss[lo + 1 : hi].tolist())
+            out_i.append(int(ids[lo]))
+            out_t.append(kept)
+            out_n.append(len(toks))
+            out_r.append(rem)
+            lo = hi
+        if not out_i:
+            return finish_rows([], [], [], [])
+        return finish_rows(out_i, out_t, out_n, out_r)
+
+    return both.sort("bucket", boundaries=bounds).map_batches(
+        rewrite, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True,
+    )
+
+
 # RAG / context-window chunking: every doc is exploded into overlapping
 # fixed-width token windows (the training-data "chunking" classic).
 CHUNK_W = 8  # window width in tokens
@@ -1210,4 +1427,5 @@ def dataops_queries() -> dict:
         "importance_weights": importance_weights,
         "chunk_windows": chunk_windows,
         "dup_span_stats": dup_span_stats,
+        "dup_span_scrub": dup_span_scrub,
     }

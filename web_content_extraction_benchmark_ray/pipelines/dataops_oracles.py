@@ -612,4 +612,43 @@ SELECT doc_id,
          AS dup_ratio
 FROM per"""
 
+    # dup_span_scrub: the REWRITE form of dup_span_stats — a window
+    # starting at 1-based token i covers positions i .. least(i+W-1, n);
+    # kept_text keeps uncovered tokens in order, n_removed counts
+    # covered positions.
+    sqls["dup_span_scrub"] = f"""WITH {_AUG.strip()},
+toks AS (
+  SELECT doc_id, l, len(l) AS n
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS l
+        FROM aug)
+),
+win AS (
+  SELECT doc_id, n, i,
+         CASE WHEN n < {SPAN_W} THEN array_to_string(l, ' ')
+              ELSE array_to_string(l[i : i + {SPAN_W - 1}], ' ')
+         END AS w
+  FROM toks,
+       UNNEST(generate_series(1, greatest(n - {SPAN_W - 1}, 1))) AS u(i)
+),
+wh AS (SELECT doc_id, n, i, {_H60.format('w')} AS h FROM win),
+cnt AS (SELECT h, count(*) AS c FROM wh GROUP BY h),
+cov AS (
+  SELECT DISTINCT wh.doc_id, p
+  FROM wh JOIN cnt USING (h),
+       UNNEST(generate_series(wh.i, least(wh.i + {SPAN_W - 1}, wh.n)))
+         AS g(p)
+  WHERE cnt.c >= 2
+),
+pos AS (
+  SELECT doc_id, p, l[p] AS tok, n
+  FROM toks, UNNEST(generate_series(1, n)) AS u(p)
+)
+SELECT pos.doc_id,
+       coalesce(string_agg(CASE WHEN cov.p IS NULL THEN pos.tok END,
+                           ' ' ORDER BY pos.p), '') AS kept_text,
+       min(pos.n) AS n_tokens,
+       count(cov.p) AS n_removed
+FROM pos LEFT JOIN cov ON pos.doc_id = cov.doc_id AND pos.p = cov.p
+GROUP BY pos.doc_id"""
+
     return sqls
