@@ -139,6 +139,7 @@ _SAMPLE_FIRST = [
     "select_budget",
     "dedup_exact_norm",
     "dup_span_scrub",
+    "dedup_incremental",
     # changed late in round 4 (exact-mean hardening over the banded join)
     "eval_agg_by_complexity",
     # flagship + north-rule invariant canaries

@@ -169,6 +169,8 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
             timed("dedup_exact", lambda: _consume(d.dedup_exact(sf_dir)))
             timed("dedup_exact_norm",
                   lambda: _consume(d.dedup_exact_norm(sf_dir)))
+            timed("dedup_incremental",
+                  lambda: _consume(d.dedup_incremental(sf_dir)))
             timed("dedup_minhash", lambda: _consume(d.dedup_minhash_pairs(sf_dir)))
             timed("dedup_simhash", lambda: _consume(d.dedup_simhash_pairs(sf_dir)))
             timed("dedup_jaccard", lambda: _consume(d.dedup_ngram_jaccard(sf_dir)))

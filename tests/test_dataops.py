@@ -906,3 +906,83 @@ def test_dup_span_scrub_join_path_matches_broadcast(ray_session):
     )
     assert len(a) == 575
     assert a.equals(b)
+
+
+def test_dedup_incremental_matches_antijoin(ray_session):
+    """Survivors must equal the exact anti-join of the incoming batch
+    against the base corpus: every exact copy is dropped, every
+    near-dup (text differs by its last token) survives."""
+    import pyarrow.parquet as pq
+
+    from web_content_extraction_benchmark_ray.functions.hashing import hash60
+    from web_content_extraction_benchmark_ray.functions.text import tokenize_ws
+    from web_content_extraction_benchmark_ray.pipelines.dataops import (
+        EXACT_COPY_EVERY,
+        EXACT_COPY_OFFSET,
+        NEAR_DUP_EVERY,
+        NEAR_DUP_OFFSET,
+        dedup_incremental,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = pq.read_table(
+        sf + "/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    ref_hashes = {hash60(t) for t in docs["text"]}
+    expect = {}
+    for i, t in zip(docs["doc_id"], docs["text"]):
+        if i % EXACT_COPY_EVERY == 0:
+            h = hash60(t)
+            if h not in ref_hashes:
+                expect[int(i) + EXACT_COPY_OFFSET] = h
+        if i % NEAR_DUP_EVERY == 0:
+            h = hash60(" ".join(tokenize_ws(t)[:-1]))
+            if h not in ref_hashes:
+                expect[int(i) + NEAR_DUP_OFFSET] = h
+    df = dedup_incremental(sf).to_pandas()
+    got = {int(r.doc_id): int(r.h) for r in df.itertuples()}
+    assert got == expect
+    # the fixture really exercises both directions
+    assert all(i >= NEAR_DUP_OFFSET for i in got)
+    assert not any(i >= EXACT_COPY_OFFSET for i in got)
+    assert len(got) > 0
+
+
+def test_dedup_incremental_tiny_bloom_is_still_exact(ray_session):
+    """A 64-bit filter makes nearly every probe a false positive,
+    forcing the whole incoming batch through the confirm co-group —
+    the output must be bit-identical to the default filter's."""
+    from web_content_extraction_benchmark_ray.pipelines.dataops import (
+        dedup_incremental,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = (
+        dedup_incremental(sf).to_pandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        dedup_incremental(sf, bloom_bits=64).to_pandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    assert a.equals(b)
+
+
+def test_bloom_has_no_false_negatives(ray_session):
+    """Every inserted hash must probe as present at any filter size."""
+    import numpy as np
+
+    from web_content_extraction_benchmark_ray.stages.bloom import (
+        bloom_contains,
+        bloom_from_hashes,
+    )
+    import ray.data as rd
+
+    rng = np.random.RandomState(7)
+    hs = rng.randint(0, 2**60, size=5000, dtype=np.int64)
+    ds = rd.from_arrow(
+        __import__("pyarrow").table({"h": hs})
+    ).repartition(7)
+    for m in (256, 1 << 14, 1 << 20):
+        bloom = bloom_from_hashes(ds, "h", m)
+        assert bloom_contains(bloom, hs, m).all(), m

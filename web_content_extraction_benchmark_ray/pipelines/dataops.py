@@ -105,6 +105,138 @@ def dedup_exact_norm(sf_dir: str):
     )
 
 
+def dedup_incremental(sf_dir: str, bloom_bits: int | None = None):
+    """Incremental-ingest exact dedup with a Bloom prefilter: the
+    incoming batch (the augmented view's synthetic additions,
+    ``doc_id >= NEAR_DUP_OFFSET``) is deduped against the already-
+    ingested reference corpus (the base ``documents`` table) by content
+    hash.  Output is EXACT — the survivors of an anti-join on
+    ``hash60(text)`` — but the reference hash set is never broadcast:
+
+    1. the packed Bloom bits (``stages/bloom.py``; default 2^20 bits =
+       128 KiB regardless of corpus size at bench scale, ~1.2 GB per
+       10^9 keys at 1% FP when sized for production) are built
+       distributed (one partial bitmap per block, OR-reduce) and
+       ``ray.put`` once;
+    2. incoming docs probe the filter in one stateless pass — bloom
+       MISSES are certain non-members and pass through shuffle-free;
+    3. only bloom HITS (true dups + rare false positives) co-group with
+       the reference HASH rows (8-byte rows, one balanced all-to-all)
+       for the exact confirm; false positives survive it.
+
+    Within-batch duplicates are NOT collapsed here (that is
+    ``dedup_exact``'s job); the operator answers "which incoming docs
+    are new vs the reference".  A tiny ``bloom_bits`` forces false
+    positives through the confirm path — output must not change
+    (pinned by tests/test_dataops.py).
+    """
+    from ..functions.hashing import hash60
+    from ..stages.bloom import (
+        BLOOM_BITS_DEFAULT,
+        bloom_contains,
+        bloom_from_hashes,
+    )
+    from ..stages.vecagg import DEFAULT_BUCKETS
+
+    m = int(bloom_bits or BLOOM_BITS_DEFAULT)
+    nb = DEFAULT_BUCKETS
+
+    def ref_hash_rows(batch: pa.Table) -> pa.Table:
+        hs = [hash60(t) for t in batch.column("text").to_pylist()]
+        return pa.table({"h": pa.array(hs, pa.int64())})
+
+    ref_hashes = _docs(sf_dir).map_batches(
+        ref_hash_rows, batch_format="pyarrow"
+    )
+    bloom = bloom_from_hashes(ref_hashes, "h", m)
+    ref = ray.put(bloom)
+
+    def classify(batch: pa.Table) -> pa.Table:
+        from ..stages.simsearch import _get_broadcast
+
+        bits = _get_broadcast(ref)
+        ids = np.asarray(
+            [int(i) for i in batch.column("doc_id").to_pylist()],
+            dtype=np.int64,
+        )
+        keep = ids >= NEAR_DUP_OFFSET
+        hs = np.asarray(
+            [
+                hash60(t)
+                for t, k in zip(batch.column("text").to_pylist(), keep)
+                if k
+            ],
+            dtype=np.int64,
+        )
+        hit = bloom_contains(bits, hs, m)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep], pa.int64()),
+                "h": pa.array(hs, pa.int64()),
+                "hit": pa.array(hit, pa.bool_()),
+            }
+        )
+
+    # light (doc_id, h, hit) rows — the ONLY thing pinned
+    classified = _aug_docs(sf_dir).map_batches(
+        classify, batch_format="pyarrow"
+    ).materialize()
+
+    misses = classified.map_batches(
+        lambda b: b.filter(pc.invert(b.column("hit").combine_chunks()))
+        .select(["doc_id", "h"]),
+        batch_format="pyarrow",
+    )
+
+    def hit_rows(b: pa.Table) -> pa.Table:
+        t = b.filter(b.column("hit").combine_chunks()).select(
+            ["doc_id", "h"]
+        )
+        h = np.asarray(t.column("h").to_pylist(), dtype=np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (h % nb + nb) % nb, pa.int32()
+                ),
+                "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+                "h": pc.cast(t.column("h"), pa.int64()),
+                "side": pa.array([0] * t.num_rows, pa.int32()),
+            }
+        )
+
+    def ref_rows(b: pa.Table) -> pa.Table:
+        h = np.asarray(b.column("h").to_pylist(), dtype=np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array((h % nb + nb) % nb, pa.int32()),
+                "doc_id": pa.array([-1] * b.num_rows, pa.int64()),
+                "h": pa.array(h, pa.int64()),
+                "side": pa.array([1] * b.num_rows, pa.int32()),
+            }
+        )
+
+    def anti(group: pa.Table) -> pa.Table:
+        side = np.asarray(group.column("side").to_pylist(), dtype=np.int32)
+        h = np.asarray(group.column("h").to_pylist(), dtype=np.int64)
+        ids = np.asarray(group.column("doc_id").to_pylist(), dtype=np.int64)
+        inc = side == 0
+        new = inc & ~np.isin(h, h[side == 1])
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[new], pa.int64()),
+                "h": pa.array(h[new], pa.int64()),
+            }
+        )
+
+    confirmed_new = (
+        classified.map_batches(hit_rows, batch_format="pyarrow")
+        .union(ref_hashes.map_batches(ref_rows, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(anti, batch_format="pyarrow")
+    )
+    return misses.union(confirmed_new)
+
+
 def dedup_minhash_pairs(sf_dir: str):
     return dd.dedup_minhash_pairs(_aug_docs(sf_dir))
 
@@ -1404,6 +1536,7 @@ def dataops_queries() -> dict:
     return {
         "dedup_exact": dedup_exact,
         "dedup_exact_norm": dedup_exact_norm,
+        "dedup_incremental": dedup_incremental,
         "dedup_minhash_pairs": dedup_minhash_pairs,
         "dedup_minhash_survivors": dedup_minhash_survivors,
         "dedup_simhash": dedup_simhash,

@@ -95,6 +95,19 @@ def dataops_oracle_sql() -> dict[str, str]:
     sqls["dedup_exact"] = f"""WITH {_AUG.strip()}
 SELECT min(doc_id) AS doc_id FROM aug GROUP BY md5(text)"""
 
+    # dedup_incremental: incoming batch (the augmented view's synthetic
+    # additions) anti-joined against the base corpus on hash60(text) —
+    # the Bloom prefilter is an execution device only, the result is the
+    # plain exact anti-join.
+    sqls["dedup_incremental"] = f"""WITH {_AUG.strip()},
+inc AS (
+  SELECT doc_id, {_H60.format('text')} AS h
+  FROM aug WHERE doc_id >= {NEAR_DUP_OFFSET}
+),
+rh AS (SELECT DISTINCT {_H60.format('text')} AS h FROM documents)
+SELECT doc_id, h FROM inc
+WHERE h NOT IN (SELECT h FROM rh)"""
+
     from .dataops import CASE_VAR_EVERY, CASE_VAR_OFFSET
 
     # dedup_exact_norm: its own view (exact copies + byte-unequal but

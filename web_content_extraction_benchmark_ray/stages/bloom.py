@@ -1,0 +1,81 @@
+"""Distributed Bloom-filter build + exact membership prefiltering.
+
+The incremental-ingest dedup problem: filter an incoming batch against an
+already-ingested reference corpus WITHOUT shipping the full reference
+hash set to every worker.  At 100 TB the reference is billions of hashes
+(tens of GB as a set); a Bloom filter at ~1% false-positive rate is
+~1.2 GB per 10^9 keys, and the packed BITS are the only broadcast.
+Exactness is preserved by the caller re-checking bloom HITS against the
+reference hash rows (a light 8-byte-row co-group) — false positives are
+confirmed away, and a Bloom filter has no false negatives, so misses
+pass through shuffle-free.  Reference behavior: this engine's dedup
+family (stages/dedup.py); no counterpart exists in the reference repo.
+
+Probe positions use double hashing (Kirsch & Mitzenmacher 2006):
+``pos_j = h1 + j * h2  (mod m)`` — k independent-enough probes derived
+from one 60-bit content hash, fully vectorized in numpy uint64.
+
+Build shape: each input block contributes one PACKED partial bitmap row
+(``m/8`` bytes); the driver ORs the partials.  The driver never sees
+hashes — only ``num_blocks`` fixed-size bitmaps, and the OR result is
+exactly the filter every worker reads via ``ray.put``.  (A tree OR in
+``map_batches`` would bound even that; at the default 2^20 bits a
+partial is 128 KiB, so driver OR is the simpler correct shape.)
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+BLOOM_BITS_DEFAULT = 1 << 20  # m; ~128 KiB packed
+BLOOM_K = 4  # probes per key
+
+_MIX = np.uint64(0x9E3779B97F4A7C15)  # splitmix64 increment
+
+
+def _probes(h: np.ndarray, m: int) -> np.ndarray:
+    """(k, n) probe positions for int64 hashes ``h`` (vectorized)."""
+    h1 = h.astype(np.uint64)
+    # one splitmix64 round for the stride hash; force odd so stride
+    # cycles the whole table even when m is a power of two
+    h2 = h1 + _MIX
+    h2 = (h2 ^ (h2 >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    h2 = (h2 ^ (h2 >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    h2 = (h2 ^ (h2 >> np.uint64(31))) | np.uint64(1)
+    j = np.arange(BLOOM_K, dtype=np.uint64)[:, None]
+    return ((h1[None, :] + j * h2[None, :]) % np.uint64(m)).astype(np.int64)
+
+
+def bloom_from_hashes(ds, col: str, m: int = BLOOM_BITS_DEFAULT) -> np.ndarray:
+    """Build the packed (uint64) filter over ``ds[col]`` (int64 hashes).
+
+    One partial bitmap per input block, OR-reduced on the driver; the
+    reduction is commutative/idempotent so block order and duplicate
+    hashes never matter."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bits = np.zeros(m // 64, dtype=np.uint64)
+        h = np.asarray(batch.column(col).to_pylist(), dtype=np.int64)
+        if len(h):
+            pos = _probes(h, m).ravel()
+            np.bitwise_or.at(
+                bits, pos >> 6, np.uint64(1) << (pos & 63).astype(np.uint64)
+            )
+        return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
+
+    acc = np.zeros(m // 64, dtype=np.uint64)
+    for row in ds.map_batches(partial, batch_format="pyarrow").iter_rows():
+        acc |= np.frombuffer(row["bits"], dtype=np.uint64)
+    return acc
+
+
+def bloom_contains(packed: np.ndarray, h: np.ndarray, m: int) -> np.ndarray:
+    """Vectorized membership probe: True where ALL k probe bits are set
+    (i.e. possibly-present; False is a certain miss)."""
+    if len(h) == 0:
+        return np.zeros(0, dtype=bool)
+    pos = _probes(np.asarray(h, dtype=np.int64), m)
+    bit = (
+        packed[pos >> 6] >> (pos & 63).astype(np.uint64)
+    ) & np.uint64(1)
+    return (bit == 1).all(axis=0)
