@@ -135,6 +135,7 @@ _SAMPLE_FIRST = [
     "dup_span_stats",
     "extract_cascade",
     "extract_topnode",
+    "extract_plaintext",
     "importance_weights",
     "select_budget",
     "dedup_exact_norm",

@@ -57,6 +57,7 @@ def _ensure_loaded():
         justext,
         layout,
         leafmodel,
+        plaintext,
         readability,
         tagclean,
         topnode,

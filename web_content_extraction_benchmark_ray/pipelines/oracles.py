@@ -80,7 +80,8 @@ def extraction_oracle_sql() -> dict[str, str]:
     space = "' '"
     sqls = {}
     for model in ("bte", "density", "readability", "cascade", "topnode",
-                  "leafmodel", "leafmodel_seq", "leafmodel_seq2"):
+                  "plaintext", "leafmodel", "leafmodel_seq",
+                  "leafmodel_seq2"):
         sqls[f"extract_{model}"] = _main_cte(newline) + _select(
             model, "m.main_text"
         )

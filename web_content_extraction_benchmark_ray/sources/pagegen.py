@@ -185,6 +185,14 @@ def expected_topnode(text: str) -> str:
     return expected_main_joined(text, "\n")
 
 
+def expected_plaintext(text: str) -> str:
+    """Resiliparse-class main-content scan: header (h1+nav), aside,
+    comments div and footer are pruned by tag/name; what survives is
+    div#main's paragraphs, one line each
+    (functions/extractors/plaintext.py)."""
+    return expected_main_joined(text, "\n")
+
+
 def expected_ensemble(text: str) -> str:
     return expected_main_joined(text, " ")
 
@@ -199,6 +207,7 @@ EXPECTED_BY_MODEL = {
     "readability": lambda doc_id, text: expected_readability(text),
     "cascade": lambda doc_id, text: expected_cascade(text),
     "topnode": lambda doc_id, text: expected_topnode(text),
+    "plaintext": lambda doc_id, text: expected_plaintext(text),
     "ensemble": lambda doc_id, text: expected_ensemble(text),
     "ensemble_best": lambda doc_id, text: expected_ensemble(text),
     "ensemble_weighted": lambda doc_id, text: expected_ensemble(text),
