@@ -139,7 +139,11 @@ def dedup_incremental(sf_dir: str, bloom_bits: int | None = None):
     from ..stages.vecagg import DEFAULT_BUCKETS
 
     m = int(bloom_bits or BLOOM_BITS_DEFAULT)
-    nb = DEFAULT_BUCKETS
+    # confirm-co-group bucket count scales with the reference cardinality
+    # so a bucket group stays ~1M hash rows no matter the corpus (the
+    # row count is parquet metadata — no data pass)
+    n_ref = _docs(sf_dir).count()
+    nb = min(1 << 20, max(DEFAULT_BUCKETS, n_ref // 1_000_000))
 
     def ref_hash_rows(batch: pa.Table) -> pa.Table:
         hs = [hash60(t) for t in batch.column("text").to_pylist()]
@@ -1438,7 +1442,16 @@ def dup_span_scrub(sf_dir: str, broadcast_max_types: int | None = None):
     both = dup_starts.union(doc_rows).map_batches(
         add_b, batch_format="pyarrow"
     )
-    p = _default_partitions()
+    # partition count honors the 64 MiB size floor: doc text crosses this
+    # sort once, so feed the reassemble partitioner the corpus byte size
+    # (x2 for the augmented view + occurrence rows riding along)
+    try:
+        input_bytes = 2 * os.path.getsize(
+            os.path.join(sf_dir, "documents.parquet")
+        )
+    except OSError:
+        input_bytes = None
+    p = _default_partitions(input_bytes)
     bounds = [WIDE_BUCKET_SPACE * i // p for i in range(1, p)]
 
     def rewrite(part: pa.Table) -> pa.Table:
