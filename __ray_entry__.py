@@ -136,6 +136,7 @@ _SAMPLE_FIRST = [
     "extract_cascade",
     "extract_topnode",
     "extract_plaintext",
+    "events_retention",
     "importance_weights",
     "select_budget",
     "dedup_exact_norm",

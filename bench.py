@@ -223,6 +223,8 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
             timed("events_asof", lambda: _consume(ev.events_asof(sf_dir)))
             timed("events_sliding",
                   lambda: _consume(ev.events_sliding(sf_dir)))
+            timed("events_retention",
+                  lambda: _consume(ev.events_retention(sf_dir)))
         except ImportError:
             pass
 

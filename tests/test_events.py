@@ -122,3 +122,75 @@ def test_asof_matches_bruteforce(ray_session, tmp_path_factory, rows):
         ]
         expected = max(cands)[1] if cands else None
         assert got[eid] == expected, (eid, rows)
+
+
+def test_events_retention_matches_bruteforce(ray_session):
+    """Triangle must equal the serial recompute: distinct (user, hour
+    window) pairs, cohort = per-user min window, count distinct users
+    per (cohort, offset)."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from web_content_extraction_benchmark_ray.pipelines.events import (
+        WINDOW_S,
+        events_retention,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    df = events_retention(sf).to_pandas()
+    ev = pq.read_table(
+        sf + "/events.parquet", columns=["ts", "user_id"]
+    ).to_pandas()
+    w = (ev["ts"].astype("int64") // 1_000_000 // WINDOW_S) * WINDOW_S
+    pairs = set(zip(ev["user_id"].astype("int64"), w))
+    first = {}
+    for u, ws in pairs:
+        first[u] = min(first.get(u, ws), ws)
+    expect = Counter(
+        (first[u], (ws - first[u]) // WINDOW_S) for u, ws in pairs
+    )
+    got = {
+        (int(r.cohort_start_s), int(r.k)): int(r.n_users)
+        for r in df.itertuples()
+    }
+    assert got == dict(expect)
+    # k=0 of every cohort counts the whole cohort (first window is active)
+    cohorts = {c for c, _ in got}
+    assert all((c, 0) in got for c in cohorts)
+
+
+def test_events_retention_dedups_across_batches(ray_session, tmp_path):
+    """The same (user, window) pair arriving in many input blocks must
+    count once: 6 events for one user in one hour across 3 blocks."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_content_extraction_benchmark_ray.pipelines.events import (
+        events_retention,
+    )
+
+    base = 1_700_000_000 * 1_000_000
+    rows = []
+    for i in range(6):
+        rows.append((i, base + i * 60 * 1_000_000, 7))  # same hour
+    rows.append((6, base + 2 * 3600 * 1_000_000, 7))  # hour +2
+    rows.append((7, base + 3600 * 1_000_000, 9))  # other user, own cohort
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array(["x"] * len(rows), pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet", row_group_size=3)
+    df = events_retention(str(tmp_path)).to_pandas()
+    got = {
+        (int(r.cohort_start_s), int(r.k)): int(r.n_users)
+        for r in df.itertuples()
+    }
+    h0 = base // 1_000_000 // 3600 * 3600
+    assert got == {(h0, 0): 1, (h0, 2): 1, (h0 + 3600, 0): 1}

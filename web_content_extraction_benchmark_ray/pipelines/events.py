@@ -357,6 +357,85 @@ def events_props(sf_dir: str):
     )
 
 
+# retention fused-key layout: (window index) << K_BITS | k.  K_BITS=21
+# bounds the observable horizon at 2^21 windows (~240 years of hours) and
+# keeps the fused key < 2^63 for any epoch this side of year 100k.
+_K_BITS = 21
+
+
+def events_retention(sf_dir: str, user_buckets: int | None = None):
+    """Cohort retention triangle: a user's COHORT is the hour window of
+    their first event; for each hour offset ``k``, ``n_users`` counts the
+    cohort's distinct users active in window ``cohort + k*WINDOW_S``.
+
+    Shape: per-batch distinct-``(user, window)`` combiner (raw events
+    never shuffle — only deduped activity pairs), ONE user-bucket
+    co-group (all activity of a user meets in one group, the sessionize
+    discipline, so first-window and distinct-window logic are exact and
+    a user contributes to each ``(cohort, k)`` at most once GLOBALLY),
+    then a tiny vectorized ``(cohort, k)`` Sum reduce
+    (stages/vecagg.py).  Per-bucket work is ``np.unique`` +
+    ``np.minimum.at`` flat passes — no per-user Python."""
+    from ..stages.vecagg import bucketed_groupby
+
+    nb = user_buckets or derived_user_buckets()
+
+    def distinct_pairs(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch.column("user_id").to_pylist(), dtype=np.int64)
+        w = (_epoch_s(batch.column("ts")) // WINDOW_S) * WINDOW_S
+        uw = np.unique(np.stack([u, w]), axis=1)
+        return pa.table(
+            {
+                "bucket": pa.array(uw[0] % nb, pa.int64()),
+                "user_id": pa.array(uw[0], pa.int64()),
+                "window_s": pa.array(uw[1], pa.int64()),
+            }
+        )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        u = np.asarray(group.column("user_id").to_pylist(), dtype=np.int64)
+        w = np.asarray(group.column("window_s").to_pylist(), dtype=np.int64)
+        # batch-level combiners may emit the same pair from many blocks
+        uw = np.unique(np.stack([u, w]), axis=1)
+        u, w = uw[0], uw[1]
+        uu, inv = np.unique(u, return_inverse=True)
+        first = np.full(len(uu), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(first, inv, w)
+        cohort = first[inv]
+        k = (w - cohort) // WINDOW_S
+        ck = (cohort // WINDOW_S << _K_BITS) | k
+        uk, counts = np.unique(ck, return_counts=True)
+        return pa.table(
+            {
+                "ck": pa.array(uk, pa.int64()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    pairs = _events(sf_dir, columns=["ts", "user_id"]).map_batches(
+        distinct_pairs, batch_format="pyarrow"
+    )
+    partials = pairs.groupby("bucket").map_groups(
+        per_bucket, batch_format="pyarrow"
+    )
+    agg = bucketed_groupby(partials, "ck", ["n"], ["sum"],
+                           out_names=["n_users"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ck = np.asarray(batch.column("ck").to_pylist(), dtype=np.int64)
+        return pa.table(
+            {
+                "cohort_start_s": pa.array(
+                    (ck >> _K_BITS) * WINDOW_S, pa.int64()
+                ),
+                "k": pa.array(ck & ((1 << _K_BITS) - 1), pa.int64()),
+                "n_users": pc.cast(batch.column("n_users"), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def events_queries() -> dict:
     return {
         "events_window": events_window,
@@ -364,6 +443,7 @@ def events_queries() -> dict:
         "events_sessionize": events_sessionize,
         "events_asof": events_asof,
         "events_props": events_props,
+        "events_retention": events_retention,
     }
 
 
@@ -436,4 +516,16 @@ FROM events e"""
 SELECT event_id,
        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
 FROM events"""
+    sqls["events_retention"] = f"""
+WITH w AS (
+  SELECT DISTINCT user_id,
+         ((epoch_us(ts) // 1000000) // {WINDOW_S}) * {WINDOW_S} AS window_s
+  FROM events
+),
+f AS (SELECT user_id, min(window_s) AS cohort_s FROM w GROUP BY user_id)
+SELECT f.cohort_s AS cohort_start_s,
+       (w.window_s - f.cohort_s) // {WINDOW_S} AS k,
+       count(*) AS n_users
+FROM w JOIN f ON w.user_id = f.user_id
+GROUP BY 1, 2"""
     return sqls
