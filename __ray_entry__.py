@@ -137,6 +137,7 @@ _SAMPLE_FIRST = [
     "extract_topnode",
     "extract_plaintext",
     "events_retention",
+    "media_resize",
     "importance_weights",
     "select_budget",
     "dedup_exact_norm",

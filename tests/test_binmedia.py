@@ -227,3 +227,37 @@ def test_pdf_roundtrip_property():
         assert decode_pdf_text(payload) == "\n".join(lines)
 
     check()
+
+
+def test_resize_bmp_nn_odd_geometry_roundtrip():
+    """NN downscale of a padded odd-width BMP: output equals the direct
+    numpy subsample of the decoded pixel grid (ceil survivors, padding
+    re-derived for the new width)."""
+    import numpy as np
+
+    from web_content_extraction_benchmark_ray.functions.binmedia import (
+        decode_bmp,
+        encode_bmp,
+        resize_bmp_nn,
+    )
+
+    src = encode_bmp(seed=123, width=5, height=3)  # stride padding != 0
+    out = resize_bmp_nn(src, 2, 2)
+    d = decode_bmp(out)
+    assert (d["width"], d["height"]) == (3, 2)  # ceil(5/2), ceil(3/2)
+    # expected: rows 0,2 and pixel columns 0,2,4 of the source grid
+    n = 5 * 3 * 3
+    pix = ((123 + 17 * np.arange(n, dtype=np.int64)) % 256).reshape(3, 5, 3)
+    expect = pix[::2, ::2]
+    assert d["byte_sum"] == int(expect.sum())
+
+
+def test_resize_bmp_nn_rejects_non_bmp():
+    import pytest
+
+    from web_content_extraction_benchmark_ray.functions.binmedia import (
+        resize_bmp_nn,
+    )
+
+    with pytest.raises(ValueError):
+        resize_bmp_nn(b"GIF89a not a bmp")

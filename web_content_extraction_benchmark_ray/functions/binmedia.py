@@ -78,6 +78,49 @@ def decode_bmp(payload: bytes) -> dict:
     }
 
 
+def _wrap_bmp(pixels: np.ndarray) -> bytes:
+    """Pack an (h, w, 3) uint8 pixel-byte grid (file-row order) into a
+    24-bit BMP with the same header layout encode_bmp emits."""
+    h, w = pixels.shape[0], pixels.shape[1]
+    row_bytes = w * 3
+    pad = (4 - row_bytes % 4) % 4
+    body = b"".join(
+        bytes(r.reshape(-1)) + b"\x00" * pad for r in pixels
+    )
+    data_off = 14 + 40
+    header = struct.pack(
+        "<2sIHHI", b"BM", data_off + len(body), 0, 0, data_off
+    )
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0,
+    )
+    return header + dib + body
+
+
+def resize_bmp_nn(payload: bytes, fx: int = 2, fy: int = 2) -> bytes:
+    """REAL nearest-neighbor downscale: decode the 24-bit pixel grid,
+    keep every ``fy``-th file row and ``fx``-th pixel column (indices 0,
+    fx, 2fx, ... — ceil(n/f) survivors), re-encode.  File (bottom-up)
+    row order is preserved, so the output is the NN subsample of the
+    image; output geometry is (ceil(w/fx), ceil(h/fy))."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    dib_size, width, height = struct.unpack_from("<Iii", payload, 14)
+    if dib_size < 40:
+        raise ValueError("unsupported DIB header")
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    if bpp != 24:
+        raise ValueError(f"unsupported bpp {bpp}")
+    abs_h = abs(height)
+    row_bytes = width * 3
+    stride = row_bytes + (4 - row_bytes % 4) % 4
+    arr = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * abs_h, offset=data_off
+    ).reshape(abs_h, stride)[:, :row_bytes].reshape(abs_h, width, 3)
+    return _wrap_bmp(np.ascontiguousarray(arr[::fy, ::fx]))
+
+
 # ------------------------------------------------------------------- WAV
 def encode_wav(seed: int, n_samples: int = WAV_N_SAMPLES,
                rate: int = WAV_RATE) -> bytes:

@@ -1029,6 +1029,26 @@ def media_decode(sf_dir: str):
     return decode_binary_media(ds).drop_columns(["error"])
 
 
+def media_resize(sf_dir: str):
+    """REAL image transform over the binary media view: nearest-neighbor
+    2x downscale of every BMP payload (numpy row/column subsample +
+    re-encode), stats re-decoded from the transform's OUTPUT bytes.
+    The oracle twin is closed-form because the pixel generator is a
+    (seed + 17k) % 256 sequence: the subsampled byte indices are an
+    arithmetic lattice, so the resized byte_sum is a generate_series
+    sum (dataops_oracles.py) — proving the resize kept exactly the
+    right pixels."""
+    from ..stages.media import resize_media
+
+    ds = _docs(sf_dir).map_batches(
+        _binary_media_rows, batch_format="pyarrow"
+    ).map_batches(
+        lambda b: b.filter(pc.equal(b.column("fmt"), "bmp")),
+        batch_format="pyarrow",
+    )
+    return resize_media(ds).drop_columns(["error"])
+
+
 PDF_LINE_WORDS = 10
 
 
@@ -1567,6 +1587,7 @@ def dataops_queries() -> dict:
         "doc_fingerprint": doc_fingerprint,
         "media_features": media_features,
         "media_decode": media_decode,
+        "media_resize": media_resize,
         "pdf_extract": pdf_extract,
         "repetition_stats": repetition_stats,
         "unigram_logprob": unigram_logprob,

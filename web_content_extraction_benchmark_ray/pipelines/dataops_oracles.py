@@ -475,6 +475,28 @@ SELECT 2 * doc_id + 1, 'wav', CAST({wav_bytes} AS BIGINT),
         FROM generate_series(0, {WAV_N_SAMPLES - 1}) g(k))
 FROM dm"""
 
+    # media_resize: NN 2x downscale keeps file rows 0,2,.. and pixel
+    # columns 0,2,..; pixel byte k of the source is (seed + 17k) % 256,
+    # so the kept bytes are the arithmetic lattice
+    #   k(j) = (2*(j // orow))*irow + 3*(2*((j % orow) // 3)) + j % 3
+    # over j in [0, out_h*orow) — a closed-form generate_series sum.
+    _ow, _oh = (BMP_W + 1) // 2, (BMP_H + 1) // 2
+    _orow, _irow = _ow * 3, BMP_W * 3
+    _opad = (4 - _orow % 4) % 4
+    _onb = 54 + (_orow + _opad) * _oh
+    _kj = (f"(2 * (j // {_orow})) * {_irow}"
+           f" + 6 * ((j % {_orow}) // 3) + j % 3")
+    sqls["media_resize"] = f"""WITH dm AS (
+  SELECT doc_id, {seed_b} AS sb
+  FROM documents WHERE doc_id % {MEDIA_EVERY} = 0
+)
+SELECT 2 * doc_id AS media_id,
+       CAST({_onb} AS BIGINT) AS n_bytes,
+       CAST({_ow} AS BIGINT) AS width, CAST({_oh} AS BIGINT) AS height,
+       (SELECT CAST(sum((dm.sb + {BMP_PIX_STEP} * ({_kj})) % 256) AS BIGINT)
+        FROM generate_series(0, {_oh * _orow - 1}) g(j)) AS byte_sum
+FROM dm"""
+
     sqls["unigram_logprob"] = r"""WITH t AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS l
   FROM documents

@@ -164,3 +164,66 @@ def decode_binary_media(ds, concurrency=(1, 4),
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class MediaResizeStage:
+    """REAL image transform over (media_id, payload) BMP rows: pure-
+    numpy nearest-neighbor downscale (functions/binmedia.resize_bmp_nn)
+    followed by a decode of the RESIZED bytes — the reported geometry /
+    byte_sum come from re-parsing the transform's actual output, so the
+    encoder/decoder round-trip is exercised per item.  Actor-pool stage
+    with the media batch-size discipline (batch x payload x concurrency
+    is the memory bound); per-item errors never fail the job."""
+
+    def __init__(self, fx: int = 2, fy: int = 2):
+        from ..functions.binmedia import decode_bmp, resize_bmp_nn
+
+        self._resize = resize_bmp_nn
+        self._decode = decode_bmp
+        self.fx, self.fy = fx, fy
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {
+            "media_id": [], "n_bytes": [], "width": [], "height": [],
+            "byte_sum": [], "error": [],
+        }
+        for mid, payload in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            nb = w = h = s = 0
+            err = ""
+            try:
+                resized = self._resize(payload or b"", self.fx, self.fy)
+                d = self._decode(resized)
+                nb, w, h, s = (
+                    len(resized), d["width"], d["height"], d["byte_sum"]
+                )
+            except Exception as exc:  # never fail the job for one item
+                err = f"{type(exc).__name__}: {exc}"[:200]
+            out["media_id"].append(mid)
+            out["n_bytes"].append(nb)
+            out["width"].append(w)
+            out["height"].append(h)
+            out["byte_sum"].append(s)
+            out["error"].append(err)
+        return pa.table(
+            {
+                "media_id": pa.array(out["media_id"], pa.int64()),
+                "n_bytes": pa.array(out["n_bytes"], pa.int64()),
+                "width": pa.array(out["width"], pa.int64()),
+                "height": pa.array(out["height"], pa.int64()),
+                "byte_sum": pa.array(out["byte_sum"], pa.int64()),
+                "error": pa.array(out["error"], pa.string()),
+            }
+        )
+
+
+def resize_media(ds, concurrency=(1, 4),
+                 batch_size: int = MEDIA_BATCH_SIZE):
+    return ds.map_batches(
+        MediaResizeStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
