@@ -138,6 +138,7 @@ _SAMPLE_FIRST = [
     "extract_plaintext",
     "events_retention",
     "media_resize",
+    "media_frames",
     "importance_weights",
     "select_budget",
     "dedup_exact_norm",

@@ -189,6 +189,7 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
                   lambda: _consume(d.unigram_logprob(sf_dir)))
             timed("pdf_extract", lambda: _consume(d.pdf_extract(sf_dir)))
             timed("media_resize", lambda: _consume(d.media_resize(sf_dir)))
+            timed("media_frames", lambda: _consume(d.media_frames(sf_dir)))
             timed("chunk_windows",
                   lambda: _consume(d.chunk_windows(sf_dir)))
             timed("dup_span_stats",

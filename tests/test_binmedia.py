@@ -261,3 +261,37 @@ def test_resize_bmp_nn_rejects_non_bmp():
 
     with pytest.raises(ValueError):
         resize_bmp_nn(b"GIF89a not a bmp")
+
+
+def test_wav_frame_stats_trailing_partial_frame():
+    """A 250-sample stream at frame_len=100, step=2 keeps frames 0 and 2;
+    frame 2 is the 50-sample tail."""
+    import numpy as np
+
+    from web_content_extraction_benchmark_ray.functions.binmedia import (
+        encode_wav,
+        wav_frame_stats,
+    )
+
+    payload = encode_wav(seed=5, n_samples=250)
+    got = wav_frame_stats(payload, frame_len=100, step=2)
+    s = np.abs((((5 + 37 * np.arange(250, dtype=np.int64)) % 2001) - 1000))
+    assert got == [
+        (0, 100, int(s[0:100].sum())),
+        (2, 50, int(s[200:250].sum())),
+    ]
+
+
+def test_wav_frame_stats_matches_decode_totals():
+    """Step=1 frames partition the stream: their abs_sums add up to the
+    whole-stream abs_sum the decoder reports."""
+    from web_content_extraction_benchmark_ray.functions.binmedia import (
+        decode_wav,
+        encode_wav,
+        wav_frame_stats,
+    )
+
+    payload = encode_wav(seed=77)
+    frames = wav_frame_stats(payload, step=1)
+    assert sum(s for _, _, s in frames) == decode_wav(payload)["abs_sum"]
+    assert sum(n for _, n, _ in frames) == decode_wav(payload)["n_samples"]

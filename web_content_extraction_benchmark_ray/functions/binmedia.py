@@ -137,9 +137,8 @@ def encode_wav(seed: int, n_samples: int = WAV_N_SAMPLES,
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
 
 
-def decode_wav(payload: bytes) -> dict:
-    """RIFF chunk walk: read fmt geometry, sum |samples| over the data
-    chunk.  Returns {n_channels, sample_rate, n_samples, abs_sum}."""
+def wav_samples(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """RIFF chunk walk -> (n_channels, sample_rate, int16 samples)."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a WAV payload")
     pos, n = 12, len(payload)
@@ -159,10 +158,39 @@ def decode_wav(payload: bytes) -> dict:
         pos += 8 + clen + (clen % 2)  # RIFF chunks are word-aligned
     if fmt_info is None or data is None:
         raise ValueError("missing fmt/data chunk")
-    samples = np.frombuffer(data, dtype=np.int16)
+    return fmt_info[0], fmt_info[1], np.frombuffer(data, dtype=np.int16)
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Parse geometry and sum |samples| over the data chunk.
+    Returns {n_channels, sample_rate, n_samples, abs_sum}."""
+    channels, rate, samples = wav_samples(payload)
     return {
-        "n_channels": int(fmt_info[0]),
-        "sample_rate": int(fmt_info[1]),
-        "n_samples": int(len(samples) // fmt_info[0]),
+        "n_channels": int(channels),
+        "sample_rate": int(rate),
+        "n_samples": int(len(samples) // channels),
         "abs_sum": int(np.abs(samples.astype(np.int64)).sum()),
     }
+
+
+FRAME_LEN = 100  # samples per analysis frame
+FRAME_STEP = 2  # keep every FRAME_STEP-th frame (the frame-sample)
+
+
+def wav_frame_stats(payload: bytes, frame_len: int = FRAME_LEN,
+                    step: int = FRAME_STEP) -> list[tuple[int, int, int]]:
+    """Frame-sample the mono stream: cut into ``frame_len``-sample
+    frames, keep frame indices 0, step, 2*step, ...; per kept frame
+    return (frame_id, n_samples, abs_sum).  Vectorized: one reshape +
+    per-frame |sum| over the strided view; a trailing partial frame is
+    kept with its true length."""
+    channels, _rate, samples = wav_samples(payload)
+    if channels != 1:
+        raise ValueError("frame stats expect mono")
+    s = np.abs(samples.astype(np.int64))
+    n_frames = -(-len(s) // frame_len)
+    out = []
+    for fi in range(0, n_frames, step):
+        fr = s[fi * frame_len:(fi + 1) * frame_len]
+        out.append((fi, int(len(fr)), int(fr.sum())))
+    return out

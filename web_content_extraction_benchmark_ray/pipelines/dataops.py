@@ -1049,6 +1049,24 @@ def media_resize(sf_dir: str):
     return resize_media(ds).drop_columns(["error"])
 
 
+def media_frames(sf_dir: str):
+    """Frame-sampling over the binary media view: every WAV payload
+    explodes into per-frame (frame_id, n_samples, abs_sum) rows for
+    frames 0, FRAME_STEP, 2*FRAME_STEP, ... of FRAME_LEN samples — the
+    "sample every k-th frame" multimodal shape.  The oracle twin is
+    closed-form because sample i is ((seed + 37*i) % 2001) - 1000: each
+    frame's |sum| is one generate_series sum."""
+    from ..stages.media import frame_media
+
+    ds = _docs(sf_dir).map_batches(
+        _binary_media_rows, batch_format="pyarrow"
+    ).map_batches(
+        lambda b: b.filter(pc.equal(b.column("fmt"), "wav")),
+        batch_format="pyarrow",
+    )
+    return frame_media(ds)
+
+
 PDF_LINE_WORDS = 10
 
 
@@ -1588,6 +1606,7 @@ def dataops_queries() -> dict:
         "media_features": media_features,
         "media_decode": media_decode,
         "media_resize": media_resize,
+        "media_frames": media_frames,
         "pdf_extract": pdf_extract,
         "repetition_stats": repetition_stats,
         "unigram_logprob": unigram_logprob,

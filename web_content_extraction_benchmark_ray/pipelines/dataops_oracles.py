@@ -497,6 +497,32 @@ SELECT 2 * doc_id AS media_id,
         FROM generate_series(0, {_oh * _orow - 1}) g(j)) AS byte_sum
 FROM dm"""
 
+    # media_frames: sample i of the WAV is ((seed + 37*i) % 2001) - 1000,
+    # so each kept frame's |sum| is a closed-form generate_series sum;
+    # kept frame ids and lengths are compile-time constants.
+    from ..functions.binmedia import FRAME_LEN, FRAME_STEP
+
+    _nf = -(-WAV_N_SAMPLES // FRAME_LEN)
+    _kept = list(range(0, _nf, FRAME_STEP))
+    _fl = {fi: min(FRAME_LEN, WAV_N_SAMPLES - fi * FRAME_LEN)
+           for fi in _kept}
+    _frame_rows = "\nUNION ALL\n".join(
+        f"SELECT doc_id, sw, CAST({fi} AS BIGINT) AS fi,"
+        f" CAST({_fl[fi]} AS BIGINT) AS flen FROM dm"
+        for fi in _kept
+    )
+    sqls["media_frames"] = f"""WITH dm AS (
+  SELECT doc_id, {seed_w} AS sw
+  FROM documents WHERE doc_id % {MEDIA_EVERY} = 0
+),
+fr AS ({_frame_rows})
+SELECT 2 * doc_id + 1 AS media_id, fi AS frame_id, flen AS n_samples,
+       (SELECT CAST(sum(CASE WHEN i < flen THEN
+                   abs(((fr.sw + {WAV_STEP} * (fi * {FRAME_LEN} + i))
+                        % {WAV_MOD}) - {half}) ELSE 0 END) AS BIGINT)
+        FROM generate_series(0, {FRAME_LEN - 1}) s(i)) AS abs_sum
+FROM fr"""
+
     sqls["unigram_logprob"] = r"""WITH t AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS l
   FROM documents

@@ -227,3 +227,49 @@ def resize_media(ds, concurrency=(1, 4),
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class MediaFramesStage:
+    """Frame-sampling over (media_id, payload) WAV rows: the binary
+    payload EXPLODES into per-frame feature rows (frame_id, n_samples,
+    abs_sum) for every FRAME_STEP-th FRAME_LEN-sample frame — the
+    video/audio "sample every k-th frame" shape on the audio codec this
+    container can decode.  Actor-pool stage, media batch-size
+    discipline; a payload that fails to parse contributes zero rows
+    plus an error row is NOT emitted (frame rows have no error column —
+    failures surface via the decode operator instead)."""
+
+    def __init__(self):
+        from ..functions.binmedia import wav_frame_stats
+
+        self._frames = wav_frame_stats
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mids, fids, ns, sums = [], [], [], []
+        for mid, payload in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            for fi, n, s in self._frames(payload or b""):
+                mids.append(mid)
+                fids.append(fi)
+                ns.append(n)
+                sums.append(s)
+        return pa.table(
+            {
+                "media_id": pa.array(mids, pa.int64()),
+                "frame_id": pa.array(fids, pa.int64()),
+                "n_samples": pa.array(ns, pa.int64()),
+                "abs_sum": pa.array(sums, pa.int64()),
+            }
+        )
+
+
+def frame_media(ds, concurrency=(1, 4),
+                batch_size: int = MEDIA_BATCH_SIZE):
+    return ds.map_batches(
+        MediaFramesStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
