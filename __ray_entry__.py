@@ -144,8 +144,10 @@ _SAMPLE_FIRST = [
     "dedup_exact_norm",
     "dup_span_scrub",
     "dedup_incremental",
-    # changed late in round 4 (exact-mean hardening over the banded join)
+    # changed late in round 4 (exact-mean hardening of every eval mean)
     "eval_agg_by_complexity",
+    "eval_agg_macro",
+    "eval_quantiles",
     # flagship + north-rule invariant canaries
     "extract_bte",
     "extract_spans_signature",
