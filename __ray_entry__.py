@@ -146,6 +146,8 @@ _SAMPLE_FIRST = [
     "dedup_incremental",
     # changed late in round 4 (exact-mean hardening of every eval mean)
     "eval_agg_by_complexity",
+    "eval_agg_by_dataset",
+    "eval_agg_micro",
     "eval_agg_macro",
     "eval_quantiles",
     # flagship + north-rule invariant canaries
