@@ -986,3 +986,34 @@ def test_bloom_has_no_false_negatives(ray_session):
     for m in (256, 1 << 14, 1 << 20):
         bloom = bloom_from_hashes(ds, "h", m)
         assert bloom_contains(bloom, hs, m).all(), m
+
+
+def test_dup_span_scrub_consistent_with_dup_span_stats(ray_session):
+    """Cross-operator invariants over the same counts table: a doc has
+    removed tokens iff it has duplicated windows; token counts and
+    window counts agree (n_windows = max(n_tokens - SPAN_W + 1, 1));
+    fully-duplicated docs scrub to empty."""
+    from web_content_extraction_benchmark_ray.pipelines.dataops import (
+        SPAN_W,
+        dup_span_scrub,
+        dup_span_stats,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    scrub = {
+        int(r.doc_id): r
+        for r in dup_span_scrub(sf).to_pandas().itertuples()
+    }
+    stats = {
+        int(r.doc_id): r
+        for r in dup_span_stats(sf).to_pandas().itertuples()
+    }
+    assert scrub.keys() == stats.keys()
+    for i, sc in scrub.items():
+        st = stats[i]
+        assert (sc.n_removed > 0) == (st.n_dup > 0), i
+        assert st.n_windows == max(sc.n_tokens - SPAN_W + 1, 1), i
+        if st.dup_ratio == 1.0:
+            assert sc.kept_text == "" and sc.n_removed == sc.n_tokens, i
+        if sc.n_removed == 0:
+            assert len(sc.kept_text.split()) == sc.n_tokens, i
