@@ -139,6 +139,7 @@ _SAMPLE_FIRST = [
     "events_retention",
     "media_resize",
     "media_frames",
+    "source_mix",
     "importance_weights",
     "select_budget",
     "dedup_exact_norm",

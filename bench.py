@@ -206,6 +206,7 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
             timed("decontaminate", lambda: _consume(cu.decontaminate(sf_dir)))
             timed("pack_shards", lambda: _consume(cu.pack_shards(sf_dir)))
             timed("select_budget", lambda: _consume(cu.select_budget(sf_dir)))
+            timed("source_mix", lambda: _consume(cu.source_mix(sf_dir)))
             timed("pii_scrub", lambda: _consume(cu.pii_scrub(sf_dir)))
         except ImportError:
             pass

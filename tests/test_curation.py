@@ -144,3 +144,50 @@ def test_select_budget_parameterized_budget(ray_session):
     assert int(none["selected"].sum()) == 0
     allb = select_budget(SF, budget=1 << 40).to_pandas()
     assert int(allb["selected"].sum()) == len(allb)
+
+
+def test_source_mix_fills_each_source_quota(ray_session):
+    """Within each source: selection is the greedy (quality desc,
+    doc_id) prefix under budget // n_sources; selected sets match the
+    serial recompute and no source exceeds its quota."""
+    import pyarrow.parquet as pq
+
+    from web_content_extraction_benchmark_ray.functions.text import tokenize_ws
+    from web_content_extraction_benchmark_ray.functions.textstats import (
+        quality_features,
+    )
+    from web_content_extraction_benchmark_ray.pipelines.curation import (
+        SELECT_BUDGET,
+        source_mix,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    df = source_mix(sf).to_pandas()
+    docs = pq.read_table(
+        sf + "/documents.parquet", columns=["doc_id", "source", "text"]
+    ).to_pandas()
+    quota = SELECT_BUDGET // docs["source"].nunique()
+    expect_sel = set()
+    for src, g in docs.groupby("source"):
+        rows = sorted(
+            (
+                (
+                    -int(round(quality_features(t)["quality"] * 1e6)),
+                    int(i),
+                    len(tokenize_ws(t)),
+                )
+                for i, t in zip(g["doc_id"], g["text"])
+            )
+        )
+        cum = 0
+        for negq, i, n in rows:
+            cum += n
+            if cum <= quota:
+                expect_sel.add(i)
+    got_sel = set(df[df["selected"] == 1]["doc_id"].astype(int))
+    assert got_sel == expect_sel and got_sel
+    # quota respected per source
+    sel = df[df["selected"] == 1]
+    assert (sel.groupby("source")["n_tokens"].sum() <= quota).all()
+    # every doc is reported, selected or not
+    assert len(df) == len(docs)

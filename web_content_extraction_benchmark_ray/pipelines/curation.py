@@ -304,6 +304,109 @@ def select_budget(sf_dir: str, budget: int = SELECT_BUDGET):
     return idx.groupby("bucket").map_groups(assign, batch_format="pyarrow")
 
 
+def source_mix(sf_dir: str, budget: int = SELECT_BUDGET):
+    """Per-source proportional data mixing — the mixture-construction
+    step of an LLM pipeline: the total token budget splits into equal
+    per-source quotas (``budget // n_sources``, the uniform target
+    mixture), and within each source the ``select_budget`` scan keeps
+    the best docs by (quality desc, doc_id asc) until that source's
+    quota fills.  Output per doc: (doc_id, source, n_tokens,
+    quality_mu, cum_tokens, selected) with ``cum_tokens`` the
+    within-source running total in selection order.
+
+    Same two-level distributed scan as ``select_budget`` with
+    ``(source, q-bucket)`` fused keys: only 32-byte index rows shuffle;
+    the driver prefix holds per-source bucket sums (n_sources × ≤245
+    rows), never documents.  Mixtures with non-uniform target weights
+    are the same scan with a weight map in place of the uniform quota.
+    """
+    import os
+
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from ..functions.textstats import quality_features
+
+    def counts(batch: pa.Table) -> pa.Table:
+        ids, srcs, q_mu, ntok, gkey = [], [], [], [], []
+        for i, s, t in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("source").to_pylist(),
+            batch.column("text").to_pylist(),
+        ):
+            q = int(round(quality_features(t)["quality"] * 1e6))
+            ids.append(int(i))
+            srcs.append(s)
+            q_mu.append(q)
+            ntok.append(len(tokenize_ws(t)))
+            gkey.append(f"{s}#{q // _SELECT_QSTEP}")
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "source": pa.array(srcs, pa.string()),
+                "q_mu": pa.array(q_mu, pa.int64()),
+                "n_tokens": pa.array(ntok, pa.int64()),
+                "gkey": pa.array(gkey, pa.string()),
+            }
+        )
+
+    docs = read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "text"],
+    )
+    idx = docs.map_batches(counts, batch_format="pyarrow")
+    idx = idx.materialize()  # tiny index rows, read 2x
+
+    sums = (
+        coalesce_small(idx, 4)
+        .groupby("gkey")
+        .aggregate(Sum("n_tokens"))
+        .to_pandas()
+    )
+    sums["source"] = sums["gkey"].str.rsplit("#", n=1).str[0]
+    sums["qb"] = sums["gkey"].str.rsplit("#", n=1).str[1].astype(int)
+    sums = sums.sort_values(["source", "qb"],
+                            ascending=[True, False])
+    sums["off"] = (
+        sums.groupby("source")["sum(n_tokens)"].cumsum()
+        - sums["sum(n_tokens)"]
+    )
+    offsets = dict(zip(sums["gkey"], sums["off"].astype(int)))
+    n_sources = int(sums["source"].nunique())
+    quota = budget // max(n_sources, 1)
+    off_ref = ray.put(offsets)
+
+    def assign(group: pa.Table, off_ref=off_ref) -> pa.Table:
+        key = off_ref.hex()
+        offs = _OFFSET_CACHE.get(key)
+        if offs is None:
+            offs = _OFFSET_CACHE[key] = ray.get(off_ref)
+        ids = np.asarray(group.column("doc_id").to_pylist(), dtype=np.int64)
+        q = np.asarray(group.column("q_mu").to_pylist(), dtype=np.int64)
+        tok = np.asarray(group.column("n_tokens").to_pylist(), dtype=np.int64)
+        order = np.lexsort((ids, -q))  # q desc, doc_id asc
+        ids, q, tok = ids[order], q[order], tok[order]
+        srcs = group.column("source").take(
+            pa.array(order, pa.int64())
+        )
+        base = int(offs[group.column("gkey")[0].as_py()])
+        cum = base + np.cumsum(tok)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "source": pc.cast(srcs, pa.string()),
+                "n_tokens": pa.array(tok, pa.int64()),
+                "quality_mu": pa.array(q, pa.int64()),
+                "cum_tokens": pa.array(cum, pa.int64()),
+                "selected": pa.array(
+                    (cum <= quota).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return idx.groupby("gkey").map_groups(assign, batch_format="pyarrow")
+
+
 # --------------------------------------------------------------- pii_scrub
 _PII_RE = re.compile(PII_PATTERN)
 
@@ -345,6 +448,7 @@ def curation_queries() -> dict:
         "decontaminate": decontaminate,
         "pack_shards": pack_shards,
         "select_budget": select_budget,
+        "source_mix": source_mix,
         "pii_scrub": pii_scrub,
     }
 
@@ -426,6 +530,31 @@ s AS (
 SELECT doc_id, n_tokens, q_mu AS quality_mu, cum AS cum_tokens,
        CAST(CASE WHEN cum <= {SELECT_BUDGET} THEN 1 ELSE 0 END AS BIGINT)
          AS selected
+FROM s"""
+
+    # source_mix: the select_budget window PARTITIONED BY source, each
+    # source capped at the uniform quota budget // n_sources.
+    sqls["source_mix"] = f"""WITH t AS (
+  SELECT doc_id, text, source,
+         regexp_split_to_array(trim(text), '\\s+') AS l
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, CAST(len(l) AS BIGINT) AS n_tokens, {q_mu} AS q_mu
+  FROM t
+),
+k AS (SELECT count(DISTINCT source) AS ns FROM documents),
+s AS (
+  SELECT doc_id, source, n_tokens, q_mu,
+         CAST(sum(n_tokens) OVER (PARTITION BY source
+                ORDER BY q_mu DESC, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum
+  FROM c
+)
+SELECT doc_id, source, n_tokens, q_mu AS quality_mu, cum AS cum_tokens,
+       CAST(CASE WHEN cum <= {SELECT_BUDGET} // (SELECT ns FROM k)
+                 THEN 1 ELSE 0 END AS BIGINT) AS selected
 FROM s"""
 
     sqls["pii_scrub"] = f"""WITH aug AS (
