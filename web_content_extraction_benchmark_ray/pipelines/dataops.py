@@ -149,9 +149,12 @@ def dedup_incremental(sf_dir: str, bloom_bits: int | None = None):
         hs = [hash60(t) for t in batch.column("text").to_pylist()]
         return pa.table({"h": pa.array(hs, pa.int64())})
 
+    # pinned ONCE (8-byte rows — the reduced-table discipline): the bloom
+    # build and the confirm co-group both read it, so the corpus text is
+    # hashed a single time
     ref_hashes = _docs(sf_dir).map_batches(
         ref_hash_rows, batch_format="pyarrow"
-    )
+    ).materialize()
     bloom = bloom_from_hashes(ref_hashes, "h", m)
     ref = ray.put(bloom)
 
