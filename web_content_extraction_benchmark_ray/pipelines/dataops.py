@@ -1309,10 +1309,13 @@ def dup_span_scrub(sf_dir: str, broadcast_max_types: int | None = None):
 
     Shape: the same distributed window-hash count (per-batch Counter
     combiner -> bucketed vectorized Sum, stages/vecagg.py), then one of
-    two identical-output scrub paths chosen by window-type count:
+    two identical-output scrub paths chosen by the DUP-SET size (the
+    counts >= 2 subset — what actually ships; gating on total type
+    count would force a huge-corpus/few-dups input through a join whose
+    small side is tiny, i.e. a near-single-partition funnel):
 
-    - ``<= broadcast_max_types``: the dup-hash SET (counts >= 2 only)
-      is broadcast via ``ray.put``; one stateless doc pass marks and
+    - ``<= broadcast_max_types`` dup hashes: the dup-hash SET is
+      broadcast via ``ray.put``; one stateless doc pass marks and
       rewrites — no extra shuffle.
     - larger: an occurrence-position explode ``(doc_id, s, h)`` is
       hash-joined against the dup-hash table on ``h`` (both sides
@@ -1386,7 +1389,8 @@ def dup_span_scrub(sf_dir: str, broadcast_max_types: int | None = None):
             }
         )
 
-    if counts.count() <= broadcast_max_types:
+    n_dup = dup_only.count()
+    if n_dup <= broadcast_max_types:
         dup_set = frozenset(r["h"] for r in dup_only.take_all())
         ref = ray.put(dup_set)
 
@@ -1439,7 +1443,9 @@ def dup_span_scrub(sf_dir: str, broadcast_max_types: int | None = None):
             }
         )
 
-    n_dup = dup_only.count()
+    # n_dup > broadcast_max_types here, so _join_parts always returns the
+    # real partition count — the tiny-small-side single-partition funnel
+    # cannot occur on this path
     dup_starts = (
         _aug_docs(sf_dir)
         .map_batches(explode_pos, batch_format="pyarrow")
