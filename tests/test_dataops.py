@@ -1017,3 +1017,30 @@ def test_dup_span_scrub_consistent_with_dup_span_stats(ray_session):
             assert sc.kept_text == "" and sc.n_removed == sc.n_tokens, i
         if sc.n_removed == 0:
             assert len(sc.kept_text.split()) == sc.n_tokens, i
+
+
+def test_bloom_sliced_build_equals_blockwise(ray_session):
+    """Above SLICED_BUILD_MIN_BITS the build shuffles probe positions
+    instead of per-block bitmaps; both paths must produce the identical
+    filter (same m, same hashes)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from web_content_extraction_benchmark_ray.stages import bloom as bl
+
+    rng = np.random.RandomState(11)
+    hs = rng.randint(0, 2**60, size=3000, dtype=np.int64)
+    ds = rd.from_arrow(pa.table({"h": hs})).repartition(5)
+    m = bl.SLICED_BUILD_MIN_BITS * 2  # forces the sliced path
+    sliced = bl.bloom_from_hashes(ds, "h", m)
+    # rebuild the same filter through the block-wise path by lifting the
+    # threshold temporarily
+    orig = bl.SLICED_BUILD_MIN_BITS
+    bl.SLICED_BUILD_MIN_BITS = m
+    try:
+        blockwise = bl.bloom_from_hashes(ds, "h", m)
+    finally:
+        bl.SLICED_BUILD_MIN_BITS = orig
+    assert np.array_equal(sliced, blockwise)
+    assert bl.bloom_contains(sliced, hs, m).all()

@@ -46,26 +46,91 @@ def _probes(h: np.ndarray, m: int) -> np.ndarray:
     return ((h1[None, :] + j * h2[None, :]) % np.uint64(m)).astype(np.int64)
 
 
+# above this size, per-block full bitmaps (m/8 bytes EACH) cost more than
+# shuffling probe positions once; the build switches to slice-partitioned
+# reduction
+SLICED_BUILD_MIN_BITS = 1 << 24
+SLICE_BITS = 1 << 23  # bits owned by one reducer slice (1 MiB packed)
+
+
 def bloom_from_hashes(ds, col: str, m: int = BLOOM_BITS_DEFAULT) -> np.ndarray:
     """Build the packed (uint64) filter over ``ds[col]`` (int64 hashes).
 
-    One partial bitmap per input block, OR-reduced on the driver; the
-    reduction is commutative/idempotent so block order and duplicate
-    hashes never matter."""
+    Small ``m`` (≤ ``SLICED_BUILD_MIN_BITS``): one partial bitmap per
+    input block, OR-reduced on the driver — a partial is m/8 bytes, so
+    this is right only while m is small.
 
-    def partial(batch: pa.Table) -> pa.Table:
-        bits = np.zeros(m // 64, dtype=np.uint64)
-        h = np.asarray(batch.column(col).to_pylist(), dtype=np.int64)
-        if len(h):
-            pos = _probes(h, m).ravel()
-            np.bitwise_or.at(
-                bits, pos >> 6, np.uint64(1) << (pos & 63).astype(np.uint64)
+    Large ``m``: per-block FULL bitmaps would ship m/8 bytes per block
+    (GBs × thousands of blocks).  Instead the BIT SPACE is partitioned:
+    blocks emit (slice, pos) probe rows (light ints, one all-to-all),
+    each reducer ORs its own m/SLICE_BITS-bit slice vectorized, and the
+    driver assembles the m bytes exactly once.  Both paths produce the
+    identical filter (pinned by tests)."""
+    if m <= SLICED_BUILD_MIN_BITS:
+
+        def partial(batch: pa.Table) -> pa.Table:
+            bits = np.zeros(m // 64, dtype=np.uint64)
+            h = np.asarray(batch.column(col).to_pylist(), dtype=np.int64)
+            if len(h):
+                pos = _probes(h, m).ravel()
+                np.bitwise_or.at(
+                    bits, pos >> 6,
+                    np.uint64(1) << (pos & 63).astype(np.uint64),
+                )
+            return pa.table(
+                {"bits": pa.array([bits.tobytes()], pa.binary())}
             )
-        return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
+
+        acc = np.zeros(m // 64, dtype=np.uint64)
+        for row in ds.map_batches(
+            partial, batch_format="pyarrow"
+        ).iter_rows():
+            acc |= np.frombuffer(row["bits"], dtype=np.uint64)
+        return acc
+
+    def probe_rows(batch: pa.Table) -> pa.Table:
+        h = np.asarray(batch.column(col).to_pylist(), dtype=np.int64)
+        if not len(h):
+            return pa.table(
+                {"slice": pa.array([], pa.int64()),
+                 "pos": pa.array([], pa.int64())}
+            )
+        pos = np.unique(_probes(h, m).ravel())
+        return pa.table(
+            {
+                "slice": pa.array(pos // SLICE_BITS, pa.int64()),
+                "pos": pa.array(pos, pa.int64()),
+            }
+        )
+
+    def reduce_slice(group: pa.Table) -> pa.Table:
+        sl = int(group.column("slice")[0].as_py())
+        base = sl * SLICE_BITS
+        n_bits = min(SLICE_BITS, m - base)
+        bits = np.zeros(-(-n_bits // 64), dtype=np.uint64)
+        pos = np.asarray(
+            group.column("pos").to_pylist(), dtype=np.int64
+        ) - base
+        np.bitwise_or.at(
+            bits, pos >> 6, np.uint64(1) << (pos & 63).astype(np.uint64)
+        )
+        return pa.table(
+            {
+                "slice": pa.array([sl], pa.int64()),
+                "bits": pa.array([bits.tobytes()], pa.binary()),
+            }
+        )
 
     acc = np.zeros(m // 64, dtype=np.uint64)
-    for row in ds.map_batches(partial, batch_format="pyarrow").iter_rows():
-        acc |= np.frombuffer(row["bits"], dtype=np.uint64)
+    reduced = (
+        ds.map_batches(probe_rows, batch_format="pyarrow")
+        .groupby("slice")
+        .map_groups(reduce_slice, batch_format="pyarrow")
+    )
+    for row in reduced.iter_rows():
+        base_w = row["slice"] * (SLICE_BITS // 64)
+        part = np.frombuffer(row["bits"], dtype=np.uint64)
+        acc[base_w:base_w + len(part)] |= part
     return acc
 
 
