@@ -22,6 +22,22 @@ from ..functions.hashing import hash60
 
 MEDIA_BATCH_SIZE = 16
 
+
+def _pool_bounds() -> tuple[int, int]:
+    """Autoscaling actor-pool bounds that track the cluster: a fixed cap
+    of 4 actors starves a wide node/cluster on a media-heavy corpus; one
+    actor per 4 cores keeps the pool proportional while idle actors stay
+    cheap (the pool scales down to 1)."""
+    import ray
+
+    cpus = (
+        int(ray.cluster_resources().get("CPU", 4))
+        if ray.is_initialized()
+        else 4
+    )
+    return (1, max(4, cpus // 4))
+
+
 try:  # pragma: no cover — not installed in this sandbox
     from PIL import Image  # noqa: F401
 
@@ -87,12 +103,12 @@ class MediaDecodeStage:
         )
 
 
-def decode_media(ds, concurrency=(1, 4), batch_size: int = MEDIA_BATCH_SIZE):
+def decode_media(ds, concurrency=None, batch_size: int = MEDIA_BATCH_SIZE):
     return ds.map_batches(
         MediaDecodeStage,
+        concurrency=concurrency or _pool_bounds(),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
     )
 
 
@@ -156,13 +172,13 @@ class BinaryMediaDecodeStage:
         )
 
 
-def decode_binary_media(ds, concurrency=(1, 4),
+def decode_binary_media(ds, concurrency=None,
                         batch_size: int = MEDIA_BATCH_SIZE):
     return ds.map_batches(
         BinaryMediaDecodeStage,
+        concurrency=concurrency or _pool_bounds(),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
     )
 
 
@@ -219,13 +235,13 @@ class MediaResizeStage:
         )
 
 
-def resize_media(ds, concurrency=(1, 4),
+def resize_media(ds, concurrency=None,
                  batch_size: int = MEDIA_BATCH_SIZE):
     return ds.map_batches(
         MediaResizeStage,
+        concurrency=concurrency or _pool_bounds(),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
     )
 
 
@@ -265,11 +281,11 @@ class MediaFramesStage:
         )
 
 
-def frame_media(ds, concurrency=(1, 4),
+def frame_media(ds, concurrency=None,
                 batch_size: int = MEDIA_BATCH_SIZE):
     return ds.map_batches(
         MediaFramesStage,
+        concurrency=concurrency or _pool_bounds(),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
     )
