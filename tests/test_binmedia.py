@@ -295,3 +295,69 @@ def test_wav_frame_stats_matches_decode_totals():
     frames = wav_frame_stats(payload, step=1)
     assert sum(s for _, _, s in frames) == decode_wav(payload)["abs_sum"]
     assert sum(n for _, n, _ in frames) == decode_wav(payload)["n_samples"]
+
+
+def test_resize_bmp_nn_preserves_top_down_orientation():
+    """A negative-height (top-down) BMP must resize to a top-down BMP
+    whose kept rows are the top-down grid's rows 0, 2, ..."""
+    import struct
+
+    import numpy as np
+
+    from web_content_extraction_benchmark_ray.functions.binmedia import (
+        _parse_bmp,
+        _wrap_bmp,
+        resize_bmp_nn,
+    )
+
+    grid = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    src = _wrap_bmp(grid, top_down=True)
+    assert struct.unpack_from("<Iii", src, 14)[2] == -4  # declared top-down
+    out = resize_bmp_nn(src, 2, 2)
+    w, h, got = _parse_bmp(out)
+    assert (w, h) == (3, -2)  # orientation survives
+    assert np.array_equal(got, grid[::2, ::2])
+
+
+def test_media_frames_stage_skips_bad_payloads(ray_session):
+    """One malformed payload contributes zero rows; the good one still
+    explodes into frames."""
+    import pyarrow as pa
+
+    from web_content_extraction_benchmark_ray.functions.binmedia import (
+        encode_wav,
+    )
+    from web_content_extraction_benchmark_ray.stages.media import (
+        MediaFramesStage,
+    )
+
+    batch = pa.table(
+        {
+            "media_id": pa.array([1, 2], pa.int64()),
+            "payload": pa.array(
+                [b"not a wav at all", encode_wav(seed=3)], pa.binary()
+            ),
+        }
+    )
+    out = MediaFramesStage()(batch)
+    assert set(out.column("media_id").to_pylist()) == {2}
+    assert out.num_rows == 5  # frames 0,2,4,6,8 of the 1000-sample wav
+
+
+def test_bloom_normalizes_odd_bit_counts(ray_session):
+    """m values that are not word multiples must not crash and must stay
+    consistent between build and probe (both normalize)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from web_content_extraction_benchmark_ray.stages.bloom import (
+        bloom_contains,
+        bloom_from_hashes,
+    )
+
+    hs = np.arange(1, 300, dtype=np.int64) * 7919
+    ds = rd.from_arrow(pa.table({"h": hs}))
+    for m in (1, 63, 100, 130):
+        bloom = bloom_from_hashes(ds, "h", m)
+        assert bloom_contains(bloom, hs, m).all(), m

@@ -33,28 +33,12 @@ WAV_MOD = 2001  # samples span [-1000, 1000]
 
 
 # ------------------------------------------------------------------- BMP
-def encode_bmp(seed: int, width: int = BMP_W, height: int = BMP_H) -> bytes:
-    """24-bit bottom-up BMP; pixel byte k = (seed + 17*k) % 256."""
-    row_bytes = width * 3
-    pad = (4 - row_bytes % 4) % 4
-    n = row_bytes * height
-    pix = ((seed + BMP_PIX_STEP * np.arange(n, dtype=np.int64)) % 256
-           ).astype(np.uint8)
-    rows = pix.reshape(height, row_bytes)
-    body = b"".join(bytes(r) + b"\x00" * pad for r in rows)
-    data_off = 14 + 40
-    file_size = data_off + len(body)
-    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, data_off)
-    dib = struct.pack(
-        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body),
-        2835, 2835, 0, 0,
-    )
-    return header + dib + body
-
-
-def decode_bmp(payload: bytes) -> dict:
-    """Parse header geometry and sum the pixel bytes (padding excluded).
-    Returns {width, height, bpp, byte_sum}."""
+def _parse_bmp(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Validate a 24-bit BMP and return (width, signed height, pixel
+    grid) — the grid is (abs_h, width, 3) uint8 in FILE row order
+    (bottom-up when height > 0, top-down when negative), padding
+    stripped.  Single source of truth for the layout: decode_bmp and
+    resize_bmp_nn both read through here."""
     if payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
     (data_off,) = struct.unpack_from("<I", payload, 10)
@@ -67,20 +51,18 @@ def decode_bmp(payload: bytes) -> dict:
     abs_h = abs(height)
     row_bytes = width * 3
     stride = row_bytes + (4 - row_bytes % 4) % 4
-    arr = np.frombuffer(
+    grid = np.frombuffer(
         payload, dtype=np.uint8, count=stride * abs_h, offset=data_off
-    ).reshape(abs_h, stride)[:, :row_bytes]
-    return {
-        "width": int(width),
-        "height": int(abs_h),
-        "bpp": int(bpp),
-        "byte_sum": int(arr.astype(np.int64).sum()),
-    }
+    ).reshape(abs_h, stride)[:, :row_bytes].reshape(abs_h, width, 3)
+    return int(width), int(height), grid
 
 
-def _wrap_bmp(pixels: np.ndarray) -> bytes:
+def _wrap_bmp(pixels: np.ndarray, top_down: bool = False) -> bytes:
     """Pack an (h, w, 3) uint8 pixel-byte grid (file-row order) into a
-    24-bit BMP with the same header layout encode_bmp emits."""
+    24-bit BMP.  ``top_down=True`` writes a negative height so the file
+    declares the same row orientation the grid was read in.  Single
+    source of truth for the packing: encode_bmp and resize_bmp_nn both
+    write through here."""
     h, w = pixels.shape[0], pixels.shape[1]
     row_bytes = w * 3
     pad = (4 - row_bytes % 4) % 4
@@ -92,7 +74,50 @@ def _wrap_bmp(pixels: np.ndarray) -> bytes:
         "<2sIHHI", b"BM", data_off + len(body), 0, 0, data_off
     )
     dib = struct.pack(
-        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0,
+        "<IiiHHIIiiII", 40, w, -h if top_down else h, 1, 24, 0,
+        len(body), 2835, 2835, 0, 0,
+    )
+    return header + dib + body
+
+
+def encode_bmp(seed: int, width: int = BMP_W, height: int = BMP_H) -> bytes:
+    """24-bit bottom-up BMP; pixel byte k = (seed + 17*k) % 256."""
+    n = width * 3 * height
+    pix = ((seed + BMP_PIX_STEP * np.arange(n, dtype=np.int64)) % 256
+           ).astype(np.uint8)
+    return _wrap_bmp(pix.reshape(height, width, 3))
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """Parse header geometry and sum the pixel bytes (padding excluded).
+    Returns {width, height, bpp, byte_sum}."""
+    width, height, grid = _parse_bmp(payload)
+    return {
+        "width": width,
+        "height": abs(height),
+        "bpp": 24,
+        "byte_sum": int(grid.astype(np.int64).sum()),
+    }
+
+
+def _wrap_bmp(pixels: np.ndarray, top_down: bool = False) -> bytes:
+    """Pack an (h, w, 3) uint8 pixel-byte grid (file-row order) into a
+    24-bit BMP with the same header layout encode_bmp emits.
+    ``top_down=True`` writes a negative height so the file declares the
+    same row orientation the grid was read in."""
+    h, w = pixels.shape[0], pixels.shape[1]
+    row_bytes = w * 3
+    pad = (4 - row_bytes % 4) % 4
+    body = b"".join(
+        bytes(r.reshape(-1)) + b"\x00" * pad for r in pixels
+    )
+    data_off = 14 + 40
+    header = struct.pack(
+        "<2sIHHI", b"BM", data_off + len(body), 0, 0, data_off
+    )
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, -h if top_down else h, 1, 24, 0,
+        len(body), 2835, 2835, 0, 0,
     )
     return header + dib + body
 
@@ -100,25 +125,14 @@ def _wrap_bmp(pixels: np.ndarray) -> bytes:
 def resize_bmp_nn(payload: bytes, fx: int = 2, fy: int = 2) -> bytes:
     """REAL nearest-neighbor downscale: decode the 24-bit pixel grid,
     keep every ``fy``-th file row and ``fx``-th pixel column (indices 0,
-    fx, 2fx, ... — ceil(n/f) survivors), re-encode.  File (bottom-up)
-    row order is preserved, so the output is the NN subsample of the
-    image; output geometry is (ceil(w/fx), ceil(h/fy))."""
-    if payload[:2] != b"BM":
-        raise ValueError("not a BMP payload")
-    (data_off,) = struct.unpack_from("<I", payload, 10)
-    dib_size, width, height = struct.unpack_from("<Iii", payload, 14)
-    if dib_size < 40:
-        raise ValueError("unsupported DIB header")
-    (bpp,) = struct.unpack_from("<H", payload, 28)
-    if bpp != 24:
-        raise ValueError(f"unsupported bpp {bpp}")
-    abs_h = abs(height)
-    row_bytes = width * 3
-    stride = row_bytes + (4 - row_bytes % 4) % 4
-    arr = np.frombuffer(
-        payload, dtype=np.uint8, count=stride * abs_h, offset=data_off
-    ).reshape(abs_h, stride)[:, :row_bytes].reshape(abs_h, width, 3)
-    return _wrap_bmp(np.ascontiguousarray(arr[::fy, ::fx]))
+    fx, 2fx, ... — ceil(n/f) survivors), re-encode.  File row order AND
+    the height sign (bottom-up vs top-down) are preserved, so the output
+    is the orientation-faithful NN subsample for either storage
+    direction; output geometry is (ceil(w/fx), ceil(h/fy))."""
+    _w, height, grid = _parse_bmp(payload)
+    return _wrap_bmp(
+        np.ascontiguousarray(grid[::fy, ::fx]), top_down=height < 0
+    )
 
 
 # ------------------------------------------------------------------- WAV
@@ -181,8 +195,9 @@ def wav_frame_stats(payload: bytes, frame_len: int = FRAME_LEN,
                     step: int = FRAME_STEP) -> list[tuple[int, int, int]]:
     """Frame-sample the mono stream: cut into ``frame_len``-sample
     frames, keep frame indices 0, step, 2*step, ...; per kept frame
-    return (frame_id, n_samples, abs_sum).  Vectorized: one reshape +
-    per-frame |sum| over the strided view; a trailing partial frame is
+    return (frame_id, n_samples, abs_sum).  The |x| pass is one numpy
+    op; the per-KEPT-FRAME slice loop is payload-bounded (n/frame_len/
+    step iterations), never per sample.  A trailing partial frame is
     kept with its true length."""
     channels, _rate, samples = wav_samples(payload)
     if channels != 1:

@@ -33,6 +33,14 @@ BLOOM_K = 4  # probes per key
 _MIX = np.uint64(0x9E3779B97F4A7C15)  # splitmix64 increment
 
 
+def _norm_bits(m: int) -> int:
+    """Round the requested filter size up to a whole word (the packed
+    array is uint64; a non-multiple-of-64 m would index past the last
+    word).  Build and probe both normalize, so any caller-supplied m
+    yields one consistent filter."""
+    return max(64, (int(m) + 63) // 64 * 64)
+
+
 def _probes(h: np.ndarray, m: int) -> np.ndarray:
     """(k, n) probe positions for int64 hashes ``h`` (vectorized)."""
     h1 = h.astype(np.uint64)
@@ -66,6 +74,7 @@ def bloom_from_hashes(ds, col: str, m: int = BLOOM_BITS_DEFAULT) -> np.ndarray:
     each reducer ORs its own m/SLICE_BITS-bit slice vectorized, and the
     driver assembles the m bytes exactly once.  Both paths produce the
     identical filter (pinned by tests)."""
+    m = _norm_bits(m)
     if m <= SLICED_BUILD_MIN_BITS:
 
         def partial(batch: pa.Table) -> pa.Table:
@@ -137,6 +146,7 @@ def bloom_from_hashes(ds, col: str, m: int = BLOOM_BITS_DEFAULT) -> np.ndarray:
 def bloom_contains(packed: np.ndarray, h: np.ndarray, m: int) -> np.ndarray:
     """Vectorized membership probe: True where ALL k probe bits are set
     (i.e. possibly-present; False is a certain miss)."""
+    m = _norm_bits(m)
     if len(h) == 0:
         return np.zeros(0, dtype=bool)
     pos = _probes(np.asarray(h, dtype=np.int64), m)

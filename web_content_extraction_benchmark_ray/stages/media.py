@@ -266,7 +266,11 @@ class MediaFramesStage:
             batch.column("media_id").to_pylist(),
             batch.column("payload").to_pylist(),
         ):
-            for fi, n, s in self._frames(payload or b""):
+            try:
+                frames = self._frames(payload or b"")
+            except Exception:  # bad payload -> zero rows, job survives
+                continue
+            for fi, n, s in frames:
                 mids.append(mid)
                 fids.append(fi)
                 ns.append(n)
