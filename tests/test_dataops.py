@@ -1044,3 +1044,50 @@ def test_bloom_sliced_build_equals_blockwise(ray_session):
         bl.SLICED_BUILD_MIN_BITS = orig
     assert np.array_equal(sliced, blockwise)
     assert bl.bloom_contains(sliced, hs, m).all()
+
+
+def test_dedup_incremental_bucket_filtered_confirm_and_early_return(
+    ray_session, tmp_path
+):
+    """(a) A one-hit corpus routes the exact confirm through the
+    hit-bucket-filtered reference side and still yields the anti-join
+    result (the near-dup survives, the exact copy is confirmed away);
+    (b) a corpus with NO incoming docs takes the zero-hits early return
+    and yields zero rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_content_extraction_benchmark_ray.pipelines.dataops import (
+        NEAR_DUP_EVERY,
+        NEAR_DUP_OFFSET,
+        dedup_incremental,
+    )
+
+    def write(rows, d):
+        d.mkdir(exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": pa.array([r[1] for r in rows], pa.string()),
+                }
+            ),
+            d / "documents.parquet",
+        )
+        return str(d)
+
+    # (a) one doc spawns an exact copy (bloom hit, true dup) and a
+    # near-dup (miss); fillers have no copies
+    rows = [
+        (i * NEAR_DUP_EVERY + 1, f"alpha{i} beta{i} gamma{i} delta{i}")
+        for i in range(6)
+    ] + [(NEAR_DUP_EVERY, "unique zebra quill jolt vex marrow")]
+    df = dedup_incremental(write(rows, tmp_path / "a")).to_pandas()
+    assert len(df) == 1
+    assert int(df.doc_id.iloc[0]) == NEAR_DUP_EVERY + NEAR_DUP_OFFSET
+
+    # (b) all-odd ids -> the augmented view adds nothing -> no incoming
+    # docs, no hits, early return
+    rows_b = [(i * NEAR_DUP_EVERY + 1, f"solo{i} text{i}") for i in range(4)]
+    df_b = dedup_incremental(write(rows_b, tmp_path / "b")).to_pandas()
+    assert len(df_b) == 0

@@ -121,8 +121,12 @@ def dedup_incremental(sf_dir: str, bloom_bits: int | None = None):
     2. incoming docs probe the filter in one stateless pass — bloom
        MISSES are certain non-members and pass through shuffle-free;
     3. only bloom HITS (true dups + rare false positives) co-group with
-       the reference HASH rows (8-byte rows, one balanced all-to-all)
-       for the exact confirm; false positives survive it.
+       the reference HASH rows for the exact confirm; false positives
+       survive it.  The reference side is PRE-FILTERED to the hit
+       buckets (the distinct-bucket set is at most ``nb`` values,
+       broadcast once), so the confirm all-to-all ships
+       ~|hit_buckets|/nb of the reference rows instead of all of them —
+       and zero rows when there are no hits at all (early return).
 
     Within-batch duplicates are NOT collapsed here (that is
     ``dedup_exact``'s job); the operator answers "which incoming docs
@@ -211,14 +215,48 @@ def dedup_incremental(sf_dir: str, bloom_bits: int | None = None):
             }
         )
 
-    def ref_rows(b: pa.Table) -> pa.Table:
-        h = np.asarray(b.column("h").to_pylist(), dtype=np.int64)
+    # distinct hit buckets: bounded by nb, tiny when hits are few — the
+    # broadcast that lets the confirm skip untouched reference buckets
+    def hit_bucket_rows(b: pa.Table) -> pa.Table:
+        t = b.filter(b.column("hit").combine_chunks())
+        h = np.asarray(t.column("h").to_pylist(), dtype=np.int64)
         return pa.table(
             {
-                "bucket": pa.array((h % nb + nb) % nb, pa.int32()),
-                "doc_id": pa.array([-1] * b.num_rows, pa.int64()),
+                "bucket": pa.array(
+                    np.unique((h % nb + nb) % nb), pa.int32()
+                )
+            }
+        )
+
+    hit_buckets = np.unique(
+        np.asarray(
+            [
+                r["bucket"]
+                for r in classified.map_batches(
+                    hit_bucket_rows, batch_format="pyarrow"
+                ).take_all()
+            ],
+            dtype=np.int64,
+        )
+    )
+    if len(hit_buckets) == 0:
+        return misses
+    hb_ref = ray.put(hit_buckets)
+
+    def ref_rows(b: pa.Table) -> pa.Table:
+        from ..stages.simsearch import _get_broadcast
+
+        hb = _get_broadcast(hb_ref)
+        h = np.asarray(b.column("h").to_pylist(), dtype=np.int64)
+        bucket = (h % nb + nb) % nb
+        keep = np.isin(bucket, hb)
+        h, bucket = h[keep], bucket[keep]
+        return pa.table(
+            {
+                "bucket": pa.array(bucket, pa.int32()),
+                "doc_id": pa.array([-1] * len(h), pa.int64()),
                 "h": pa.array(h, pa.int64()),
-                "side": pa.array([1] * b.num_rows, pa.int32()),
+                "side": pa.array([1] * len(h), pa.int32()),
             }
         )
 
