@@ -25,8 +25,11 @@ _INLINE_BLOCKS = frozenset(("td", "th"))
 _LINE_TAGS = BLOCK_TAGS - _INLINE_BLOCKS
 
 
-def render_layout_from_root(root) -> str:
-    """Read-only DOM walk (registered as the shared 'root' form)."""
+def render_blocks(root, skip=_SKIP, prune=None, li_prefix: str = "* ") -> str:
+    """Shared block-per-line DOM renderer: the layout extractor renders
+    everything displayed with bullets; the resiliparse-class plaintext
+    extractor reuses this walker with a prune predicate and bullets off
+    (one line-assembly implementation, two rendering policies)."""
     lines: list[str] = []
     cur: list[str] = []
 
@@ -43,20 +46,25 @@ def render_layout_from_root(root) -> str:
                     cur.append(c)
                 continue
             tag = c.tag
-            if tag in _SKIP:
+            if tag in skip or (prune is not None and prune(c)):
                 continue
             if tag == "br":
                 flush()
             elif tag in _LINE_TAGS:
                 flush()
                 walk(c)
-                flush("* " if tag == "li" else "")
+                flush(li_prefix if tag == "li" else "")
             else:
                 walk(c)
 
     walk(root)
     flush()
     return sub_common_entities("\n".join(lines))
+
+
+def render_layout_from_root(root) -> str:
+    """Read-only DOM walk (registered as the shared 'root' form)."""
+    return render_blocks(root)
 
 
 @register_extractor("layout")

@@ -38,59 +38,28 @@ registers a shared pre-parsed-root form for the parse-once fast path.
 """
 from __future__ import annotations
 
-from ..htmlparse import BLOCK_TAGS, Node, parse
-from ..text import squeeze_ws, sub_common_entities
+from ..htmlparse import Node, parse
 from . import register_extractor, register_shared
-from .cascade import _NEGATIVE_ZONE
+from .cascade import _NEGATIVE_ZONE, _name_str
+from .layout import _SKIP as _LAYOUT_SKIP
+from .layout import render_blocks
 
-_SKIP = frozenset(("script", "style", "noscript", "head", "title",
-                   "template"))
+_SKIP = _LAYOUT_SKIP | {"template"}
 _PRUNE_TAGS = frozenset(("nav", "aside", "footer", "header", "form"))
-_INLINE_BLOCKS = frozenset(("td", "th"))
-_LINE_TAGS = BLOCK_TAGS - _INLINE_BLOCKS
 
 
 def _pruned(node: Node) -> bool:
     if node.tag in _PRUNE_TAGS:
         return True
-    name = (node.attrs.get("class", "") or "") + " " + (
-        node.attrs.get("id", "") or ""
-    )
+    name = _name_str(node)
     return bool(name.strip()) and bool(_NEGATIVE_ZONE.search(name))
 
 
 def render_plaintext_from_root(root) -> str:
-    """Read-only DOM walk (registered as the shared 'root' form)."""
-    lines: list[str] = []
-    cur: list[str] = []
-
-    def flush() -> None:
-        line = squeeze_ws(" ".join(cur)).strip()
-        cur.clear()
-        if line:
-            lines.append(line)
-
-    def walk(node) -> None:
-        for c in node.children:
-            if isinstance(c, str):
-                if c.strip():
-                    cur.append(c)
-                continue
-            tag = c.tag
-            if tag in _SKIP or _pruned(c):
-                continue
-            if tag == "br":
-                flush()
-            elif tag in _LINE_TAGS:
-                flush()
-                walk(c)
-                flush()
-            else:
-                walk(c)
-
-    walk(root)
-    flush()
-    return sub_common_entities("\n".join(lines))
+    """Read-only DOM walk (registered as the shared 'root' form): the
+    layout renderer's walker with the main-content prune predicate and
+    list bullets off."""
+    return render_blocks(root, skip=_SKIP, prune=_pruned, li_prefix="")
 
 
 @register_extractor("plaintext")
