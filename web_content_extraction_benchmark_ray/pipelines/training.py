@@ -87,7 +87,15 @@ def _train_over(examples_ds, feat_cols: tuple, dims: int, iters: int,
                 lrd: int) -> pa.Table:
     """Shared integer-GD trainer (leafmodel_train and the seq2 variant):
     distributed gradient partials, exact driver reduce, truncating-
-    division step — bit-identical to the unrolled SQL twin."""
+    division step — bit-identical to the unrolled SQL twin.
+
+    The materialize pins the EXAMPLE table (a handful of int64 feature
+    columns per leaf block — far smaller than the corpus) in the object
+    store for the ``iters`` gradient passes; only the dims-sized
+    gradient partials ever reach the driver.  At 100 TB the example
+    table is what a training pipeline would persist anyway; training on
+    a hash-sample (the knn_ivf_trained pattern) is the knob if even
+    that is too large for cluster memory + spill."""
     from ..functions.text import round6
 
     ex = examples_ds.materialize()
