@@ -1035,23 +1035,27 @@ def media_features(sf_dir: str):
     return decoded.drop_columns(["error"])
 
 
-def _binary_media_rows(batch: pa.Table) -> pa.Table:
+def _binary_media_rows(batch: pa.Table, only: str | None = None) -> pa.Table:
     """Every MEDIA_EVERY-th doc carries one BMP and one WAV payload, BOTH
     actually encoded (functions/binmedia.py) so the decode stage parses
     real bytes; generator seeds are hash60-derived, which is what lets
-    the oracle reproduce the decoded aggregates in closed form."""
+    the oracle reproduce the decoded aggregates in closed form.
+    ``only`` restricts synthesis to one format — single-format consumers
+    (resize, frames) never encode bytes they would immediately drop."""
     from ..functions.binmedia import WAV_MOD, encode_bmp, encode_wav
     from ..functions.hashing import hash60
 
     mids, fmts, payloads = [], [], []
     for i in batch.column("doc_id").to_pylist():
         if i % MEDIA_EVERY == 0:
-            mids.append(2 * i)
-            fmts.append("bmp")
-            payloads.append(encode_bmp(hash60(f"bmp:{i}") % 256))
-            mids.append(2 * i + 1)
-            fmts.append("wav")
-            payloads.append(encode_wav(hash60(f"wav:{i}") % WAV_MOD))
+            if only in (None, "bmp"):
+                mids.append(2 * i)
+                fmts.append("bmp")
+                payloads.append(encode_bmp(hash60(f"bmp:{i}") % 256))
+            if only in (None, "wav"):
+                mids.append(2 * i + 1)
+                fmts.append("wav")
+                payloads.append(encode_wav(hash60(f"wav:{i}") % WAV_MOD))
     return pa.table(
         {
             "media_id": pa.array(mids, pa.int64()),
@@ -1082,9 +1086,7 @@ def media_resize(sf_dir: str):
     from ..stages.media import resize_media
 
     ds = _docs(sf_dir).map_batches(
-        _binary_media_rows, batch_format="pyarrow"
-    ).map_batches(
-        lambda b: b.filter(pc.equal(b.column("fmt"), "bmp")),
+        _binary_media_rows, fn_kwargs={"only": "bmp"},
         batch_format="pyarrow",
     )
     return resize_media(ds).drop_columns(["error"])
@@ -1100,9 +1102,7 @@ def media_frames(sf_dir: str):
     from ..stages.media import frame_media
 
     ds = _docs(sf_dir).map_batches(
-        _binary_media_rows, batch_format="pyarrow"
-    ).map_batches(
-        lambda b: b.filter(pc.equal(b.column("fmt"), "wav")),
+        _binary_media_rows, fn_kwargs={"only": "wav"},
         batch_format="pyarrow",
     )
     return frame_media(ds)
