@@ -112,8 +112,9 @@ _SAMPLE_FIRST = [
     "sample_stratified",
     "events_sliding",
     "events_props",
-    # verified in r01/r02 only — rotate back in
-    "kmeans_assign",
+    # verified in r01/r02 only — rotate back in (kmeans_assign yields its
+    # slot to the round-4 additions: it is the assignment half of
+    # kmeans_iterate, which IS in the window)
     "kmeans_iterate",
     "sample_split",
     "dataset_stats",
@@ -140,6 +141,7 @@ _SAMPLE_FIRST = [
     "media_resize",
     "media_frames",
     "source_mix",
+    "dedup_fingerprint_pairs",
     "importance_weights",
     "select_budget",
     "dedup_exact_norm",

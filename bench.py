@@ -174,6 +174,8 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
             timed("dedup_minhash", lambda: _consume(d.dedup_minhash_pairs(sf_dir)))
             timed("dedup_simhash", lambda: _consume(d.dedup_simhash_pairs(sf_dir)))
             timed("dedup_jaccard", lambda: _consume(d.dedup_ngram_jaccard(sf_dir)))
+            timed("dedup_fingerprint",
+                  lambda: _consume(d.dedup_fingerprint_pairs(sf_dir)))
             timed("knn_cosine", lambda: _consume(d.knn_cosine(sf_dir)))
             timed("knn_ivf", lambda: _consume(d.knn_ivf(sf_dir)))
             timed("knn_ivf_trained",

@@ -1091,3 +1091,65 @@ def test_dedup_incremental_bucket_filtered_confirm_and_early_return(
     rows_b = [(i * NEAR_DUP_EVERY + 1, f"solo{i} text{i}") for i in range(4)]
     df_b = dedup_incremental(write(rows_b, tmp_path / "b")).to_pandas()
     assert len(df_b) == 0
+
+
+def test_dedup_fingerprint_pairs_finds_twins(ray_session):
+    """Every exact-copy twin must pair (overlap 1.0); near-dup twins
+    must clear the 0.8 overlap gate; output matches a serial recompute
+    of the winnowing-overlap semantics."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from web_content_extraction_benchmark_ray.functions.hashing import (
+        winnow_fingerprints,
+    )
+    from web_content_extraction_benchmark_ray.functions.text import tokenize_ws
+    from web_content_extraction_benchmark_ray.pipelines.dataops import (
+        EXACT_COPY_EVERY,
+        EXACT_COPY_OFFSET,
+        NEAR_DUP_EVERY,
+        NEAR_DUP_OFFSET,
+        dedup_fingerprint_pairs,
+    )
+    from web_content_extraction_benchmark_ray.stages.dedup import (
+        FP_MIN_SHARED,
+        FP_OVERLAP_DEN,
+        FP_OVERLAP_NUM,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    df = dedup_fingerprint_pairs(sf).to_pandas()
+    got = {
+        (int(r.doc_id_a), int(r.doc_id_b)): (int(r.n_shared), r.overlap)
+        for r in df.itertuples()
+    }
+    docs = pq.read_table(
+        sf + "/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    corpus = {int(i): t for i, t in zip(docs["doc_id"], docs["text"])}
+    for i in list(corpus):
+        if i % EXACT_COPY_EVERY == 0:
+            corpus[i + EXACT_COPY_OFFSET] = corpus[i]
+        if i % NEAR_DUP_EVERY == 0:
+            corpus[i + NEAR_DUP_OFFSET] = " ".join(
+                tokenize_ws(corpus[i])[:-1]
+            )
+    fps = {i: set(winnow_fingerprints(t)) for i, t in corpus.items()}
+    expect = {}
+    ids = sorted(fps)
+    # serial recompute (no df cut fires at this scale: max df << MAX_DF)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            sh = len(fps[a] & fps[b])
+            mn = min(len(fps[a]), len(fps[b]))
+            if (sh >= FP_MIN_SHARED
+                    and FP_OVERLAP_DEN * sh >= FP_OVERLAP_NUM * mn):
+                expect[(a, b)] = (
+                    sh, ((sh * 2_000_000 + mn) // (2 * mn)) / 1e6
+                )
+    assert got == expect
+    # every exact twin pairs at overlap 1.0
+    for i in corpus:
+        if i < NEAR_DUP_OFFSET and i % EXACT_COPY_EVERY == 0:
+            assert got[(i, i + EXACT_COPY_OFFSET)][1] == 1.0

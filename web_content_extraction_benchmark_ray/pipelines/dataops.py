@@ -282,6 +282,14 @@ def dedup_incremental(sf_dir: str, bloom_bits: int | None = None):
     return misses.union(confirmed_new)
 
 
+def dedup_fingerprint_pairs(sf_dir: str):
+    """MOSS-style winnowing-overlap near-dup pairs over the augmented
+    view (stages/dedup.py:fingerprint_dup_pairs) — position-robust
+    k-gram sampling, shared-count threshold; the fifth dedup method
+    next to exact/minhash/simhash/jaccard."""
+    return dd.fingerprint_dup_pairs(_aug_docs(sf_dir))
+
+
 def dedup_minhash_pairs(sf_dir: str):
     return dd.dedup_minhash_pairs(_aug_docs(sf_dir))
 
@@ -1635,6 +1643,7 @@ def dataops_queries() -> dict:
         "dedup_exact": dedup_exact,
         "dedup_exact_norm": dedup_exact_norm,
         "dedup_incremental": dedup_incremental,
+        "dedup_fingerprint_pairs": dedup_fingerprint_pairs,
         "dedup_minhash_pairs": dedup_minhash_pairs,
         "dedup_minhash_survivors": dedup_minhash_survivors,
         "dedup_simhash": dedup_simhash,

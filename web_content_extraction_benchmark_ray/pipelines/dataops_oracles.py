@@ -99,6 +99,55 @@ SELECT min(doc_id) AS doc_id FROM aug GROUP BY md5(text)"""
     # additions) anti-joined against the base corpus on hash60(text) —
     # the Bloom prefilter is an execution device only, the result is the
     # plain exact anti-join.
+    # dedup_fingerprint_pairs: winnowing selection mirrored from the
+    # doc_fingerprint oracle, over the AUG view; fingerprints with df
+    # outside [2, MAX_DF] drop (the df cut), pairs keep when the shared
+    # count clears FP_MIN_SHARED.
+    from ..functions.hashing import WINNOW_K, WINNOW_W
+    from ..stages.dedup import (
+        FP_MIN_SHARED,
+        FP_OVERLAP_DEN,
+        FP_OVERLAP_NUM,
+        MAX_DF,
+    )
+
+    sqls["dedup_fingerprint_pairs"] = f"""WITH {_AUG.strip()},
+t AS (SELECT doc_id, text, length(text) AS n FROM aug),
+g AS (
+  SELECT doc_id, i, {_H60.format(f'substr(text, i, {WINNOW_K})')} AS h
+  FROM t, UNNEST(generate_series(1, n - {WINNOW_K} + 1)) AS u(i)
+  WHERE n >= {WINNOW_K}
+),
+m AS (
+  SELECT doc_id, h,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN {WINNOW_W - 1} PRECEDING AND CURRENT ROW)
+           AS wmin
+  FROM g
+),
+sel AS (SELECT DISTINCT doc_id, h FROM m WHERE h = wmin),
+nf AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp
+       FROM sel GROUP BY doc_id),
+df AS (SELECT h FROM sel GROUP BY h
+       HAVING count(*) BETWEEN 2 AND {MAX_DF}),
+p AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM sel a
+  JOIN df USING (h)
+  JOIN sel b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_id_a, doc_id_b, n_shared,
+       (n_shared * 2000000 + least(na.n_fp, nb.n_fp))
+         // (2 * least(na.n_fp, nb.n_fp)) / 1000000.0 AS overlap
+FROM p
+JOIN nf na ON na.doc_id = p.doc_id_a
+JOIN nf nb ON nb.doc_id = p.doc_id_b
+WHERE n_shared >= {FP_MIN_SHARED}
+  AND {FP_OVERLAP_DEN} * n_shared
+      >= {FP_OVERLAP_NUM} * least(na.n_fp, nb.n_fp)"""
+
     sqls["dedup_incremental"] = f"""WITH {_AUG.strip()},
 inc AS (
   SELECT doc_id, {_H60.format('text')} AS h

@@ -843,3 +843,138 @@ def neardup_survivors(docs_ds, pairs_ds, num_buckets: int | None = None,
     return docs_keyed.union(noncanon).groupby("bucket").map_groups(
         keep_group, batch_format="pyarrow"
     )
+
+
+# --------------------------------------------- winnowing-overlap pairs
+# MOSS-style overlap detection (Schleimer et al. 2003 §4: two documents
+# are flagged when they share enough selected fingerprints).  Distinct
+# from the n-gram Jaccard family: fingerprints are WINNOWED k-gram
+# hashes (position-robust sampling of the char stream), and the score is
+# the OVERLAP COEFFICIENT shared / min(|A|, |B|) — a raw shared count
+# cannot separate twins from background on a small-vocabulary corpus
+# (measured: exact twins share as few as 12 fps while unrelated pairs
+# reach 17+), the normalized coefficient separates at ~1.0 vs ~0.15.
+FP_MIN_SHARED = 3
+FP_OVERLAP_NUM = 4  # keep iff 5 * shared >= 4 * min(|A|, |B|)  (>= 0.8)
+FP_OVERLAP_DEN = 5
+
+
+def fp_rows(batch, num_buckets: int = WIDE_PAIR_SPACE):
+    """Distinct (fingerprint, doc, |doc fp set|) rows of the index."""
+    import pyarrow as pa
+
+    from ..functions.hashing import winnow_fingerprints
+
+    fp_out, d_out, n_out = [], [], []
+    for d, t in zip(
+        batch.column("doc_id").to_pylist(),
+        batch.column("text").to_pylist(),
+    ):
+        fps = winnow_fingerprints(t)  # already sorted distinct
+        for h in fps:
+            fp_out.append(h)
+            d_out.append(int(d))
+            n_out.append(len(fps))
+    fp = np.asarray(fp_out, dtype=np.int64)
+    return pa.table(
+        {
+            "fp": pa.array(fp, pa.int64()),
+            "bucket": pa.array(((fp % num_buckets).astype(np.int32))),
+            "doc_id": pa.array(d_out, pa.int64()),
+            "n_fp": pa.array(n_out, pa.int64()),
+        }
+    )
+
+
+def fp_bucket_pairs(group, num_buckets: int = WIDE_PAIR_SPACE,
+                    max_df: int = MAX_DF):
+    """One coarse bucket of the fingerprint index: co-occurring doc
+    pairs, one row per (pair, shared fingerprint); posting lists above
+    ``max_df`` docs are dropped whole (the df cut, mirrored by the SQL
+    twin)."""
+    import pyarrow as pa
+
+    posting: dict = {}
+    for h, d, n in zip(
+        group.column("fp").to_pylist(),
+        group.column("doc_id").to_pylist(),
+        group.column("n_fp").to_pylist(),
+    ):
+        posting.setdefault(h, []).append((d, n))
+    a_out, b_out, na_out, nb_out, pb_out = [], [], [], [], []
+    for docs in posting.values():
+        if len(docs) < 2 or len(docs) > max_df:
+            continue
+        docs.sort()
+        for i in range(len(docs)):
+            for j in range(i + 1, len(docs)):
+                a, b = docs[i][0], docs[j][0]
+                a_out.append(a)
+                b_out.append(b)
+                na_out.append(docs[i][1])
+                nb_out.append(docs[j][1])
+                pb_out.append((a ^ (b * 1315423911)) % num_buckets)
+    return pa.table(
+        {
+            "doc_id_a": pa.array(a_out, pa.int64()),
+            "doc_id_b": pa.array(b_out, pa.int64()),
+            "n_a": pa.array(na_out, pa.int64()),
+            "n_b": pa.array(nb_out, pa.int64()),
+            "pbucket": pa.array(pb_out, pa.int32()),
+        }
+    )
+
+
+def _fp_pair_scores(group, min_shared: int):
+    """Per pair-bucket: vectorized shared-count per (a, b) + the
+    integer-exact overlap-coefficient gate
+    ``FP_OVERLAP_DEN * shared >= FP_OVERLAP_NUM * min(n_a, n_b)`` and
+    the round6 coefficient for the output (both orders of operations
+    exactly reproducible in SQL)."""
+    import pyarrow as pa
+
+    a = np.asarray(group.column("doc_id_a").to_pylist(), dtype=np.int64)
+    b = np.asarray(group.column("doc_id_b").to_pylist(), dtype=np.int64)
+    na = np.asarray(group.column("n_a").to_pylist(), dtype=np.int64)
+    nb = np.asarray(group.column("n_b").to_pylist(), dtype=np.int64)
+    key = (a << np.int64(31)) | b  # aug doc ids < 2^31
+    uk, first, counts = np.unique(
+        key, return_index=True, return_counts=True
+    )
+    mn = np.minimum(na[first], nb[first])
+    keep = (counts >= min_shared) & (
+        FP_OVERLAP_DEN * counts >= FP_OVERLAP_NUM * mn
+    )
+    uk, counts, mn = uk[keep], counts[keep], mn[keep]
+    return pa.table(
+        {
+            "doc_id_a": pa.array(uk >> np.int64(31), pa.int64()),
+            "doc_id_b": pa.array(uk & np.int64((1 << 31) - 1), pa.int64()),
+            "n_shared": pa.array(counts.astype(np.int64), pa.int64()),
+            "overlap": pa.array(
+                (counts * 2_000_000 + mn) // (2 * mn) / 1e6, pa.float64()
+            ),
+        }
+    )
+
+
+def fingerprint_dup_pairs(ds, min_shared: int = FP_MIN_SHARED,
+                          max_df: int = MAX_DF):
+    """MOSS-style near-dup pairs: documents whose shared winnowing
+    fingerprints cover >= 80% of the smaller fingerprint set (overlap
+    coefficient) and number >= ``min_shared``.  Shape mirrors
+    dedup_ngram_jaccard's inverted-index join: distinct (fp, doc, n_fp)
+    rows -> wide-bucket co-location sort -> per-posting-list pair
+    explode with the MAX_DF df cut -> one more wide-bucket sort on the
+    pair key -> vectorized per-pair count + the integer-exact overlap
+    gate.  A fingerprint is emitted by at most one posting list (exact
+    fp locality), so pair rows are exact shared-fingerprint counts."""
+    rows = ds.map_batches(fp_rows, batch_format="pyarrow")
+    pairs = _bucket_sorted(rows).map_batches(
+        lambda g: fp_bucket_pairs(g, WIDE_PAIR_SPACE, max_df),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+    )
+    return _bucket_sorted(pairs, column="pbucket").map_batches(
+        lambda g: _fp_pair_scores(g, min_shared),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+    )
