@@ -115,8 +115,10 @@ _SAMPLE_FIRST = [
     # verified in r01/r02 only — rotate back in (kmeans_assign yields its
     # slot to the round-4 additions: it is the assignment half of
     # kmeans_iterate, which IS in the window)
+    # (sample_split likewise yields to the round-4 additions: its
+    # splitter is the same hash-split primitive sample_stratified — in
+    # the window, never yet driver-verified — exercises per stratum)
     "kmeans_iterate",
-    "sample_split",
     "dataset_stats",
     "events_window",
     "events_sessionize",
@@ -142,6 +144,7 @@ _SAMPLE_FIRST = [
     "media_frames",
     "source_mix",
     "dedup_fingerprint_pairs",
+    "dedup_fingerprint_survivors",
     "importance_weights",
     "select_budget",
     "dedup_exact_norm",

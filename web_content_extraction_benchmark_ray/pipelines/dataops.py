@@ -290,6 +290,16 @@ def dedup_fingerprint_pairs(sf_dir: str):
     return dd.fingerprint_dup_pairs(_aug_docs(sf_dir))
 
 
+def dedup_fingerprint_survivors(sf_dir: str):
+    """Winnowing-overlap dedup end-to-end: MOSS-style pairs -> connected
+    components (distributed min-label propagation) -> one canonical doc
+    per component + all unpaired docs (the minhash_survivors shape over
+    the fingerprint pair graph)."""
+    docs = _aug_docs(sf_dir)
+    pairs = dd.fingerprint_dup_pairs(docs)
+    return dd.neardup_survivors(docs, pairs)
+
+
 def dedup_minhash_pairs(sf_dir: str):
     return dd.dedup_minhash_pairs(_aug_docs(sf_dir))
 
@@ -1644,6 +1654,7 @@ def dataops_queries() -> dict:
         "dedup_exact_norm": dedup_exact_norm,
         "dedup_incremental": dedup_incremental,
         "dedup_fingerprint_pairs": dedup_fingerprint_pairs,
+        "dedup_fingerprint_survivors": dedup_fingerprint_survivors,
         "dedup_minhash_pairs": dedup_minhash_pairs,
         "dedup_minhash_survivors": dedup_minhash_survivors,
         "dedup_simhash": dedup_simhash,

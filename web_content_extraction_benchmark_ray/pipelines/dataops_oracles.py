@@ -111,7 +111,7 @@ SELECT min(doc_id) AS doc_id FROM aug GROUP BY md5(text)"""
         MAX_DF,
     )
 
-    sqls["dedup_fingerprint_pairs"] = f"""WITH {_AUG.strip()},
+    _fp_body = f"""{_AUG.strip()},
 t AS (SELECT doc_id, text, length(text) AS n FROM aug),
 g AS (
   SELECT doc_id, i, {_H60.format(f'substr(text, i, {WINNOW_K})')} AS h
@@ -137,16 +137,34 @@ p AS (
   JOIN df USING (h)
   JOIN sel b ON a.h = b.h AND a.doc_id < b.doc_id
   GROUP BY 1, 2
-)
+),
+fpairs AS (
+  SELECT doc_id_a, doc_id_b, n_shared, least(na.n_fp, nb.n_fp) AS mn
+  FROM p
+  JOIN nf na ON na.doc_id = p.doc_id_a
+  JOIN nf nb ON nb.doc_id = p.doc_id_b
+  WHERE n_shared >= {FP_MIN_SHARED}
+    AND {FP_OVERLAP_DEN} * n_shared >= {FP_OVERLAP_NUM}
+        * least(na.n_fp, nb.n_fp)
+)"""
+    sqls["dedup_fingerprint_pairs"] = f"""WITH {_fp_body}
 SELECT doc_id_a, doc_id_b, n_shared,
-       (n_shared * 2000000 + least(na.n_fp, nb.n_fp))
-         // (2 * least(na.n_fp, nb.n_fp)) / 1000000.0 AS overlap
-FROM p
-JOIN nf na ON na.doc_id = p.doc_id_a
-JOIN nf nb ON nb.doc_id = p.doc_id_b
-WHERE n_shared >= {FP_MIN_SHARED}
-  AND {FP_OVERLAP_DEN} * n_shared
-      >= {FP_OVERLAP_NUM} * least(na.n_fp, nb.n_fp)"""
+       (n_shared * 2000000 + mn) // (2 * mn) / 1000000.0 AS overlap
+FROM fpairs"""
+
+    sqls["dedup_fingerprint_survivors"] = f"""WITH RECURSIVE {_fp_body},
+edges AS (SELECT doc_id_a AS a, doc_id_b AS b FROM fpairs
+          UNION SELECT doc_id_b AS a, doc_id_a AS b FROM fpairs),
+reach AS (
+  SELECT a AS node, b AS other FROM edges
+  UNION
+  SELECT r.node, e.b AS other FROM reach r JOIN edges e ON r.other = e.a
+),
+comp AS (
+  SELECT node, least(node, min(other)) AS label FROM reach GROUP BY node
+)
+SELECT doc_id FROM aug
+WHERE doc_id NOT IN (SELECT node FROM comp WHERE label <> node)"""
 
     sqls["dedup_incremental"] = f"""WITH {_AUG.strip()},
 inc AS (
