@@ -1094,10 +1094,9 @@ def test_dedup_incremental_bucket_filtered_confirm_and_early_return(
 
 
 def test_dedup_fingerprint_pairs_finds_twins(ray_session):
-    """Every exact-copy twin must pair (overlap 1.0); near-dup twins
-    must clear the 0.8 overlap gate; output matches a serial recompute
-    of the winnowing-overlap semantics."""
-    import numpy as np
+    """Exact-copy twins must pair at overlap 1.0 over the KEPT
+    fingerprint universe (df in [2, FP_MAX_DF]); output matches a
+    serial recompute of the winnowing-overlap semantics."""
     import pyarrow.parquet as pq
 
     from web_content_extraction_benchmark_ray.functions.hashing import (
@@ -1112,6 +1111,7 @@ def test_dedup_fingerprint_pairs_finds_twins(ray_session):
         dedup_fingerprint_pairs,
     )
     from web_content_extraction_benchmark_ray.stages.dedup import (
+        FP_MAX_DF,
         FP_MIN_SHARED,
         FP_OVERLAP_DEN,
         FP_OVERLAP_NUM,
@@ -1134,22 +1134,35 @@ def test_dedup_fingerprint_pairs_finds_twins(ray_session):
             corpus[i + NEAR_DUP_OFFSET] = " ".join(
                 tokenize_ws(corpus[i])[:-1]
             )
-    fps = {i: set(winnow_fingerprints(t)) for i, t in corpus.items()}
+    all_fps = {i: set(winnow_fingerprints(t)) for i, t in corpus.items()}
+    from collections import Counter
+
+    dfreq = Counter(h for s_ in all_fps.values() for h in s_)
+    fps = {
+        i: {h for h in s_ if 2 <= dfreq[h] <= FP_MAX_DF}
+        for i, s_ in all_fps.items()
+    }
     expect = {}
     ids = sorted(fps)
-    # serial recompute (no df cut fires at this scale: max df << MAX_DF)
     for x in range(len(ids)):
         for y in range(x + 1, len(ids)):
             a, b = ids[x], ids[y]
             sh = len(fps[a] & fps[b])
             mn = min(len(fps[a]), len(fps[b]))
-            if (sh >= FP_MIN_SHARED
+            if (mn > 0 and sh >= FP_MIN_SHARED
                     and FP_OVERLAP_DEN * sh >= FP_OVERLAP_NUM * mn):
                 expect[(a, b)] = (
                     sh, ((sh * 2_000_000 + mn) // (2 * mn)) / 1e6
                 )
     assert got == expect
-    # every exact twin pairs at overlap 1.0
-    for i in corpus:
-        if i < NEAR_DUP_OFFSET and i % EXACT_COPY_EVERY == 0:
-            assert got[(i, i + EXACT_COPY_OFFSET)][1] == 1.0
+    # exact twins with enough kept fingerprints pair at overlap 1.0
+    twins = [
+        (i, i + EXACT_COPY_OFFSET)
+        for i in corpus
+        if i < NEAR_DUP_OFFSET and i % EXACT_COPY_EVERY == 0
+        and len(fps[i]) >= FP_MIN_SHARED
+    ]
+    assert twins  # the fixture keeps discriminative fps at this scale
+    for pair in twins:
+        assert got[pair][1] == 1.0
+

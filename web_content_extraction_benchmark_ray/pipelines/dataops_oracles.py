@@ -105,10 +105,10 @@ SELECT min(doc_id) AS doc_id FROM aug GROUP BY md5(text)"""
     # count clears FP_MIN_SHARED.
     from ..functions.hashing import WINNOW_K, WINNOW_W
     from ..stages.dedup import (
+        FP_MAX_DF,
         FP_MIN_SHARED,
         FP_OVERLAP_DEN,
         FP_OVERLAP_NUM,
-        MAX_DF,
     )
 
     _fp_body = f"""{_AUG.strip()},
@@ -126,16 +126,16 @@ m AS (
   FROM g
 ),
 sel AS (SELECT DISTINCT doc_id, h FROM m WHERE h = wmin),
-nf AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp
-       FROM sel GROUP BY doc_id),
 df AS (SELECT h FROM sel GROUP BY h
-       HAVING count(*) BETWEEN 2 AND {MAX_DF}),
+       HAVING count(*) BETWEEN 2 AND {FP_MAX_DF}),
+kept AS (SELECT sel.doc_id, sel.h FROM sel JOIN df USING (h)),
+nf AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp
+       FROM kept GROUP BY doc_id),
 p AS (
   SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
          CAST(count(*) AS BIGINT) AS n_shared
-  FROM sel a
-  JOIN df USING (h)
-  JOIN sel b ON a.h = b.h AND a.doc_id < b.doc_id
+  FROM kept a
+  JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ),
 fpairs AS (

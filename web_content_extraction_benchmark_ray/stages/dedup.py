@@ -850,106 +850,133 @@ def neardup_survivors(docs_ds, pairs_ds, num_buckets: int | None = None,
 # are flagged when they share enough selected fingerprints).  Distinct
 # from the n-gram Jaccard family: fingerprints are WINNOWED k-gram
 # hashes (position-robust sampling of the char stream), and the score is
-# the OVERLAP COEFFICIENT shared / min(|A|, |B|) — a raw shared count
-# cannot separate twins from background on a small-vocabulary corpus
-# (measured: exact twins share as few as 12 fps while unrelated pairs
-# reach 17+), the normalized coefficient separates at ~1.0 vs ~0.15.
+# the overlap coefficient shared / min(|A|, |B|) over the KEPT
+# fingerprint universe — fingerprints whose document frequency falls
+# outside [2, FP_MAX_DF] are dropped from the universe entirely, like
+# MOSS's own common-fingerprint suppression.  Two reasons, both
+# measured at sf0.1: (a) pair-row volume is Σ_fp C(df, 2) — 52.6M rows
+# uncut vs 1.7M at df<=128 (the quadratic posting-list trap); (b) a raw
+# shared-count threshold cannot separate twins from background on a
+# small-vocabulary corpus (twins share as few as 12 fps, unrelated
+# pairs reach 17+) while the kept-set coefficient separates at 1.0 vs
+# ~0.15.  Exact twins keep identical kept sets, so the cut never costs
+# them the 0.8 gate (only the >= FP_MIN_SHARED floor, 98% twin recall
+# measured at this cut); recall loss is visible in the df table, never
+# silent.
 FP_MIN_SHARED = 3
-FP_OVERLAP_NUM = 4  # keep iff 5 * shared >= 4 * min(|A|, |B|)  (>= 0.8)
+FP_MAX_DF = 128  # df cut: fingerprint universe = df in [2, FP_MAX_DF]
+FP_OVERLAP_NUM = 4  # keep iff 5 * shared >= 4 * min(kept_a, kept_b)
 FP_OVERLAP_DEN = 5
 
 
 def fp_rows(batch, num_buckets: int = WIDE_PAIR_SPACE):
-    """Distinct (fingerprint, doc, |doc fp set|) rows of the index."""
+    """Distinct (fingerprint, doc) rows of the inverted index."""
     import pyarrow as pa
 
     from ..functions.hashing import winnow_fingerprints
 
-    fp_out, d_out, n_out = [], [], []
+    fp_out, d_out = [], []
     for d, t in zip(
         batch.column("doc_id").to_pylist(),
         batch.column("text").to_pylist(),
     ):
-        fps = winnow_fingerprints(t)  # already sorted distinct
-        for h in fps:
+        for h in winnow_fingerprints(t):  # already sorted distinct
             fp_out.append(h)
             d_out.append(int(d))
-            n_out.append(len(fps))
     fp = np.asarray(fp_out, dtype=np.int64)
     return pa.table(
         {
             "fp": pa.array(fp, pa.int64()),
             "bucket": pa.array(((fp % num_buckets).astype(np.int32))),
             "doc_id": pa.array(d_out, pa.int64()),
-            "n_fp": pa.array(n_out, pa.int64()),
         }
     )
 
 
 def fp_bucket_pairs(group, num_buckets: int = WIDE_PAIR_SPACE,
-                    max_df: int = MAX_DF):
+                    max_df: int = FP_MAX_DF):
     """One coarse bucket of the fingerprint index: co-occurring doc
-    pairs, one row per (pair, shared fingerprint); posting lists above
-    ``max_df`` docs are dropped whole (the df cut, mirrored by the SQL
-    twin)."""
+    pairs, one row per (pair, shared KEPT fingerprint); posting lists
+    with df outside [2, max_df] are dropped whole (the universe cut,
+    mirrored by the SQL twin).  Fully vectorized: one lexsort groups
+    the posting lists, runs are enumerated per DISTINCT list length
+    (<= max_df of them) with precomputed triu pair offsets — no
+    per-pair Python (a 1.7M-pair partition set cost seconds as
+    appends)."""
     import pyarrow as pa
 
-    posting: dict = {}
-    for h, d, n in zip(
-        group.column("fp").to_pylist(),
-        group.column("doc_id").to_pylist(),
-        group.column("n_fp").to_pylist(),
-    ):
-        posting.setdefault(h, []).append((d, n))
-    a_out, b_out, na_out, nb_out, pb_out = [], [], [], [], []
-    for docs in posting.values():
-        if len(docs) < 2 or len(docs) > max_df:
-            continue
-        docs.sort()
-        for i in range(len(docs)):
-            for j in range(i + 1, len(docs)):
-                a, b = docs[i][0], docs[j][0]
-                a_out.append(a)
-                b_out.append(b)
-                na_out.append(docs[i][1])
-                nb_out.append(docs[j][1])
-                pb_out.append((a ^ (b * 1315423911)) % num_buckets)
+    fp = np.asarray(group.column("fp").to_pylist(), dtype=np.int64)
+    doc = np.asarray(group.column("doc_id").to_pylist(), dtype=np.int64)
+    order = np.lexsort((doc, fp))
+    fp, doc = fp[order], doc[order]
+    starts = np.flatnonzero(np.r_[True, fp[1:] != fp[:-1]])
+    lens = np.diff(np.r_[starts, len(fp)])
+    keep = (lens >= 2) & (lens <= max_df)
+    a_parts, b_parts = [], []
+    kstarts, klens = starts[keep], lens[keep]
+    for ln in np.unique(klens):
+        base = kstarts[klens == ln][:, None]
+        iu, ju = np.triu_indices(int(ln), k=1)
+        a_parts.append((base + iu[None, :]).ravel())
+        b_parts.append((base + ju[None, :]).ravel())
+    if a_parts:
+        a = doc[np.concatenate(a_parts)]
+        b = doc[np.concatenate(b_parts)]
+    else:
+        a = b = np.zeros(0, dtype=np.int64)
+    pb = (a ^ (b * np.int64(1315423911))) % np.int64(num_buckets)
     return pa.table(
         {
-            "doc_id_a": pa.array(a_out, pa.int64()),
-            "doc_id_b": pa.array(b_out, pa.int64()),
-            "n_a": pa.array(na_out, pa.int64()),
-            "n_b": pa.array(nb_out, pa.int64()),
-            "pbucket": pa.array(pb_out, pa.int32()),
+            "doc_id_a": pa.array(a, pa.int64()),
+            "doc_id_b": pa.array(b, pa.int64()),
+            "pbucket": pa.array(pb.astype(np.int32), pa.int32()),
         }
     )
 
 
-def _fp_pair_scores(group, min_shared: int):
+def fp_kept_counts(group, max_df: int = FP_MAX_DF):
+    """Same co-located bucket, second consumer: per-doc count of KEPT
+    fingerprints inside this bucket (vectorized); a downstream bucketed
+    Sum rebuilds each doc's kept-set size."""
+    import pyarrow as pa
+
+    fp = np.asarray(group.column("fp").to_pylist(), dtype=np.int64)
+    d = np.asarray(group.column("doc_id").to_pylist(), dtype=np.int64)
+    uf, inv, cnt = np.unique(fp, return_inverse=True, return_counts=True)
+    keep = (cnt[inv] >= 2) & (cnt[inv] <= max_df)
+    ud, c = np.unique(d[keep], return_counts=True)
+    return pa.table(
+        {
+            "doc_id": pa.array(ud, pa.int64()),
+            "k": pa.array(c.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def _fp_pair_scores(group, nk_map, min_shared: int):
     """Per pair-bucket: vectorized shared-count per (a, b) + the
-    integer-exact overlap-coefficient gate
-    ``FP_OVERLAP_DEN * shared >= FP_OVERLAP_NUM * min(n_a, n_b)`` and
-    the round6 coefficient for the output (both orders of operations
-    exactly reproducible in SQL)."""
+    integer-exact overlap-coefficient gate over KEPT-set sizes
+    ``FP_OVERLAP_DEN * shared >= FP_OVERLAP_NUM * min(kept_a, kept_b)``
+    and the round6 coefficient for the output."""
     import pyarrow as pa
 
     a = np.asarray(group.column("doc_id_a").to_pylist(), dtype=np.int64)
     b = np.asarray(group.column("doc_id_b").to_pylist(), dtype=np.int64)
-    na = np.asarray(group.column("n_a").to_pylist(), dtype=np.int64)
-    nb = np.asarray(group.column("n_b").to_pylist(), dtype=np.int64)
     key = (a << np.int64(31)) | b  # aug doc ids < 2^31
-    uk, first, counts = np.unique(
-        key, return_index=True, return_counts=True
-    )
-    mn = np.minimum(na[first], nb[first])
+    uk, counts = np.unique(key, return_counts=True)
+    ua = (uk >> np.int64(31)).astype(np.int64)
+    ub = (uk & np.int64((1 << 31) - 1)).astype(np.int64)
+    na = np.asarray([nk_map[int(x)] for x in ua], dtype=np.int64)
+    nb = np.asarray([nk_map[int(x)] for x in ub], dtype=np.int64)
+    mn = np.minimum(na, nb)
     keep = (counts >= min_shared) & (
         FP_OVERLAP_DEN * counts >= FP_OVERLAP_NUM * mn
     )
     uk, counts, mn = uk[keep], counts[keep], mn[keep]
     return pa.table(
         {
-            "doc_id_a": pa.array(uk >> np.int64(31), pa.int64()),
-            "doc_id_b": pa.array(uk & np.int64((1 << 31) - 1), pa.int64()),
+            "doc_id_a": pa.array(ua[keep], pa.int64()),
+            "doc_id_b": pa.array(ub[keep], pa.int64()),
             "n_shared": pa.array(counts.astype(np.int64), pa.int64()),
             "overlap": pa.array(
                 (counts * 2_000_000 + mn) // (2 * mn) / 1e6, pa.float64()
@@ -959,22 +986,48 @@ def _fp_pair_scores(group, min_shared: int):
 
 
 def fingerprint_dup_pairs(ds, min_shared: int = FP_MIN_SHARED,
-                          max_df: int = MAX_DF):
-    """MOSS-style near-dup pairs: documents whose shared winnowing
-    fingerprints cover >= 80% of the smaller fingerprint set (overlap
-    coefficient) and number >= ``min_shared``.  Shape mirrors
-    dedup_ngram_jaccard's inverted-index join: distinct (fp, doc, n_fp)
-    rows -> wide-bucket co-location sort -> per-posting-list pair
-    explode with the MAX_DF df cut -> one more wide-bucket sort on the
-    pair key -> vectorized per-pair count + the integer-exact overlap
-    gate.  A fingerprint is emitted by at most one posting list (exact
-    fp locality), so pair rows are exact shared-fingerprint counts."""
+                          max_df: int = FP_MAX_DF):
+    """MOSS-style near-dup pairs: documents whose shared kept
+    fingerprints cover >= 80% of the smaller kept set and number
+    >= ``min_shared``.  Shape: distinct (fp, doc) rows -> ONE
+    wide-bucket co-location sort, materialized and read by two cheap
+    consumers (pair explode under the df cut; per-doc kept counts) ->
+    pair-key co-location -> vectorized per-pair count + the
+    integer-exact overlap gate against the broadcast kept-count map.
+
+    Scale notes: pair-row volume is bounded by the FP_MAX_DF universe
+    cut (measured 52.6M -> 1.7M rows at sf0.1); the kept-count map is
+    one int per DOCUMENT — at corpus sizes where that map outgrows
+    worker heaps, swap the broadcast for a doc_id join (the
+    unigram_logprob dual-path discipline; same gate either way)."""
+    import ray
+
+    from .vecagg import bucketed_groupby
+
     rows = ds.map_batches(fp_rows, batch_format="pyarrow")
-    pairs = _bucket_sorted(rows).map_batches(
+    located = _bucket_sorted(rows).materialize()
+    nk = bucketed_groupby(
+        located.map_batches(
+            lambda g: fp_kept_counts(g, max_df),
+            batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+        ),
+        "doc_id", ["k"], ["sum"],
+    )
+    nk_map = {
+        int(r["doc_id"]): int(r["k"]) for r in nk.take_all()
+    }
+    nk_ref = ray.put(nk_map)
+    pairs = located.map_batches(
         lambda g: fp_bucket_pairs(g, WIDE_PAIR_SPACE, max_df),
         batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
     )
+
+    def score(g):
+        from .simsearch import _get_broadcast
+
+        return _fp_pair_scores(g, _get_broadcast(nk_ref), min_shared)
+
     return _bucket_sorted(pairs, column="pbucket").map_batches(
-        lambda g: _fp_pair_scores(g, min_shared),
-        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+        score, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True,
     )
