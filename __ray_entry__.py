@@ -57,10 +57,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         curation_queries,
     )
 
+    from web_content_extraction_benchmark_ray.pipelines.qualityops import (
+        qualityops_queries,
+    )
+
     out.update(dataops_queries())
     out.update(analytics_queries())
     out.update(events_queries())
     out.update(curation_queries())
+    out.update(qualityops_queries())
     from web_content_extraction_benchmark_ray.pipelines.project import (
         feature_project,
     )
@@ -112,17 +117,13 @@ _SAMPLE_FIRST = [
     "sample_stratified",
     "events_sliding",
     "events_props",
-    # verified in r01/r02 only — rotate back in (kmeans_assign yields its
-    # slot to the round-4 additions: it is the assignment half of
-    # kmeans_iterate, which IS in the window)
-    # (sample_split likewise yields to the round-4 additions: its
-    # splitter is the same hash-split primitive sample_stratified — in
-    # the window, never yet driver-verified — exercises per stratum)
-    "kmeans_iterate",
-    "dataset_stats",
-    "events_window",
-    "events_sessionize",
-    "events_asof",
+    # kmeans_assign/sample_split/kmeans_iterate/dataset_stats/
+    # events_window/events_sessionize/events_asof were verified green in
+    # r01/r02 and yield their slots to never-verified entries: each has
+    # in-window kin exercising its primitives (kmeans_iterate's assign
+    # pass == kmeans_assign; events_sliding/retention/funnel cover the
+    # window/user-bucket/scan machinery; sample_stratified covers the
+    # hash-split primitive)
     # changed in round 4 (vocab partial-topk, unigram join path,
     # LSH posting caps, sample-trained quantizer, pdf CRLF fix)
     "vocab_topk",
@@ -150,6 +151,12 @@ _SAMPLE_FIRST = [
     "dedup_exact_norm",
     "dup_span_scrub",
     "dedup_incremental",
+    # new in round-4 session 6 (never driver-verified)
+    "gopher_filter",
+    "tfidf_topterms",
+    "line_dedup",
+    "distinct_sketch",
+    "events_funnel",
     # changed late in round 4 (exact-mean hardening of every eval mean)
     "eval_agg_by_complexity",
     "eval_agg_by_dataset",
@@ -218,8 +225,13 @@ def oracle_sql() -> dict[str, str]:
         curation_oracle_sql,
     )
 
+    from web_content_extraction_benchmark_ray.pipelines.qualityops import (
+        qualityops_oracle_sql,
+    )
+
     out.update(dataops_oracle_sql())
     out.update(curation_oracle_sql())
+    out.update(qualityops_oracle_sql())
     from web_content_extraction_benchmark_ray.pipelines.analytics import (
         analytics_oracle_sql,
     )

@@ -1,0 +1,208 @@
+"""Quality operators: Gopher rule filter, TF-IDF top terms, CCNet-style
+chunk dedup (both paths), HLL distinct sketch, events funnel
+(pipelines/qualityops.py, pipelines/events.py)."""
+import numpy as np
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+
+
+def _doc_texts():
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    return dict(zip(t.column("doc_id").to_pylist(),
+                    t.column("text").to_pylist()))
+
+
+def test_gopher_filter_matches_serial_rules(ray_session):
+    from collections import Counter
+
+    from web_content_extraction_benchmark_ray.functions.text import tokenize_ws
+    from web_content_extraction_benchmark_ray.functions.textstats import (
+        STOPWORDS,
+        _PUNCT_RE,
+    )
+    from web_content_extraction_benchmark_ray.pipelines.qualityops import (
+        GOPHER_MAX_MWL,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_MWL,
+        GOPHER_MIN_STOP,
+        GOPHER_MIN_WORDS,
+        gopher_filter,
+    )
+
+    df = gopher_filter(SF).to_pandas().set_index("doc_id").sort_index()
+    texts = _doc_texts()
+    assert len(df) == len(texts)
+    for doc_id, text in list(texts.items())[:200]:
+        toks = tokenize_ws(text)
+        grams = Counter(
+            toks[j] + " " + toks[j + 1] for j in range(len(toks) - 1)
+        )
+        n_g = sum(grams.values())
+        mask = 0
+        if not (GOPHER_MIN_WORDS <= len(toks) <= GOPHER_MAX_WORDS):
+            mask |= 1
+        sl = sum(len(w) for w in toks)
+        if toks and not (
+            GOPHER_MIN_MWL * len(toks) <= sl <= GOPHER_MAX_MWL * len(toks)
+        ):
+            mask |= 2
+        if text and 10 * len(_PUNCT_RE.findall(text)) > len(text):
+            mask |= 4
+        if sum(1 for w in toks if w.lower() in STOPWORDS) < GOPHER_MIN_STOP:
+            mask |= 8
+        if n_g and 10 * (n_g - len(grams)) > 3 * n_g:
+            mask |= 16
+        if n_g and 5 * max(grams.values()) > n_g:
+            mask |= 32
+        row = df.loc[doc_id]
+        assert row["fail_mask"] == mask, doc_id
+        assert row["keep"] == (1 if mask == 0 else 0)
+        assert row["n_words"] == len(toks)
+    # the synthetic corpus produces both kept and dropped docs
+    assert 0 < df["keep"].sum() < len(df)
+
+
+def test_tfidf_topterms_ranking(ray_session):
+    from collections import Counter
+
+    from web_content_extraction_benchmark_ray.functions.text import tokenize_ws
+    from web_content_extraction_benchmark_ray.pipelines.qualityops import (
+        TFIDF_TOPK,
+        tfidf_topterms,
+    )
+
+    df = tfidf_topterms(SF).to_pandas()
+    texts = _doc_texts()
+    # global df counts docs containing the term
+    expect_df = Counter()
+    for text in texts.values():
+        expect_df.update(set(tokenize_ws(text)))
+    assert (df.groupby("doc_id")["rnk"].max() <= TFIDF_TOPK).all()
+    for doc_id, g in list(df.groupby("doc_id"))[:100]:
+        toks = Counter(tokenize_ws(texts[doc_id]))
+        ranked = sorted(
+            toks.items(), key=lambda kv: (-kv[1], expect_df[kv[0]], kv[0])
+        )[:TFIDF_TOPK]
+        g = g.sort_values("rnk")
+        assert list(g["term"]) == [t for t, _ in ranked], doc_id
+        assert list(g["tf"]) == [c for _, c in ranked]
+        assert list(g["df"]) == [expect_df[t] for t, _ in ranked]
+
+
+def test_line_dedup_paths_agree(ray_session):
+    from web_content_extraction_benchmark_ray.pipelines.qualityops import (
+        line_dedup,
+    )
+
+    a = (
+        line_dedup(SF)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        line_dedup(SF, broadcast_max_types=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+    # exact copies (doc_id + 2e6) duplicate every chunk of their original
+    from web_content_extraction_benchmark_ray.pipelines.dataops import (
+        EXACT_COPY_EVERY,
+        EXACT_COPY_OFFSET,
+    )
+
+    ax = a.set_index("doc_id")
+    copies = [i for i in ax.index if i >= EXACT_COPY_OFFSET]
+    assert copies
+    for c in copies[:20]:
+        orig = c - EXACT_COPY_OFFSET
+        assert ax.loc[c, "n_dup"] == ax.loc[c, "n_chunks"]
+        assert ax.loc[orig, "n_dup"] == ax.loc[orig, "n_chunks"]
+    # originals without a copy mostly keep everything
+    never = [
+        i
+        for i in ax.index
+        if i < EXACT_COPY_OFFSET // 2 and i % EXACT_COPY_EVERY != 0
+    ]
+    frac_clean = np.mean([ax.loc[i, "n_dup"] == 0 for i in never])
+    assert frac_clean > 0.5
+
+
+def test_distinct_sketch_matches_serial_hll(ray_session):
+    from web_content_extraction_benchmark_ray.functions.hashing import (
+        hash60,
+        shingles,
+    )
+    from web_content_extraction_benchmark_ray.pipelines.qualityops import (
+        HLL_M,
+        HLL_P,
+        _HLL_REM_BITS,
+        distinct_sketch,
+    )
+
+    df = distinct_sketch(SF).to_pandas().set_index("register").sort_index()
+    regs = np.zeros(HLL_M, dtype=np.int64)
+    for text in _doc_texts().values():
+        for s in shingles(text):
+            h = hash60(s)
+            rem = h & ((1 << _HLL_REM_BITS) - 1)
+            rho = (
+                _HLL_REM_BITS + 1
+                if rem == 0
+                else _HLL_REM_BITS - rem.bit_length() + 1
+            )
+            r = h >> _HLL_REM_BITS
+            regs[r] = max(regs[r], rho)
+    nz = np.flatnonzero(regs)
+    assert list(df.index) == nz.tolist()
+    assert list(df["max_rho"]) == regs[nz].tolist()
+    # the HLL estimate folded from the register table should land within
+    # 3 standard errors (1.04/sqrt(m)) of the true distinct count
+    true = len(
+        {hash60(s) for t in _doc_texts().values() for s in shingles(t)}
+    )
+    m = HLL_M
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0, -regs.astype(float)))
+    if est <= 2.5 * m and (regs == 0).sum() > 0:
+        est = m * np.log(m / (regs == 0).sum())
+    assert abs(est - true) / true < 3 * 1.04 / np.sqrt(m)
+
+
+def test_events_funnel_matches_serial_scan(ray_session):
+    from web_content_extraction_benchmark_ray.pipelines.events import (
+        FUNNEL_STEPS,
+        events_funnel,
+    )
+
+    df = events_funnel(SF).to_pandas().set_index("user_id").sort_index()
+    ev = pq.read_table(
+        f"{SF}/events.parquet", columns=["ts", "user_id", "event_type"]
+    ).to_pandas()
+    ev["us"] = ev["ts"].astype("int64")
+    assert len(df) == ev["user_id"].nunique()
+    for uid, g in list(ev.groupby("user_id"))[:60]:
+        g = g.sort_values("us")
+        prev, got = None, []
+        for step in FUNNEL_STEPS:
+            sel = g[g["event_type"] == step]
+            if prev is not None:
+                sel = sel[sel["us"] > prev]
+            t = int(sel["us"].iloc[0]) if len(sel) else None
+            got.append(t)
+            prev = t if t is not None else np.iinfo(np.int64).max
+        row = df.loc[uid]
+        for col, want in zip(("t1_us", "t2_us", "t3_us"), got):
+            if want is None:
+                assert np.isnan(row[col]), (uid, col)
+            else:
+                assert row[col] == want, (uid, col)
+        depth = 0
+        for t in got:
+            if t is None:
+                break
+            depth += 1
+        assert row["depth"] == depth

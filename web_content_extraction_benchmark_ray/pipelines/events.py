@@ -436,6 +436,68 @@ def events_retention(sf_dir: str, user_buckets: int | None = None):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+# ------------------------------------------------------------------ funnel
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def events_funnel(sf_dir: str, user_buckets: int | None = None):
+    """Ordered conversion funnel over ``FUNNEL_STEPS``: per user,
+    ``t1_us`` is the earliest 'view', ``t2_us`` the earliest 'click'
+    STRICTLY after ``t1_us``, ``t3_us`` the earliest 'purchase' strictly
+    after ``t2_us``; ``depth`` counts reached steps.  Every user with
+    any event gets a row (missing steps are NULL).
+
+    Shape: the sessionize discipline — one user-bucket co-group so each
+    user's events meet in one task, then a per-user sorted-array scan
+    (``np.searchsorted`` per step over that user's per-type timestamp
+    arrays; timestamps compare in exact int64 microseconds)."""
+
+    def funnel(group: pa.Table) -> pa.Table:
+        users = np.asarray(group.column("user_id").to_pylist(), dtype=np.int64)
+        ts_us = np.asarray(
+            pc.cast(group.column("ts"), pa.int64()).to_pylist(),
+            dtype=np.int64,
+        )
+        types = np.asarray(group.column("event_type").to_pylist(), dtype=object)
+        order = np.lexsort((ts_us, users))
+        users, ts_us, types = users[order], ts_us[order], types[order]
+        out_u, out_t, out_d = [], [[], [], []], []
+        lo = 0
+        for hi in np.flatnonzero(np.diff(users)).tolist() + [len(users) - 1]:
+            hi += 1
+            seg_ts, seg_ty = ts_us[lo:hi], types[lo:hi]
+            prev, depth = None, 0
+            for k, step in enumerate(FUNNEL_STEPS):
+                st = seg_ts[seg_ty == step]  # sorted (stable segment order)
+                if prev is not None:
+                    st = st[np.searchsorted(st, prev, side="right"):]
+                t = int(st[0]) if st.size else None
+                out_t[k].append(t)
+                if t is not None and depth == k:
+                    depth = k + 1
+                prev = t if t is not None else np.iinfo(np.int64).max
+            out_u.append(int(users[lo]))
+            out_d.append(depth)
+            lo = hi
+        return pa.table(
+            {
+                "user_id": pa.array(out_u, pa.int64()),
+                "t1_us": pa.array(out_t[0], pa.int64()),
+                "t2_us": pa.array(out_t[1], pa.int64()),
+                "t3_us": pa.array(out_t[2], pa.int64()),
+                "depth": pa.array(out_d, pa.int64()),
+            }
+        )
+
+    ds = _events(sf_dir, columns=["ts", "user_id", "event_type"])
+    ds = ds.map_batches(
+        _add_user_bucket,
+        fn_kwargs={"num_buckets": user_buckets or derived_user_buckets()},
+        batch_format="pyarrow",
+    )
+    return ds.groupby("bucket").map_groups(funnel, batch_format="pyarrow")
+
+
 def events_queries() -> dict:
     return {
         "events_window": events_window,
@@ -444,6 +506,7 @@ def events_queries() -> dict:
         "events_asof": events_asof,
         "events_props": events_props,
         "events_retention": events_retention,
+        "events_funnel": events_funnel,
     }
 
 
@@ -528,4 +591,30 @@ SELECT f.cohort_s AS cohort_start_s,
        count(*) AS n_users
 FROM w JOIN f ON w.user_id = f.user_id
 GROUP BY 1, 2"""
+
+    s1, s2, s3 = FUNNEL_STEPS
+    sqls["events_funnel"] = f"""
+WITH u AS (SELECT DISTINCT user_id FROM events),
+a AS (
+  SELECT user_id, min(epoch_us(ts)) AS t1
+  FROM events WHERE event_type = '{s1}' GROUP BY user_id
+),
+b AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+  FROM events e JOIN a ON e.user_id = a.user_id
+  WHERE e.event_type = '{s2}' AND epoch_us(e.ts) > a.t1
+  GROUP BY e.user_id
+),
+c AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+  FROM events e JOIN b ON e.user_id = b.user_id
+  WHERE e.event_type = '{s3}' AND epoch_us(e.ts) > b.t2
+  GROUP BY e.user_id
+)
+SELECT u.user_id, a.t1 AS t1_us, b.t2 AS t2_us, c.t3 AS t3_us,
+       CAST(CASE WHEN c.t3 IS NOT NULL THEN 3
+                 WHEN b.t2 IS NOT NULL THEN 2
+                 WHEN a.t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS depth
+FROM u LEFT JOIN a USING (user_id) LEFT JOIN b USING (user_id)
+       LEFT JOIN c USING (user_id)"""
     return sqls

@@ -1,0 +1,648 @@
+"""Corpus-quality operators over the ``documents`` table: the Gopher
+rule-composite filter, TF-IDF distinctive terms, CCNet-style cross-doc
+chunk dedup, and a mergeable HyperLogLog distinct sketch.
+
+The reference harness scores extraction quality, not corpus quality
+(its corpora are pre-cleaned); these extend the training-data operator
+family of ``pipelines/dataops.py`` / ``pipelines/curation.py`` and
+follow the identical oracle conventions (hash60 twins, integer-exact
+thresholds — see dataops_oracles.py module docstring).
+
+Scale notes per operator:
+
+- ``gopher_filter``: stateless per-batch map, zero shuffle.  Every rule
+  threshold is an INTEGER comparison (``10 * n_punct <= n_chars`` form),
+  so the SQL twin matches bit for bit with no float-ratio parity risk.
+- ``tfidf_topterms``: per-doc term frequencies are the map-side combiner
+  (a per-doc Counter — no occurrence rows ever shuffle); document
+  frequency is a bucketed vectorized Sum over the distinct (doc, term)
+  rows; the df table joins back by term (both sides stream; no process
+  holds the vocabulary), and the per-doc top-k runs inside doc-bucket
+  groups.  Three all-to-alls, each over reduced rows.
+- ``line_dedup``: the CCNet/RefinedWeb paragraph-hash shape (Wenzek et
+  al. 2020 dedup paragraphs by hash across shards) at non-overlapping
+  ``LINE_W``-token chunks, on the augmented corpus view.  Dual path on
+  the DUP-SET size (the ``dup_span_scrub`` discipline): broadcast the
+  duplicated-hash set when small; else explode chunk occurrences, join
+  on the hash, and co-locate marks with their doc by ONE wide-bucket
+  sort so the corpus text crosses the wire exactly once.
+- ``distinct_sketch``: HyperLogLog registers over corpus shingle
+  hashes (Flajolet et al. 2007).  Each batch emits at most ``2**HLL_P``
+  partial-register rows (the mergeable-sketch property: max commutes),
+  so the reduce input is tiny regardless of corpus size.  The output is
+  the REGISTER TABLE (integer-exact, order-free); the float estimate
+  ``alpha_m * m^2 / sum(2^-rho)`` is one driver-side fold away and is
+  deliberately not a column (transcendental parity risk for zero
+  analytical value).
+"""
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from ..functions.hashing import hash60, shingles
+from ..functions.text import tokenize_ws
+from ..functions.textstats import STOPWORDS, _PUNCT_RE
+from ..stages.vecagg import bucketed_groupby
+from .dataops import (
+    UNIGRAM_BROADCAST_MAX_TYPES,
+    _aug_docs,
+    _docs,
+    _join_parts,
+    _with_schema,
+)
+
+# ------------------------------------------------------------- constants
+# Gopher rule thresholds (Rae et al. 2021 §A1.1, adapted to the corpus's
+# whitespace tokens).  All comparisons run in integers.
+GOPHER_MIN_WORDS = 10
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MWL = 3  # mean word length lower bound
+GOPHER_MAX_MWL = 10  # mean word length upper bound
+GOPHER_MIN_STOP = 2  # distinct-occurrence stopword floor
+# symbol ratio <= 0.10  <=>  10 * n_punct <= n_chars
+# dup-2gram ratio <= 0.30  <=>  10 * (n - nd) <= 3 * n
+# top-2gram frac <= 0.20  <=>  5 * mx <= n
+
+TFIDF_TOPK = 5  # distinctive terms kept per document
+
+LINE_W = 10  # tokens per non-overlapping chunk ("paragraph")
+LINE_MIN_DF = 2  # distinct docs sharing a chunk for it to count as dup
+
+HLL_P = 8  # 2**HLL_P registers; rho over the remaining 60-P hash bits
+HLL_M = 1 << HLL_P
+_HLL_REM_BITS = 60 - HLL_P  # hash60 yields 60-bit values
+
+
+# ------------------------------------------------------------ gopher_filter
+def gopher_filter(sf_dir: str):
+    """Gopher-style composite quality gate.  Output per doc:
+    ``(doc_id, n_words, fail_mask, keep)`` with one mask bit per rule —
+
+      bit 1  word count outside [GOPHER_MIN_WORDS, GOPHER_MAX_WORDS]
+      bit 2  mean word length outside [GOPHER_MIN_MWL, GOPHER_MAX_MWL]
+      bit 4  punctuation chars > 10% of chars
+      bit 8  fewer than GOPHER_MIN_STOP stopword occurrences
+      bit 16 duplicate word-2gram ratio > 30%
+      bit 32 most frequent word-2gram > 20% of 2-grams
+
+    ``keep = 1`` iff no rule fails.  Stateless, shuffle-free."""
+    stop = frozenset(STOPWORDS)
+
+    def rules(batch: pa.Table) -> pa.Table:
+        ids_out, n_out, m_out, k_out = [], [], [], []
+        for i, t in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("text").to_pylist(),
+        ):
+            toks = tokenize_ws(t)
+            n_ws = len(toks)
+            sum_len = sum(len(w) for w in toks)
+            n_chars = len(t)
+            n_punct = len(_PUNCT_RE.findall(t))
+            n_stop = sum(1 for w in toks if w.lower() in stop)
+            grams = Counter(
+                toks[j] + " " + toks[j + 1] for j in range(n_ws - 1)
+            )
+            n_g = sum(grams.values())
+            nd, mx = len(grams), (max(grams.values()) if grams else 0)
+            mask = 0
+            if not (GOPHER_MIN_WORDS <= n_ws <= GOPHER_MAX_WORDS):
+                mask |= 1
+            if n_ws > 0 and not (
+                GOPHER_MIN_MWL * n_ws <= sum_len <= GOPHER_MAX_MWL * n_ws
+            ):
+                mask |= 2
+            if n_chars > 0 and 10 * n_punct > n_chars:
+                mask |= 4
+            if n_stop < GOPHER_MIN_STOP:
+                mask |= 8
+            if n_g > 0 and 10 * (n_g - nd) > 3 * n_g:
+                mask |= 16
+            if n_g > 0 and 5 * mx > n_g:
+                mask |= 32
+            ids_out.append(int(i))
+            n_out.append(n_ws)
+            m_out.append(mask)
+            k_out.append(1 if mask == 0 else 0)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_out, pa.int64()),
+                "n_words": pa.array(n_out, pa.int64()),
+                "fail_mask": pa.array(m_out, pa.int64()),
+                "keep": pa.array(k_out, pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(rules, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------- tfidf_topterms
+def tfidf_topterms(sf_dir: str, k: int = TFIDF_TOPK):
+    """Top-``k`` distinctive terms per document, ranked by
+    ``(tf DESC, df ASC, term ASC)`` — the integer-exact TF-IDF ordering
+    (for fixed corpus size N, ``tf * log(N/df)`` sorts by tf then -df;
+    ranking on the raw integers sidesteps transcendental parity).
+    Output: ``(doc_id, term, tf, df, rnk)``.
+
+    Shape: per-doc Counter explode (map-side combiner; occurrence rows
+    never shuffle) -> bucketed vectorized df Sum -> hash join back on
+    term -> per-doc top-k inside doc-bucket groups."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids_out, tok_out, tf_out = [], [], []
+        for i, t in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("text").to_pylist(),
+        ):
+            c = Counter(tokenize_ws(t))
+            ids_out.extend([int(i)] * len(c))
+            tok_out.extend(c.keys())
+            tf_out.extend(c.values())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_out, pa.int64()),
+                "term": pa.array(tok_out, pa.string()),
+                "tf": pa.array(tf_out, pa.int64()),
+            }
+        )
+
+    def tf_rows():
+        return _docs(sf_dir).map_batches(explode, batch_format="pyarrow")
+
+    def ones(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "term": batch.column("term"),
+                "one": pa.array([1] * batch.num_rows, pa.int64()),
+            }
+        )
+
+    # df = number of docs containing the term = count of distinct
+    # (doc, term) rows, which the tf explode already is
+    df = bucketed_groupby(
+        tf_rows().map_batches(ones, batch_format="pyarrow"),
+        "term", ["one"], ["sum"], out_names=["df"],
+    ).materialize()
+    n_types = df.count()
+
+    joined = tf_rows().join(
+        df.map_batches(
+            _with_schema(
+                pa.schema([("term", pa.string()), ("df", pa.int64())])
+            ),
+            batch_format="pyarrow",
+        ),
+        join_type="inner",
+        num_partitions=_join_parts(n_types),
+        on=("term",),
+    )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(
+            batch.column("doc_id").to_pylist(), dtype=np.int64
+        )
+        return batch.append_column(
+            "bucket", pa.array(ids % 256, pa.int64())
+        )
+
+    def topk(group: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        g = pd.DataFrame(
+            {
+                "doc_id": np.asarray(
+                    group.column("doc_id").to_pylist(), dtype=np.int64
+                ),
+                "term": group.column("term").to_pylist(),
+                "tf": np.asarray(
+                    group.column("tf").to_pylist(), dtype=np.int64
+                ),
+                "df": np.asarray(
+                    group.column("df").to_pylist(), dtype=np.int64
+                ),
+            }
+        )
+        g = g.sort_values(
+            ["doc_id", "tf", "df", "term"],
+            ascending=[True, False, True, True],
+            kind="mergesort",
+        )
+        g["rnk"] = g.groupby("doc_id").cumcount() + 1
+        g = g[g["rnk"] <= k]
+        return pa.table(
+            {
+                "doc_id": pa.array(g["doc_id"].tolist(), pa.int64()),
+                "term": pa.array(g["term"].tolist(), pa.string()),
+                "tf": pa.array(g["tf"].tolist(), pa.int64()),
+                "df": pa.array(g["df"].tolist(), pa.int64()),
+                "rnk": pa.array(g["rnk"].tolist(), pa.int64()),
+            }
+        )
+
+    return (
+        joined.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(topk, batch_format="pyarrow")
+    )
+
+
+# -------------------------------------------------------------- line_dedup
+def _chunks_of(toks: list) -> list:
+    return [
+        " ".join(toks[s : s + LINE_W])
+        for s in range(0, len(toks), LINE_W)
+    ]
+
+
+def line_dedup(sf_dir: str, broadcast_max_types: int | None = None):
+    """CCNet-style cross-doc duplicated-chunk removal over the augmented
+    corpus view: each doc splits into non-overlapping ``LINE_W``-token
+    chunks (the newline-free corpus's "paragraphs"); a chunk occurring
+    in >= ``LINE_MIN_DF`` DISTINCT docs is dropped.  Output per doc:
+    ``(doc_id, n_chunks, n_dup, clean_hash)`` with ``clean_hash =
+    hash60(' '.join(kept chunks in order))``.
+
+    Distinct from ``dup_span_scrub`` (stride-1 windows, token-position
+    coverage): this is the paragraph-granular CCNet shape — cheaper by
+    ``LINE_W``x in window volume, coarser in what it removes.
+
+    Dual path on the DUP-SET size (the dup_span_scrub discipline):
+    broadcast the duplicated-hash set when small, else explode chunk
+    occurrences, join on hash, and co-locate marks with their doc text
+    via one wide-bucket sort (text crosses the wire exactly once)."""
+    if broadcast_max_types is None:
+        broadcast_max_types = UNIGRAM_BROADCAST_MAX_TYPES
+
+    def count_rows(batch: pa.Table) -> pa.Table:
+        c = Counter()
+        for t in batch.column("text").to_pylist():
+            # distinct per doc: df counts DOCS, not occurrences
+            c.update(set(hash60(ch) for ch in _chunks_of(tokenize_ws(t))))
+        return pa.table(
+            {
+                "h": pa.array(list(c.keys()), pa.int64()),
+                "d": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    counts = bucketed_groupby(
+        _aug_docs(sf_dir).map_batches(count_rows, batch_format="pyarrow"),
+        "h", ["d"], ["sum"], out_names=["df"],
+    ).materialize()
+
+    dup_only = counts.map_batches(
+        lambda b: b.filter(
+            pc.greater_equal(
+                pc.cast(b.column("df"), pa.int64()), LINE_MIN_DF
+            )
+        ).select(["h"]),
+        batch_format="pyarrow",
+    )
+
+    def finish_rows(ids, n_c, n_d, ch) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_chunks": pa.array(n_c, pa.int64()),
+                "n_dup": pa.array(n_d, pa.int64()),
+                "clean_hash": pa.array(ch, pa.int64()),
+            }
+        )
+
+    def _rewrite_one(chunks: list, dup_idx) -> tuple[int, int]:
+        kept = [c for j, c in enumerate(chunks) if j not in dup_idx]
+        return len(chunks) - len(kept), hash60(" ".join(kept))
+
+    n_dup = dup_only.count()
+    if n_dup <= broadcast_max_types:
+        dup_set = frozenset(r["h"] for r in dup_only.take_all())
+        ref = ray.put(dup_set)
+
+        def scrub(batch: pa.Table) -> pa.Table:
+            from ..stages.simsearch import _get_broadcast
+
+            dset = _get_broadcast(ref)
+            ids, n_c, n_d, ch = [], [], [], []
+            for i, t in zip(
+                batch.column("doc_id").to_pylist(),
+                batch.column("text").to_pylist(),
+            ):
+                chunks = _chunks_of(tokenize_ws(t))
+                dup_idx = {
+                    j for j, c in enumerate(chunks) if hash60(c) in dset
+                }
+                nd, h = _rewrite_one(chunks, dup_idx)
+                ids.append(int(i))
+                n_c.append(len(chunks))
+                n_d.append(nd)
+                ch.append(h)
+            return finish_rows(ids, n_c, n_d, ch)
+
+        return _aug_docs(sf_dir).map_batches(scrub, batch_format="pyarrow")
+
+    # ---- scale path: explode chunk occurrences, join, co-locate marks
+    # with the doc text by one wide-bucket sort (dup_span_scrub shape)
+    import os
+
+    from ..stages.reassemble import (
+        _KNUTH,
+        WIDE_BUCKET_SPACE,
+        _default_partitions,
+    )
+
+    def explode_idx(batch: pa.Table) -> pa.Table:
+        ids_out, j_out, h_out = [], [], []
+        for i, t in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("text").to_pylist(),
+        ):
+            for j, c in enumerate(_chunks_of(tokenize_ws(t))):
+                ids_out.append(int(i))
+                j_out.append(j)
+                h_out.append(hash60(c))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_out, pa.int64()),
+                "j": pa.array(j_out, pa.int64()),
+                "h": pa.array(h_out, pa.int64()),
+            }
+        )
+
+    dup_marks = (
+        _aug_docs(sf_dir)
+        .map_batches(explode_idx, batch_format="pyarrow")
+        .join(
+            dup_only.map_batches(
+                _with_schema(pa.schema([("h", pa.int64())])),
+                batch_format="pyarrow",
+            ),
+            join_type="inner",
+            num_partitions=_join_parts(n_dup),
+            on=("h",),
+        )
+        .map_batches(
+            lambda b: b.select(["doc_id", "j"]).append_column(
+                "text", pa.array([""] * b.num_rows, pa.string())
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    doc_rows = _aug_docs(sf_dir).map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": pc.cast(b.column("doc_id"), pa.int64()),
+                "j": pa.array([-1] * b.num_rows, pa.int64()),
+                "text": pc.cast(b.column("text"), pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def add_b(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(
+            batch.column("doc_id").to_pylist(), dtype=np.int64
+        ).astype(np.uint64)
+        bucket = (
+            ((ids * _KNUTH) & np.uint64(0xFFFFFFFF))
+            % np.uint64(WIDE_BUCKET_SPACE)
+        ).astype(np.int64)
+        return batch.append_column("bucket", pa.array(bucket, pa.int64()))
+
+    both = dup_marks.union(doc_rows).map_batches(
+        add_b, batch_format="pyarrow"
+    )
+    try:
+        input_bytes = 2 * os.path.getsize(
+            os.path.join(sf_dir, "documents.parquet")
+        )
+    except OSError:
+        input_bytes = None
+    p = _default_partitions(input_bytes)
+    bounds = [WIDE_BUCKET_SPACE * i // p for i in range(1, p)]
+
+    def rewrite(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return finish_rows([], [], [], [])
+        g = part.sort_by([("doc_id", "ascending"), ("j", "ascending")])
+        ids = np.asarray(g.column("doc_id").to_pylist(), dtype=np.int64)
+        js = np.asarray(g.column("j").to_pylist(), dtype=np.int64)
+        texts = g.column("text").to_pylist()
+        out_i, out_c, out_d, out_h = [], [], [], []
+        lo = 0
+        for hi in np.flatnonzero(np.diff(ids)).tolist() + [len(ids) - 1]:
+            hi += 1
+            assert js[lo] == -1, "doc text row missing from its partition"
+            chunks = _chunks_of(tokenize_ws(texts[lo]))
+            nd, h = _rewrite_one(chunks, set(js[lo + 1 : hi].tolist()))
+            out_i.append(int(ids[lo]))
+            out_c.append(len(chunks))
+            out_d.append(nd)
+            out_h.append(h)
+            lo = hi
+        return finish_rows(out_i, out_c, out_d, out_h)
+
+    return both.sort("bucket", boundaries=bounds).map_batches(
+        rewrite, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True,
+    )
+
+
+# ---------------------------------------------------------- distinct_sketch
+def distinct_sketch(sf_dir: str):
+    """HyperLogLog register table over corpus shingle hashes.  Output:
+    ``(register, max_rho)`` — one row per non-empty register, where
+    ``register`` is the top ``HLL_P`` bits of ``hash60(shingle)`` and
+    ``rho`` is 1 + leading-zero count of the remaining ``60 - HLL_P``
+    bits (all-zero remainder caps at ``60 - HLL_P + 1``).
+
+    Each batch pre-folds its shingles into at most ``HLL_M`` partial
+    rows (max is commutative/idempotent — the mergeable-sketch
+    property), so the global reduce sees only tiny partials regardless
+    of corpus size: the canonical sketch shape for streaming distinct
+    counts.  The estimate ``alpha_m * m^2 / sum(2^-max_rho)`` (plus the
+    small-range linear count) folds from this table driver-side."""
+    rem_mask = (1 << _HLL_REM_BITS) - 1
+
+    def partial(batch: pa.Table) -> pa.Table:
+        regs = np.zeros(HLL_M, dtype=np.int64)
+        for t in batch.column("text").to_pylist():
+            for s in shingles(t):
+                h = hash60(s)
+                rem = h & rem_mask
+                rho = (
+                    _HLL_REM_BITS + 1
+                    if rem == 0
+                    else _HLL_REM_BITS - rem.bit_length() + 1
+                )
+                r = h >> _HLL_REM_BITS
+                if rho > regs[r]:
+                    regs[r] = rho
+        nz = np.flatnonzero(regs)
+        return pa.table(
+            {
+                "register": pa.array(nz, pa.int64()),
+                "max_rho": pa.array(regs[nz], pa.int64()),
+            }
+        )
+
+    partials = _docs(sf_dir).map_batches(partial, batch_format="pyarrow")
+    return bucketed_groupby(
+        partials, "register", ["max_rho"], ["max"], num_buckets=16
+    )
+
+
+# ------------------------------------------------------------------ oracles
+def qualityops_queries() -> dict:
+    return {
+        "gopher_filter": gopher_filter,
+        "tfidf_topterms": tfidf_topterms,
+        "line_dedup": line_dedup,
+        "distinct_sketch": distinct_sketch,
+    }
+
+
+def qualityops_oracle_sql() -> dict[str, str]:
+    from ..functions.hashing import SHINGLE_W
+    from .dataops_oracles import _AUG, _H60
+
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    sqls: dict[str, str] = {}
+
+    sqls["gopher_filter"] = f"""WITH t AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS l
+  FROM documents
+),
+tok AS (SELECT doc_id, u.tok FROM t, UNNEST(l) AS u(tok)),
+ws AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ws,
+         CAST(sum(length(tok)) AS BIGINT) AS sum_len,
+         CAST(sum(CASE WHEN lower(tok) IN ({stop_list}) THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_stop
+  FROM tok GROUP BY doc_id
+),
+ch AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS BIGINT)
+           AS n_punct
+  FROM t
+),
+g2 AS (
+  SELECT doc_id, l[u.i] || ' ' || l[u.i + 1] AS gram
+  FROM t, UNNEST(generate_series(1, len(l) - 1)) AS u(i)
+  WHERE len(l) >= 2
+),
+gc AS (SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY doc_id, gram),
+ga AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS nd, CAST(max(c) AS BIGINT) AS mx
+  FROM gc GROUP BY doc_id
+),
+m AS (
+  SELECT ws.doc_id, ws.n_ws,
+         (CASE WHEN ws.n_ws BETWEEN {GOPHER_MIN_WORDS}
+                               AND {GOPHER_MAX_WORDS}
+               THEN 0 ELSE 1 END)
+       + (CASE WHEN ws.n_ws > 0 AND NOT
+                    ({GOPHER_MIN_MWL} * ws.n_ws <= ws.sum_len
+                     AND ws.sum_len <= {GOPHER_MAX_MWL} * ws.n_ws)
+               THEN 2 ELSE 0 END)
+       + (CASE WHEN ch.n_chars > 0 AND 10 * ch.n_punct > ch.n_chars
+               THEN 4 ELSE 0 END)
+       + (CASE WHEN ws.n_stop < {GOPHER_MIN_STOP} THEN 8 ELSE 0 END)
+       + (CASE WHEN coalesce(ga.n, 0) > 0
+                    AND 10 * (ga.n - ga.nd) > 3 * ga.n
+               THEN 16 ELSE 0 END)
+       + (CASE WHEN coalesce(ga.n, 0) > 0 AND 5 * ga.mx > ga.n
+               THEN 32 ELSE 0 END) AS mask
+  FROM ws JOIN ch ON ws.doc_id = ch.doc_id
+          LEFT JOIN ga ON ws.doc_id = ga.doc_id
+)
+SELECT doc_id, n_ws AS n_words, CAST(mask AS BIGINT) AS fail_mask,
+       CAST(CASE WHEN mask = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM m"""
+
+    sqls["tfidf_topterms"] = f"""WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS l
+  FROM documents
+),
+w AS (SELECT doc_id, u.tok FROM t, UNNEST(l) AS u(tok)),
+tf AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+  FROM w GROUP BY doc_id, tok
+),
+df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+r AS (
+  SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf DESC, df.df ASC, tf.tok ASC)
+           AS rnk
+  FROM tf JOIN df USING (tok)
+)
+SELECT doc_id, tok AS term, tf, df, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= {TFIDF_TOPK}"""
+
+    sqls["line_dedup"] = f"""WITH {_AUG},
+t AS (
+  SELECT doc_id, l, len(l) AS n
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS l
+        FROM aug)
+),
+c AS (
+  SELECT doc_id, u.i - 1 AS idx,
+         array_to_string(
+           l[(u.i - 1) * {LINE_W} + 1 : least(u.i * {LINE_W}, n)], ' ')
+           AS chunk_text
+  FROM t, UNNEST(generate_series(1, (n + {LINE_W - 1}) // {LINE_W}))
+          AS u(i)
+),
+h AS (SELECT doc_id, idx, chunk_text,
+             {_H60.format('chunk_text')} AS h FROM c),
+dfc AS (
+  SELECT h, count(DISTINCT doc_id) AS df FROM h GROUP BY h
+),
+m AS (
+  SELECT h.doc_id, h.idx, h.chunk_text,
+         CASE WHEN dfc.df >= {LINE_MIN_DF} THEN 1 ELSE 0 END AS dup
+  FROM h JOIN dfc USING (h)
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(dup) AS BIGINT) AS n_dup,
+       {_H60.format(
+           "coalesce(string_agg(chunk_text, ' ' ORDER BY idx) "
+           "FILTER (WHERE dup = 0), '')"
+       )} AS clean_hash
+FROM m GROUP BY doc_id"""
+
+    # distinct_sketch: length(bin(x)) is the exact integer bit length
+    # (the DSIR-oracle idiom), so rho needs no float log anywhere.
+    sqls["distinct_sketch"] = f"""WITH toks AS (
+  SELECT doc_id, l, len(l) AS nt
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS l
+        FROM documents)
+),
+sh AS (
+  SELECT CASE WHEN nt < {SHINGLE_W} THEN array_to_string(l, ' ')
+              ELSE l[i] || ' ' || l[i + 1] || ' ' || l[i + 2] END AS s
+  FROM toks,
+       UNNEST(generate_series(1, greatest(nt - {SHINGLE_W - 1}, 1))) AS u(i)
+),
+hh AS (SELECT {_H60.format('s')} AS h FROM sh),
+r AS (
+  SELECT h >> {_HLL_REM_BITS} AS register,
+         CASE WHEN (h & ((1::BIGINT << {_HLL_REM_BITS}) - 1)) = 0
+              THEN {_HLL_REM_BITS + 1}
+              ELSE {_HLL_REM_BITS + 1}
+                   - length(bin(h & ((1::BIGINT << {_HLL_REM_BITS}) - 1)))
+              END AS rho
+  FROM hh
+)
+SELECT CAST(register AS BIGINT) AS register,
+       CAST(max(rho) AS BIGINT) AS max_rho
+FROM r GROUP BY register"""
+
+    return sqls
