@@ -203,6 +203,19 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
         except ImportError:
             pass
         try:
+            from web_content_extraction_benchmark_ray.pipelines import (
+                qualityops as qo,
+            )
+
+            timed("gopher_filter", lambda: _consume(qo.gopher_filter(sf_dir)))
+            timed("tfidf_topterms",
+                  lambda: _consume(qo.tfidf_topterms(sf_dir)))
+            timed("line_dedup", lambda: _consume(qo.line_dedup(sf_dir)))
+            timed("distinct_sketch",
+                  lambda: _consume(qo.distinct_sketch(sf_dir)))
+        except ImportError:
+            pass
+        try:
             from web_content_extraction_benchmark_ray.pipelines import curation as cu
 
             timed("decontaminate", lambda: _consume(cu.decontaminate(sf_dir)))
@@ -230,6 +243,8 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
                   lambda: _consume(ev.events_sliding(sf_dir)))
             timed("events_retention",
                   lambda: _consume(ev.events_retention(sf_dir)))
+            timed("events_funnel",
+                  lambda: _consume(ev.events_funnel(sf_dir)))
         except ImportError:
             pass
 
