@@ -116,7 +116,6 @@ _SAMPLE_FIRST = [
     "leafmodel_seq2_train",
     "sample_stratified",
     "events_sliding",
-    "events_props",
     # kmeans_assign/sample_split/kmeans_iterate/dataset_stats/
     # events_window/events_sessionize/events_asof were verified green in
     # r01/r02 and yield their slots to never-verified entries: each has
@@ -157,12 +156,18 @@ _SAMPLE_FIRST = [
     "line_dedup",
     "distinct_sketch",
     "events_funnel",
-    # changed late in round 4 (exact-mean hardening of every eval mean)
+    "bm25_score",
+    "cooccur_topk",
+    "distinct_by_source",
+    # changed late in round 4 (exact-mean hardening of every eval mean;
+    # events_props/eval_agg_micro/eval_quantiles — verified green in
+    # earlier rounds — yield their slots: exact_mean6 is exercised in
+    # the window by the grouped (by_dataset/macro) and joined
+    # (by_complexity) paths, and quantiles are selection-based, not
+    # summed)
     "eval_agg_by_complexity",
     "eval_agg_by_dataset",
-    "eval_agg_micro",
     "eval_agg_macro",
-    "eval_quantiles",
     # flagship + north-rule invariant canaries
     "extract_bte",
     "extract_spans_signature",

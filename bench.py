@@ -213,6 +213,11 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
             timed("line_dedup", lambda: _consume(qo.line_dedup(sf_dir)))
             timed("distinct_sketch",
                   lambda: _consume(qo.distinct_sketch(sf_dir)))
+            timed("bm25_score", lambda: _consume(qo.bm25_score(sf_dir)))
+            timed("cooccur_topk",
+                  lambda: _consume(qo.cooccur_topk(sf_dir)))
+            timed("distinct_by_source",
+                  lambda: _consume(qo.distinct_by_source(sf_dir)))
         except ImportError:
             pass
         try:

@@ -73,6 +73,13 @@ def test_tfidf_topterms_ranking(ray_session):
     )
 
     df = tfidf_topterms(SF).to_pandas()
+    # broadcast and join paths produce identical rows
+    dfj = tfidf_topterms(SF, broadcast_max_types=0).to_pandas()
+    key = ["doc_id", "rnk"]
+    assert (
+        df.sort_values(key).reset_index(drop=True)
+        .equals(dfj.sort_values(key).reset_index(drop=True))
+    )
     texts = _doc_texts()
     # global df counts docs containing the term
     expect_df = Counter()
@@ -170,6 +177,112 @@ def test_distinct_sketch_matches_serial_hll(ray_session):
     if est <= 2.5 * m and (regs == 0).sum() > 0:
         est = m * np.log(m / (regs == 0).sum())
     assert abs(est - true) / true < 3 * 1.04 / np.sqrt(m)
+
+
+def test_bm25_score_matches_serial_formula(ray_session):
+    from collections import Counter
+
+    from web_content_extraction_benchmark_ray.functions.text import tokenize_ws
+    from web_content_extraction_benchmark_ray.pipelines.qualityops import (
+        BM25_TERMS,
+        bm25_score,
+    )
+
+    df = bm25_score(SF).to_pandas().set_index("doc_id").sort_index()
+    texts = _doc_texts()
+    toks = {i: tokenize_ws(t) for i, t in texts.items()}
+    n_docs = len(toks)
+    total = sum(len(v) for v in toks.values())
+    dfs = {
+        term: sum(1 for v in toks.values() if term in v)
+        for term in BM25_TERMS
+    }
+    for doc_id in list(texts)[:150]:
+        tl = toks[doc_id]
+        c = Counter(tl)
+        s = 0
+        for term in BM25_TERMS:
+            tf, dfx = c.get(term, 0), dfs[term]
+            if tf and dfx:
+                idf = (n_docs // dfx).bit_length()
+                s += (idf * 4 * tf * total * 1_000_000) // (
+                    2 * tf * total + total + len(tl) * n_docs
+                )
+        assert df.loc[doc_id, "score_mu"] == s, doc_id
+        assert df.loc[doc_id, "dl"] == len(tl)
+    # docs containing a query term outscore those containing none
+    assert df["score_mu"].max() > 0
+    assert (df["score_mu"] >= 0).all()
+
+
+def test_cooccur_topk_matches_serial_count(ray_session):
+    from collections import Counter
+
+    from web_content_extraction_benchmark_ray.functions.text import tokenize_ws
+    from web_content_extraction_benchmark_ray.pipelines.qualityops import (
+        COOCCUR_C,
+        COOCCUR_K,
+        cooccur_topk,
+    )
+
+    got = cooccur_topk(SF).to_pandas()
+    c: Counter = Counter()
+    for t in _doc_texts().values():
+        toks = tokenize_ws(t)
+        for d in range(1, COOCCUR_C + 1):
+            for x, y in zip(toks, toks[d:]):
+                if x != y:
+                    c[(x, y) if x < y else (y, x)] += 1
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:COOCCUR_K]
+    got = got.sort_values(["n", "a", "b"], ascending=[False, True, True])
+    assert [tuple(r) for r in got[["a", "b"]].values] == [
+        p for p, _ in want
+    ]
+    assert list(got["n"]) == [n for _, n in want]
+
+
+def test_distinct_by_source_is_groupwise_sketch(ray_session):
+    from web_content_extraction_benchmark_ray.functions.hashing import (
+        hash60,
+        shingles,
+    )
+    from web_content_extraction_benchmark_ray.pipelines.qualityops import (
+        HLL_M,
+        _HLL_REM_BITS,
+        distinct_by_source,
+    )
+    import pyarrow.parquet as _pq
+
+    df = (
+        distinct_by_source(SF)
+        .to_pandas()
+        .set_index(["source", "register"])
+        .sort_index()
+    )
+    t = _pq.read_table(
+        f"{SF}/documents.parquet", columns=["source", "text"]
+    )
+    regs: dict = {}
+    for src, text in zip(
+        t.column("source").to_pylist(), t.column("text").to_pylist()
+    ):
+        r = regs.setdefault(src, np.zeros(HLL_M, dtype=np.int64))
+        for s in shingles(text):
+            h = hash60(s)
+            rem = h & ((1 << _HLL_REM_BITS) - 1)
+            rho = (
+                _HLL_REM_BITS + 1
+                if rem == 0
+                else _HLL_REM_BITS - rem.bit_length() + 1
+            )
+            i = h >> _HLL_REM_BITS
+            r[i] = max(r[i], rho)
+    want = {
+        (src, int(i)): int(r[i])
+        for src, r in regs.items()
+        for i in np.flatnonzero(r)
+    }
+    assert dict(zip(df.index, df["max_rho"])) == want
 
 
 def test_events_funnel_matches_serial_scan(ray_session):

@@ -142,16 +142,29 @@ def gopher_filter(sf_dir: str):
 
 
 # ---------------------------------------------------------- tfidf_topterms
-def tfidf_topterms(sf_dir: str, k: int = TFIDF_TOPK):
+def tfidf_topterms(sf_dir: str, k: int = TFIDF_TOPK,
+                   broadcast_max_types: int | None = None):
     """Top-``k`` distinctive terms per document, ranked by
     ``(tf DESC, df ASC, term ASC)`` — the integer-exact TF-IDF ordering
     (for fixed corpus size N, ``tf * log(N/df)`` sorts by tf then -df;
     ranking on the raw integers sidesteps transcendental parity).
     Output: ``(doc_id, term, tf, df, rnk)``.
 
-    Shape: per-doc Counter explode (map-side combiner; occurrence rows
-    never shuffle) -> bucketed vectorized df Sum -> hash join back on
-    term -> per-doc top-k inside doc-bucket groups."""
+    Shape (the unigram_logprob dual-path discipline): per-doc Counter
+    explode (map-side combiner; occurrence rows never shuffle) ->
+    bucketed vectorized df Sum, then one of two identical-output paths
+    by vocabulary size:
+
+    - ``<= broadcast_max_types``: the df dict is broadcast via
+      ``ray.put`` and each doc's top-k is ranked INLINE in one
+      stateless pass (a doc's terms are already co-located in its own
+      text) — no join, no per-doc shuffle (measured 6.0 -> ~1 s at
+      sf0.1/32cpu vs the join form).
+    - larger: hash join tf rows against the df table on term, then
+      per-doc top-k inside doc-bucket groups; no process ever holds
+      the vocabulary."""
+    if broadcast_max_types is None:
+        broadcast_max_types = UNIGRAM_BROADCAST_MAX_TYPES
 
     def explode(batch: pa.Table) -> pa.Table:
         ids_out, tok_out, tf_out = [], [], []
@@ -189,6 +202,44 @@ def tfidf_topterms(sf_dir: str, k: int = TFIDF_TOPK):
         "term", ["one"], ["sum"], out_names=["df"],
     ).materialize()
     n_types = df.count()
+
+    def topk_rows(ids, terms_l, tfs, dfs, rnks) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "term": pa.array(terms_l, pa.string()),
+                "tf": pa.array(tfs, pa.int64()),
+                "df": pa.array(dfs, pa.int64()),
+                "rnk": pa.array(rnks, pa.int64()),
+            }
+        )
+
+    if n_types <= broadcast_max_types:
+        dmap = {r["term"]: int(r["df"]) for r in df.take_all()}
+        ref = ray.put(dmap)
+
+        def score(batch: pa.Table) -> pa.Table:
+            from ..stages.simsearch import _get_broadcast
+
+            dm = _get_broadcast(ref)
+            ids, terms_l, tfs, dfs, rnks = [], [], [], [], []
+            for i, t in zip(
+                batch.column("doc_id").to_pylist(),
+                batch.column("text").to_pylist(),
+            ):
+                c = Counter(tokenize_ws(t))
+                ranked = sorted(
+                    c.items(), key=lambda kv: (-kv[1], dm[kv[0]], kv[0])
+                )[:k]
+                for r, (term, tf) in enumerate(ranked, 1):
+                    ids.append(int(i))
+                    terms_l.append(term)
+                    tfs.append(tf)
+                    dfs.append(dm[term])
+                    rnks.append(r)
+            return topk_rows(ids, terms_l, tfs, dfs, rnks)
+
+        return _docs(sf_dir).map_batches(score, batch_format="pyarrow")
 
     joined = tf_rows().join(
         df.map_batches(
@@ -496,6 +547,252 @@ def distinct_sketch(sf_dir: str):
     )
 
 
+# --------------------------------------------------------------- bm25_score
+# Fixed retrieval query (tiny constant side; a production pipeline
+# parameterizes this).  BM25-lite: k1 = 1, b = 0.5 make every term
+# contribution an exact integer rational —
+#   idf * 2*tf / (tf + 0.5 + 0.5*dl/avgdl)
+#   = idf * 4*tf*total / (2*tf*total + total + dl*n_docs)
+# with idf = bit_length(n_docs // df), avgdl = total / n_docs.
+BM25_TERMS = ("table", "join", "query", "window")
+
+
+def bm25_score(sf_dir: str):
+    """Integer-exact BM25-lite relevance of every doc to ``BM25_TERMS``
+    (Robertson & Walker 1994 weighting at k1=1, b=0.5).  Output:
+    ``(doc_id, dl, score_mu)`` with ``score_mu`` the micro-unit sum of
+    floored per-term contributions (pure int64 — no transcendental and
+    no float division anywhere).
+
+    Shape: ZERO shuffles.  Pass 1 folds each batch to one partial-stats
+    row (n_docs, total tokens, df per query term — the constant side is
+    k+2 integers regardless of corpus size), summed on the driver; pass
+    2 scores statelessly with those constants.  int64 headroom: the
+    widest product is idf(<=60) * 4 * tf * total * 1e6 — renormalize
+    the 1e6 scale if total tokens ever exceeds ~1e9 (documented bound,
+    enforced by assertion)."""
+    terms = BM25_TERMS
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n_docs, total = 0, 0
+        dfs = [0] * len(terms)
+        for t in batch.column("text").to_pylist():
+            toks = tokenize_ws(t)
+            n_docs += 1
+            total += len(toks)
+            seen = set(toks)
+            for k, term in enumerate(terms):
+                if term in seen:
+                    dfs[k] += 1
+        cols = {
+            "n_docs": pa.array([n_docs], pa.int64()),
+            "total": pa.array([total], pa.int64()),
+        }
+        for k in range(len(terms)):
+            cols[f"df{k}"] = pa.array([dfs[k]], pa.int64())
+        return pa.table(cols)
+
+    stats = {"n_docs": 0, "total": 0}
+    dfs = [0] * len(terms)
+    for b in (
+        _docs(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    ):
+        stats["n_docs"] += sum(b.column("n_docs").to_pylist())
+        stats["total"] += sum(b.column("total").to_pylist())
+        for k in range(len(terms)):
+            dfs[k] += sum(b.column(f"df{k}").to_pylist())
+    n_docs, total = stats["n_docs"], stats["total"]
+    assert total < 10**9, "renormalize the micro-unit scale first"
+    idf = [
+        (n_docs // df).bit_length() if df > 0 else 0 for df in dfs
+    ]
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids_out, dl_out, s_out = [], [], []
+        for i, t in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("text").to_pylist(),
+        ):
+            toks = tokenize_ws(t)
+            dl = len(toks)
+            c = Counter(toks)
+            s = 0
+            for k, term in enumerate(terms):
+                tf = c.get(term, 0)
+                if tf and idf[k]:
+                    s += (idf[k] * 4 * tf * total * 1_000_000) // (
+                        2 * tf * total + total + dl * n_docs
+                    )
+            ids_out.append(int(i))
+            dl_out.append(dl)
+            s_out.append(s)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_out, pa.int64()),
+                "dl": pa.array(dl_out, pa.int64()),
+                "score_mu": pa.array(s_out, pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(score, batch_format="pyarrow")
+
+
+# -------------------------------------------------------------- cooccur_topk
+COOCCUR_C = 3  # max token distance for a co-occurrence
+COOCCUR_K = 20  # global top-k pairs kept
+
+
+def cooccur_topk(sf_dir: str):
+    """Global top-``COOCCUR_K`` co-occurring word pairs: unordered
+    (a < b, a != b) pairs of tokens at distance <= ``COOCCUR_C``,
+    counted per position pair corpus-wide, ranked by
+    ``(n DESC, a ASC, b ASC)`` — the co-occurrence-matrix head every
+    embedding-era pipeline builds (word2vec/GloVe preprocessing).
+    Output: ``(a, b, n)``.
+
+    Shape (the vocab_topk discipline): per-batch Counter combiner (one
+    row per distinct pair per block, never per occurrence) -> bucketed
+    vectorized Sum -> per-block partial top-k (each totals block emits
+    <= K rows) -> one tiny global sort.  The fused "a b" pair key is
+    order-isomorphic to the (a, b) tuple (tokens are whitespace-free,
+    and ' ' sorts below every token character), so the string sort IS
+    the tuple sort."""
+
+    def partial_pairs(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            toks = tokenize_ws(t)
+            for d in range(1, COOCCUR_C + 1):
+                for x, y in zip(toks, toks[d:]):
+                    if x == y:
+                        continue
+                    c[x + " " + y if x < y else y + " " + x] += 1
+        return pa.table(
+            {
+                "pair": pa.array(list(c.keys()), pa.string()),
+                "n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        pairs = batch.column("pair").to_pylist()
+        n = np.asarray(batch.column("n").to_pylist(), dtype=np.int64)
+        if len(pairs) > COOCCUR_K:
+            keep = np.lexsort((np.asarray(pairs, dtype=object), -n))[
+                :COOCCUR_K
+            ]
+            pairs = [pairs[i] for i in keep]
+            n = n[keep]
+        return pa.table(
+            {
+                "pair": pa.array(pairs, pa.string()),
+                "n": pa.array(n, pa.int64()),
+            }
+        )
+
+    totals = bucketed_groupby(
+        _docs(sf_dir).map_batches(partial_pairs, batch_format="pyarrow"),
+        "pair", ["n"], ["sum"],
+    ).map_batches(block_topk, batch_format="pyarrow")
+    top = (
+        totals.sort(["n", "pair"], descending=[True, False])
+        .limit(COOCCUR_K)
+    )
+
+    def split(batch: pa.Table) -> pa.Table:
+        a_out, b_out = [], []
+        for p in batch.column("pair").to_pylist():
+            a, b = p.split(" ", 1)
+            a_out.append(a)
+            b_out.append(b)
+        return pa.table(
+            {
+                "a": pa.array(a_out, pa.string()),
+                "b": pa.array(b_out, pa.string()),
+                "n": pc.cast(batch.column("n"), pa.int64()),
+            }
+        )
+
+    return top.map_batches(split, batch_format="pyarrow")
+
+
+# -------------------------------------------------------- distinct_by_source
+def distinct_by_source(sf_dir: str):
+    """Per-source HyperLogLog register table (the GROUPED form of
+    ``distinct_sketch`` — one mergeable sketch per group, the shape a
+    per-domain/per-shard distinct-count report needs).  Output:
+    ``(source, register, max_rho)``.
+
+    Each batch pre-folds to at most ``n_sources * HLL_M`` partial rows;
+    the reduce is a bucketed vectorized Max over the fused
+    ``source:register`` key (':' cannot appear in a register int, so
+    the fused key is collision-free)."""
+    import os
+
+    from ..sources.storage import read_table
+
+    rem_mask = (1 << _HLL_REM_BITS) - 1
+    docs = read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["source", "text"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        regs: dict[str, np.ndarray] = {}
+        for src, t in zip(
+            batch.column("source").to_pylist(),
+            batch.column("text").to_pylist(),
+        ):
+            r = regs.get(src)
+            if r is None:
+                r = regs[src] = np.zeros(HLL_M, dtype=np.int64)
+            for s in shingles(t):
+                h = hash60(s)
+                rem = h & rem_mask
+                rho = (
+                    _HLL_REM_BITS + 1
+                    if rem == 0
+                    else _HLL_REM_BITS - rem.bit_length() + 1
+                )
+                i = h >> _HLL_REM_BITS
+                if rho > r[i]:
+                    r[i] = rho
+        keys, rhos = [], []
+        for src, r in regs.items():
+            nz = np.flatnonzero(r)
+            keys.extend(f"{src}:{i}" for i in nz)
+            rhos.extend(r[nz].tolist())
+        return pa.table(
+            {
+                "key": pa.array(keys, pa.string()),
+                "max_rho": pa.array(rhos, pa.int64()),
+            }
+        )
+
+    agg = bucketed_groupby(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        "key", ["max_rho"], ["max"], num_buckets=32,
+    )
+
+    def split(batch: pa.Table) -> pa.Table:
+        srcs, regs_out = [], []
+        for k in batch.column("key").to_pylist():
+            src, reg = k.rsplit(":", 1)
+            srcs.append(src)
+            regs_out.append(int(reg))
+        return pa.table(
+            {
+                "source": pa.array(srcs, pa.string()),
+                "register": pa.array(regs_out, pa.int64()),
+                "max_rho": pc.cast(batch.column("max_rho"), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(split, batch_format="pyarrow")
+
+
 # ------------------------------------------------------------------ oracles
 def qualityops_queries() -> dict:
     return {
@@ -503,6 +800,9 @@ def qualityops_queries() -> dict:
         "tfidf_topterms": tfidf_topterms,
         "line_dedup": line_dedup,
         "distinct_sketch": distinct_sketch,
+        "bm25_score": bm25_score,
+        "cooccur_topk": cooccur_topk,
+        "distinct_by_source": distinct_by_source,
     }
 
 
@@ -644,5 +944,76 @@ r AS (
 SELECT CAST(register AS BIGINT) AS register,
        CAST(max(rho) AS BIGINT) AS max_rho
 FROM r GROUP BY register"""
+
+    term_list = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    sqls["bm25_score"] = f"""WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS l
+  FROM documents
+),
+meta AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(l)) AS BIGINT) AS total
+  FROM t
+),
+w AS (SELECT doc_id, u.tok FROM t, UNNEST(l) AS u(tok)),
+tf AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+  FROM w WHERE tok IN ({term_list}) GROUP BY doc_id, tok
+),
+df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+dl AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS dl FROM t),
+c AS (
+  SELECT tf.doc_id,
+         (length(bin(m.n_docs // df.df)) * 4 * tf.tf * m.total * 1000000)
+         // (2 * tf.tf * m.total + m.total + dl.dl * m.n_docs) AS contrib
+  FROM tf JOIN df USING (tok)
+          JOIN dl ON tf.doc_id = dl.doc_id, meta m
+)
+SELECT dl.doc_id, dl.dl,
+       CAST(coalesce(sum(c.contrib), 0) AS BIGINT) AS score_mu
+FROM dl LEFT JOIN c ON dl.doc_id = c.doc_id
+GROUP BY dl.doc_id, dl.dl"""
+
+    sqls["cooccur_topk"] = f"""WITH t AS (
+  SELECT regexp_split_to_array(trim(text), '\\s+') AS l FROM documents
+),
+p AS (
+  SELECT least(l[u.i], l[u.i + d.d]) AS a,
+         greatest(l[u.i], l[u.i + d.d]) AS b
+  FROM t,
+       UNNEST(generate_series(1, {COOCCUR_C})) AS d(d),
+       UNNEST(generate_series(1, len(l))) AS u(i)
+  WHERE u.i + d.d <= len(l) AND l[u.i] <> l[u.i + d.d]
+)
+SELECT a, b, CAST(count(*) AS BIGINT) AS n
+FROM p GROUP BY a, b
+ORDER BY n DESC, a, b
+LIMIT {COOCCUR_K}"""
+
+    sqls["distinct_by_source"] = f"""WITH toks AS (
+  SELECT source, l, len(l) AS nt
+  FROM (SELECT source, regexp_split_to_array(trim(text), '\\s+') AS l
+        FROM documents)
+),
+sh AS (
+  SELECT source,
+         CASE WHEN nt < {SHINGLE_W} THEN array_to_string(l, ' ')
+              ELSE l[i] || ' ' || l[i + 1] || ' ' || l[i + 2] END AS s
+  FROM toks,
+       UNNEST(generate_series(1, greatest(nt - {SHINGLE_W - 1}, 1))) AS u(i)
+),
+hh AS (SELECT source, {_H60.format('s')} AS h FROM sh),
+r AS (
+  SELECT source, h >> {_HLL_REM_BITS} AS register,
+         CASE WHEN (h & ((1::BIGINT << {_HLL_REM_BITS}) - 1)) = 0
+              THEN {_HLL_REM_BITS + 1}
+              ELSE {_HLL_REM_BITS + 1}
+                   - length(bin(h & ((1::BIGINT << {_HLL_REM_BITS}) - 1)))
+              END AS rho
+  FROM hh
+)
+SELECT source, CAST(register AS BIGINT) AS register,
+       CAST(max(rho) AS BIGINT) AS max_rho
+FROM r GROUP BY source, register"""
 
     return sqls
