@@ -128,9 +128,14 @@ _SAMPLE_FIRST = [
     "vocab_topk",
     "unigram_logprob",
     "dedup_minhash_pairs",
-    "dedup_minhash_survivors",
+    # dedup_minhash_survivors yields its slot to a session-6 newcomer:
+    # its connected-components + anti-join machinery is exercised
+    # in-window by embedding_dup_survivors and
+    # dedup_fingerprint_survivors (same stages/dedup.py components code)
     "embedding_dup_pairs",
-    "embedding_dup_survivors",
+    # embedding_dup_survivors yields its slot to a session-6 newcomer:
+    # capped RHP banding is covered in-window by embedding_dup_pairs,
+    # connected components + anti-join by dedup_fingerprint_survivors
     "knn_ivf_trained",
     "pdf_extract",
     # new in round 4
@@ -159,6 +164,9 @@ _SAMPLE_FIRST = [
     "bm25_score",
     "cooccur_topk",
     "distinct_by_source",
+    "quality_tiers",
+    "bigram_logprob",
+    "extract_article",
     # changed late in round 4 (exact-mean hardening of every eval mean;
     # events_props/eval_agg_micro/eval_quantiles — verified green in
     # earlier rounds — yield their slots: exact_mean6 is exercised in
@@ -167,7 +175,10 @@ _SAMPLE_FIRST = [
     # summed)
     "eval_agg_by_complexity",
     "eval_agg_by_dataset",
-    "eval_agg_macro",
+    # eval_agg_macro yields its slot to a session-6 newcomer: macro is a
+    # second grouped exact_mean6 over by_dataset's machinery, both
+    # in-window via eval_agg_by_dataset (grouped) and
+    # eval_agg_by_complexity (joined)
     # flagship + north-rule invariant canaries
     "extract_bte",
     "extract_spans_signature",

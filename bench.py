@@ -159,6 +159,8 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
         complexity_parquet(sf_dir)
         timings["complexity_build"] = round(_time.perf_counter() - _t0, 3)
 
+        timed("extract_article",
+              lambda: _consume(q.extract_article(sf_dir)))
         timed("eval_scores", lambda: _consume(q.eval_rouge(sf_dir)))
         timed("eval_agg", lambda: _consume(q.eval_agg_by_dataset(sf_dir)))
         timed("complexity", lambda: _consume(q.complexity(sf_dir)))
@@ -189,6 +191,8 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
                   lambda: _consume(d.repetition_stats(sf_dir)))
             timed("unigram_logprob",
                   lambda: _consume(d.unigram_logprob(sf_dir)))
+            timed("bigram_logprob",
+                  lambda: _consume(d.bigram_logprob(sf_dir)))
             timed("pdf_extract", lambda: _consume(d.pdf_extract(sf_dir)))
             timed("media_resize", lambda: _consume(d.media_resize(sf_dir)))
             timed("media_frames", lambda: _consume(d.media_frames(sf_dir)))
@@ -227,6 +231,8 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
             timed("pack_shards", lambda: _consume(cu.pack_shards(sf_dir)))
             timed("select_budget", lambda: _consume(cu.select_budget(sf_dir)))
             timed("source_mix", lambda: _consume(cu.source_mix(sf_dir)))
+            timed("quality_tiers",
+                  lambda: _consume(cu.quality_tiers(sf_dir)))
             timed("pii_scrub", lambda: _consume(cu.pii_scrub(sf_dir)))
         except ImportError:
             pass

@@ -191,3 +191,63 @@ def test_source_mix_fills_each_source_quota(ray_session):
     assert (sel.groupby("source")["n_tokens"].sum() <= quota).all()
     # every doc is reported, selected or not
     assert len(df) == len(docs)
+
+
+def test_quality_tiers_matches_serial_ntile(ray_session):
+    """The two-level distributed rank must equal a single-process sort:
+    rnk == ROW_NUMBER and tier == NTILE(k) over (q desc, doc_id asc)."""
+    import pyarrow.parquet as pq
+
+    from web_content_extraction_benchmark_ray.functions.text import (
+        tokenize_ws,
+    )
+    from web_content_extraction_benchmark_ray.functions.textstats import (
+        quality_features,
+    )
+    from web_content_extraction_benchmark_ray.pipelines.curation import (
+        TIER_K,
+        quality_tiers,
+    )
+
+    df = quality_tiers(SF).to_pandas().sort_values("doc_id")
+    t = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    t["n_tokens"] = t["text"].map(lambda s: len(tokenize_ws(s)))
+    t["q_mu"] = t["text"].map(
+        lambda s: int(round(quality_features(s)["quality"] * 1e6))
+    )
+    t = t.sort_values(["q_mu", "doc_id"], ascending=[False, True])
+    t["rnk"] = np.arange(1, len(t) + 1)
+    n, k = len(t), TIER_K
+    small, rem = divmod(n, k)
+    cutoff = rem * (small + 1)
+    r0 = t["rnk"].to_numpy() - 1
+    t["tier"] = np.where(
+        r0 < cutoff,
+        r0 // (small + 1) + 1,
+        rem + (r0 - cutoff) // max(small, 1) + 1,
+    )
+    t = t.sort_values("doc_id")
+    assert (df["doc_id"].to_numpy() == t["doc_id"].to_numpy()).all()
+    assert (df["n_tokens"].to_numpy() == t["n_tokens"].to_numpy()).all()
+    assert (df["quality_mu"].to_numpy() == t["q_mu"].to_numpy()).all()
+    assert (df["rnk"].to_numpy() == t["rnk"].to_numpy()).all()
+    assert (df["tier"].to_numpy() == t["tier"].to_numpy()).all()
+    # the rank is a permutation of 1..n and every tier is populated
+    assert sorted(df["rnk"]) == list(range(1, len(df) + 1))
+    assert set(df["tier"]) == set(range(1, TIER_K + 1))
+
+
+def test_quality_tiers_uneven_k(ray_session):
+    """With k not dividing n, the first n%k tiles hold one extra row
+    (DuckDB NTILE semantics)."""
+    from web_content_extraction_benchmark_ray.pipelines.curation import (
+        quality_tiers,
+    )
+
+    df = quality_tiers(SF, k=3).to_pandas()
+    n, k = len(df), 3
+    small, rem = divmod(n, k)
+    sizes = df.groupby("tier").size().sort_index().tolist()
+    assert sizes == [small + 1] * rem + [small] * (k - rem)

@@ -1166,3 +1166,74 @@ def test_dedup_fingerprint_pairs_finds_twins(ray_session):
     for pair in twins:
         assert got[pair][1] == 1.0
 
+
+
+def test_bigram_logprob_matches_serial(ray_session):
+    """Distributed bigram LM score == single-process counting, and
+    short docs (< 2 tokens) emit 0/0/0.0 rather than dropping."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from web_content_extraction_benchmark_ray.functions.text import (
+        tokenize_ws,
+    )
+    from web_content_extraction_benchmark_ray.pipelines.dataops import (
+        bigram_logprob,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    df = (
+        bigram_logprob(sf).to_pandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    t = pq.read_table(
+        f"{sf}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    def grams(s):
+        toks = tokenize_ws(s)
+        return [toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1)]
+
+    model = Counter()
+    for s in t["text"]:
+        model.update(grams(s))
+    total = sum(model.values())
+    d_log = total.bit_length() - 1
+    exp_n, exp_s, exp_q = [], [], []
+    for s in t["text"]:
+        g = grams(s)
+        slp = sum(model[x].bit_length() - 1 for x in g)
+        exp_n.append(len(g))
+        exp_s.append(slp)
+        exp_q.append(
+            (slp * 1_000_000 // (len(g) * d_log)) / 1e6
+            if g and d_log else 0.0
+        )
+    assert len(df) == len(t)
+    assert (df["doc_id"].to_numpy() == t["doc_id"].to_numpy()).all()
+    assert df["n_bigrams"].tolist() == exp_n
+    assert df["sum_log2"].tolist() == exp_s
+    assert df["lm2_score"].tolist() == exp_q
+    # an LM over the corpus itself scores most docs mid-range
+    assert df["lm2_score"].max() <= 1.0
+
+
+def test_bigram_logprob_join_path_matches_broadcast(ray_session):
+    """Threshold 0 forces the bigram-explode join; results must be
+    integer-identical to the broadcast path."""
+    from web_content_extraction_benchmark_ray.pipelines.dataops import (
+        bigram_logprob,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = (
+        bigram_logprob(sf).to_pandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        bigram_logprob(sf, broadcast_max_types=0).to_pandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    assert len(a) == len(b) == 500
+    assert a.equals(b)

@@ -407,6 +407,113 @@ def source_mix(sf_dir: str, budget: int = SELECT_BUDGET):
     return idx.groupby("gkey").map_groups(assign, batch_format="pyarrow")
 
 
+# ------------------------------------------------------------ quality_tiers
+TIER_K = 4  # curriculum tiers (NTILE buckets)
+
+
+def quality_tiers(sf_dir: str, k: int = TIER_K):
+    """Curriculum-tier assignment — exact global NTILE(k) over quality.
+
+    LLM curricula (and DataComp-style threshold filtering) need every doc
+    placed in a quality quantile of the WHOLE corpus, not a per-partition
+    approximation.  Output per doc: (doc_id, n_tokens, quality_mu, rnk,
+    tier) where ``rnk`` is the 1-based global row number and ``tier`` the
+    SQL-NTILE bucket, both over ORDER BY (quality_mu DESC, doc_id ASC) on
+    ``text_quality``'s integer micro-quality.
+
+    Exact global ranking without a global sort: the ``select_budget``
+    two-level scan counting DOCS instead of tokens — per-doc index rows
+    bucket by coarse quality range (``q_mu // _SELECT_QSTEP``), a native
+    per-bucket Count prefix-summed once on the driver (<=245 rows) gives
+    each bucket's starting rank, then every bucket independently ranks
+    its own rows (q desc, doc_id asc) against that offset.  Only 24-byte
+    index rows shuffle — never text.  NTILE is then pure arithmetic on
+    the exact rank (first n%k tiles hold ceil(n/k) rows), so the tier
+    matches DuckDB's window function bit for bit.
+    """
+    from ray.data.aggregate import Count
+
+    from ..functions.textstats import quality_features
+
+    def counts(batch: pa.Table) -> pa.Table:
+        ids, q_mu, ntok = [], [], []
+        for i, t in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("text").to_pylist(),
+        ):
+            ids.append(int(i))
+            q_mu.append(int(round(quality_features(t)["quality"] * 1e6)))
+            ntok.append(len(tokenize_ws(t)))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "q_mu": pa.array(q_mu, pa.int64()),
+                "n_tokens": pa.array(ntok, pa.int64()),
+                "bucket": pa.array(
+                    [q // _SELECT_QSTEP for q in q_mu], pa.int64()
+                ),
+            }
+        )
+
+    idx = _docs(sf_dir).map_batches(counts, batch_format="pyarrow")
+    idx = idx.materialize()  # tiny index, read twice (counts + rank pass)
+
+    sums = (
+        coalesce_small(idx, 4)
+        .groupby("bucket")
+        .aggregate(Count())
+        .to_pandas()
+        .sort_values("bucket", ascending=False)  # high quality first
+    )
+    n_total = int(sums["count()"].sum())
+    offsets = dict(
+        zip(
+            sums["bucket"].tolist(),
+            np.concatenate(
+                [[0], np.cumsum(sums["count()"].to_numpy())[:-1]]
+            ).tolist(),
+        )
+    )
+    off_ref = ray.put(offsets)
+
+    # SQL NTILE(k) over n rows: the first n % k tiles hold ceil(n/k)
+    # rows, the rest floor(n/k).
+    small, rem = divmod(n_total, k)
+    cutoff = rem * (small + 1)
+
+    def assign(group: pa.Table, off_ref=off_ref) -> pa.Table:
+        key = off_ref.hex()
+        offs = _OFFSET_CACHE.get(key)
+        if offs is None:
+            offs = _OFFSET_CACHE[key] = ray.get(off_ref)
+        ids = np.asarray(group.column("doc_id").to_pylist(), dtype=np.int64)
+        q = np.asarray(group.column("q_mu").to_pylist(), dtype=np.int64)
+        tok = np.asarray(group.column("n_tokens").to_pylist(), dtype=np.int64)
+        order = np.lexsort((ids, -q))  # q desc, doc_id asc
+        ids, q, tok = ids[order], q[order], tok[order]
+        base = int(offs[int(group.column("bucket")[0].as_py())])
+        r0 = base + np.arange(len(ids), dtype=np.int64)  # 0-based rank
+        if small == 0:  # n_total < k: every row its own (big) tile
+            tier = r0 + 1
+        else:
+            tier = np.where(
+                r0 < cutoff,
+                r0 // (small + 1) + 1,
+                rem + (r0 - cutoff) // small + 1,
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(tok, pa.int64()),
+                "quality_mu": pa.array(q, pa.int64()),
+                "rnk": pa.array(r0 + 1, pa.int64()),
+                "tier": pa.array(tier.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return idx.groupby("bucket").map_groups(assign, batch_format="pyarrow")
+
+
 # --------------------------------------------------------------- pii_scrub
 _PII_RE = re.compile(PII_PATTERN)
 
@@ -449,6 +556,7 @@ def curation_queries() -> dict:
         "pack_shards": pack_shards,
         "select_budget": select_budget,
         "source_mix": source_mix,
+        "quality_tiers": quality_tiers,
         "pii_scrub": pii_scrub,
     }
 
@@ -556,6 +664,24 @@ SELECT doc_id, source, n_tokens, q_mu AS quality_mu, cum AS cum_tokens,
        CAST(CASE WHEN cum <= {SELECT_BUDGET} // (SELECT ns FROM k)
                  THEN 1 ELSE 0 END AS BIGINT) AS selected
 FROM s"""
+
+    # quality_tiers: ROW_NUMBER + NTILE over the exact same quality window
+    # as select_budget; the Ray side computes both from the distributed
+    # two-level rank scan, so a bit-exact match proves the global ranking.
+    sqls["quality_tiers"] = f"""WITH t AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS l
+  FROM documents
+),
+c AS (
+  SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tokens, {q_mu} AS q_mu
+  FROM t
+)
+SELECT doc_id, n_tokens, q_mu AS quality_mu,
+       CAST(row_number() OVER (ORDER BY q_mu DESC, doc_id) AS BIGINT)
+         AS rnk,
+       CAST(ntile({TIER_K}) OVER (ORDER BY q_mu DESC, doc_id) AS BIGINT)
+         AS tier
+FROM c"""
 
     sqls["pii_scrub"] = f"""WITH aug AS (
   SELECT doc_id,

@@ -817,6 +817,178 @@ def unigram_logprob(sf_dir: str, broadcast_max_types: int | None = None):
     return per_doc.map_batches(finish, batch_format="pyarrow")
 
 
+# ----------------------------------------------------------- bigram_logprob
+def bigram_logprob(sf_dir: str, broadcast_max_types: int | None = None):
+    """Bigram LM quality score — the order-2 step from ``unigram_logprob``
+    toward the KenLM scoring CCNet actually ships (Wenzek et al. 2020):
+    a doc full of individually-common words in improbable ORDER scores
+    high on the unigram model but low here.  Per doc:
+
+        lm2_score = floor(1e6 * Σ_b ilog2(count(b)) / (n_bigrams * ilog2(N)))
+                    / 1e6,  ilog2(c) = bit_length(c) - 1
+
+    over whitespace-token bigrams (docs with < 2 tokens emit 0/0/0.0).
+    Integer-quantized log2 (bit length == SQL ``length(bin(c)) - 1``), so
+    the twin matches bit for bit.
+
+    Shape: identical dual path to ``unigram_logprob`` — distributed
+    bigram-count (per-batch Counter combiner → bucketed vectorized Sum)
+    materialized once as the model table; broadcast dict below
+    ``broadcast_max_types`` distinct bigrams, else a bigram-explode hash
+    join where no process ever holds the model.  Bigram vocabularies are
+    ~10× unigram ones, so at corpus scale the join path is the default
+    — which is exactly why it exists.
+    """
+    from collections import Counter
+
+    from ..functions.text import tokenize_ws
+
+    if broadcast_max_types is None:
+        broadcast_max_types = UNIGRAM_BROADCAST_MAX_TYPES
+
+    def _bigrams(toks: list) -> list:
+        return [
+            toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1)
+        ]
+
+    def wc(batch: pa.Table) -> pa.Table:
+        c = Counter()
+        for t in batch.column("text").to_pylist():
+            c.update(_bigrams(tokenize_ws(t)))
+        return pa.table(
+            {
+                "gram": pa.array(list(c.keys()), pa.string()),
+                "c": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    from ..stages.vecagg import bucketed_groupby
+
+    model = bucketed_groupby(
+        _docs(sf_dir).map_batches(wc, batch_format="pyarrow"),
+        "gram", ["c"], ["sum"],
+    ).materialize()
+    total = int(model.sum("c") or 0)
+    d_log = total.bit_length() - 1 if total > 0 else 0
+
+    n_types = model.count()
+    if n_types <= broadcast_max_types:
+        counts = {r["gram"]: int(r["c"]) for r in model.take_all()}
+        ref = ray.put(counts)
+
+        def score(batch: pa.Table) -> pa.Table:
+            from ..stages.simsearch import _get_broadcast
+
+            cmap = _get_broadcast(ref)
+            ids = batch.column("doc_id").to_pylist()
+            n_out, s_out, q_out = [], [], []
+            for t in batch.column("text").to_pylist():
+                grams = _bigrams(tokenize_ws(t))
+                slp = sum(cmap[g].bit_length() - 1 for g in grams)
+                n_out.append(len(grams))
+                s_out.append(slp)
+                q_out.append(
+                    (slp * 1_000_000 // (len(grams) * d_log)) / 1e6
+                    if grams and d_log else 0.0
+                )
+            return pa.table(
+                {
+                    "doc_id": pa.array(
+                        [int(i) for i in ids], pa.int64()
+                    ),
+                    "n_bigrams": pa.array(n_out, pa.int64()),
+                    "sum_log2": pa.array(s_out, pa.int64()),
+                    "lm2_score": pa.array(q_out, pa.float64()),
+                }
+            )
+
+        return _docs(sf_dir).map_batches(score, batch_format="pyarrow")
+
+    # ---- big-model path: bigram-explode hash join (the unigram shape;
+    # a sentinel ("", k=0) row keeps short docs in the inner join).
+    def explode(batch: pa.Table) -> pa.Table:
+        ids_out, g_out, k_out = [], [], []
+        for i, t in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("text").to_pylist(),
+        ):
+            i = int(i)
+            c = Counter(_bigrams(tokenize_ws(t)))
+            ids_out.extend([i] * (len(c) + 1))
+            g_out.extend(c.keys())
+            k_out.extend(c.values())
+            g_out.append("")  # real bigrams always contain a space
+            k_out.append(0)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_out, pa.int64()),
+                "gram": pa.array(g_out, pa.string()),
+                "k": pa.array(k_out, pa.int64()),
+            }
+        )
+
+    sentinel = ray.data.from_arrow(
+        pa.table({"gram": pa.array([""], pa.string()),
+                  "c": pa.array([1], pa.int64())})
+    )
+    joined = (
+        _docs(sf_dir)
+        .map_batches(explode, batch_format="pyarrow")
+        .join(
+            model.union(sentinel).map_batches(
+                _with_schema(
+                    pa.schema([("gram", pa.string()), ("c", pa.int64())])
+                ),
+                batch_format="pyarrow",
+            ),
+            join_type="inner",
+            num_partitions=_join_parts(n_types),
+            on=("gram",),
+        )
+    )
+
+    def contrib(batch: pa.Table) -> pa.Table:
+        k = batch.column("k").to_pylist()
+        c = batch.column("c").to_pylist()
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+                "n_bigrams": pa.array(k, pa.int64()),
+                "sum_log2": pa.array(
+                    [ki * (int(ci).bit_length() - 1)
+                     for ki, ci in zip(k, c)],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    per_doc = bucketed_groupby(
+        joined.map_batches(contrib, batch_format="pyarrow"),
+        "doc_id", ["n_bigrams", "sum_log2"], ["sum", "sum"],
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_bigrams").to_pylist()
+        s = batch.column("sum_log2").to_pylist()
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+                "n_bigrams": pa.array([int(x) for x in n], pa.int64()),
+                "sum_log2": pa.array([int(x) for x in s], pa.int64()),
+                "lm2_score": pa.array(
+                    [
+                        (si * 1_000_000 // (ni * d_log)) / 1e6
+                        if ni and d_log else 0.0
+                        for ni, si in zip(n, s)
+                    ],
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return per_doc.map_batches(finish, batch_format="pyarrow")
+
+
 # ------------------------------------------------------- importance_weights
 # Every DSIR_TARGET_EVERY-th doc stands in for the trusted seed corpus (the
 # "target distribution" of importance resampling); a production pipeline
@@ -1677,6 +1849,7 @@ def dataops_queries() -> dict:
         "pdf_extract": pdf_extract,
         "repetition_stats": repetition_stats,
         "unigram_logprob": unigram_logprob,
+        "bigram_logprob": bigram_logprob,
         "importance_weights": importance_weights,
         "chunk_windows": chunk_windows,
         "dup_span_stats": dup_span_stats,

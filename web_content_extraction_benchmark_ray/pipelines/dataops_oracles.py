@@ -607,6 +607,34 @@ SELECT d.doc_id, d.ntok AS n_tokens, d.slp AS sum_log2,
          / 1000000 AS lm_score
 FROM d, n"""
 
+    # bigram_logprob: the unigram twin one order up — whitespace-token
+    # bigrams, integer-log2 via bin() bit length; docs with < 2 tokens
+    # stay in the output via the LEFT JOIN with 0/0/0.0.
+    sqls["bigram_logprob"] = r"""WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS l
+  FROM documents
+),
+g AS (
+  SELECT doc_id, l[u.i] || ' ' || l[u.i + 1] AS gram
+  FROM t, UNNEST(generate_series(1, len(l) - 1)) AS u(i)
+  WHERE len(l) >= 2
+),
+c AS (SELECT gram, CAST(count(*) AS BIGINT) AS c FROM g GROUP BY gram),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM g),
+d AS (
+  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS ng,
+         CAST(sum(length(bin(c.c)) - 1) AS BIGINT) AS slp
+  FROM g JOIN c USING (gram) GROUP BY g.doc_id
+)
+SELECT t.doc_id,
+       CAST(COALESCE(d.ng, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(d.slp, 0) AS BIGINT) AS sum_log2,
+       CASE WHEN d.ng IS NULL OR d.ng = 0 OR n.n <= 1 THEN 0.0
+            ELSE CAST(d.slp * 1000000
+                      // (d.ng * (length(bin(n.n)) - 1)) AS DOUBLE)
+                 / 1000000 END AS lm2_score
+FROM t LEFT JOIN d USING (doc_id), n"""
+
     from .dataops import DSIR_TARGET_EVERY
 
     # importance_weights: integer-quantized DSIR log-likelihood ratio;

@@ -89,6 +89,17 @@ def extraction_oracle_sql() -> dict[str, str]:
         sqls[f"extract_{model}"] = _main_cte(space) + _select(
             model, "m.main_text"
         )
+    # extract_article: title provably comes from the <title> tag ("Synthetic
+    # page {doc_id}" — no og:title, no separators, the only h1 is the
+    # link-wrapped brand), byline/pub_date are provably absent (no author/
+    # date metas, no rel=author, no byline-named class/id, no <time>), and
+    # the body is the cascade zone harvest (same proof as extract_cascade).
+    sqls["extract_article"] = _main_cte(newline) + (
+        "SELECT d.doc_id AS doc_id, "
+        "'Synthetic page ' || CAST(d.doc_id AS VARCHAR) AS title, "
+        "'' AS byline, '' AS pub_date, m.main_text AS article_text "
+        "FROM documents d JOIN mains m ON d.doc_id = m.doc_id"
+    )
     sqls["extract_whole_text"] = _main_cte(space) + _select(
         "whole_text",
         f"'Synthetic page ' || CAST(d.doc_id AS VARCHAR) || ' ' || "

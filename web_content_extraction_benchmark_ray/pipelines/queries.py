@@ -76,6 +76,41 @@ def media_spans(sf_dir: str):
     return assembled.map_batches(emit, batch_format="pyarrow")
 
 
+def extract_article(sf_dir: str):
+    """Newspaper3k/news-please-class structured article extraction
+    (reference extractors.py:61-78 capability): reassembled pages ->
+    (title, byline, pub_date, article_text) per doc.  Same streaming
+    span-reassembly front as every extract query; the article stage is a
+    stateless per-batch map (functions/extractors/article.py)."""
+    from ..functions.extractors.article import article
+
+    path = build_spans_table(sf_dir)
+    assembled = reassemble(read_spans(path))
+
+    def emit(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        cols: dict[str, list] = {
+            "title": [], "byline": [], "pub_date": [], "article_text": []
+        }
+        for h in batch.column("html").to_pylist():
+            rec = article(h)
+            for k in cols:
+                cols[k].append(rec[k])
+        return pa.table(
+            {
+                "doc_id": pa.array([int(i) for i in ids], pa.int64()),
+                "title": pa.array(cols["title"], pa.string()),
+                "byline": pa.array(cols["byline"], pa.string()),
+                "pub_date": pa.array(cols["pub_date"], pa.string()),
+                "article_text": pa.array(
+                    cols["article_text"], pa.string()
+                ),
+            }
+        )
+
+    return assembled.map_batches(emit, batch_format="pyarrow")
+
+
 def extract_subproc(sf_dir: str):
     """The warm-subprocess stage end-to-end (E6/E16 capability): reassembly
     -> actor pool each holding one long-lived child process that computes
@@ -193,6 +228,7 @@ def extraction_queries() -> dict:
     q = {f"extract_{m}": extraction_query(m) for m in list_extractors()}
     q["media_spans"] = media_spans
     q["extract_subproc"] = extract_subproc
+    q["extract_article"] = extract_article
     q["extract_spans_signature"] = extract_spans_signature
     q["ingest_decode"] = ingest_decode
     return q
