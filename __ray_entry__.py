@@ -137,7 +137,9 @@ _SAMPLE_FIRST = [
     # capped RHP banding is covered in-window by embedding_dup_pairs,
     # connected components + anti-join by dedup_fingerprint_survivors
     "knn_ivf_trained",
-    "pdf_extract",
+    # pdf_extract (r03-verified pass) yields its slot: the r4 CRLF fix is
+    # only observable on CRLF-separated streams, which exist in the
+    # pytest foreign fixtures (test_binmedia), not in the driver corpus
     # new in round 4
     "chunk_windows",
     "dup_span_stats",
@@ -167,6 +169,7 @@ _SAMPLE_FIRST = [
     "quality_tiers",
     "bigram_logprob",
     "extract_article",
+    "shuffle_order",
     # changed late in round 4 (exact-mean hardening of every eval mean;
     # events_props/eval_agg_micro/eval_quantiles — verified green in
     # earlier rounds — yield their slots: exact_mean6 is exercised in

@@ -251,3 +251,36 @@ def test_quality_tiers_uneven_k(ray_session):
     small, rem = divmod(n, k)
     sizes = df.groupby("tier").size().sort_index().tolist()
     assert sizes == [small + 1] * rem + [small] * (k - rem)
+
+
+def test_shuffle_order_is_exact_seeded_permutation(ray_session):
+    """The two-level hash-bucket scan must equal a single-process sort by
+    (hash60, doc_id): a bijective 1..n position, stable across runs,
+    different under a different seed."""
+    import pyarrow.parquet as pq
+
+    from web_content_extraction_benchmark_ray.functions.hashing import (
+        hash60,
+    )
+    from web_content_extraction_benchmark_ray.pipelines.curation import (
+        SHUFFLE_SEED,
+        SHUFFLE_SEQ_DOCS,
+        shuffle_order,
+    )
+
+    df = shuffle_order(SF).to_pandas().sort_values("doc_id")
+    ids = (
+        pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])
+        .to_pandas()["doc_id"].astype(int).tolist()
+    )
+    expect = sorted(ids, key=lambda i: (hash60(f"{SHUFFLE_SEED}:{i}"), i))
+    pos = {i: p + 1 for p, i in enumerate(expect)}
+    assert df["shuffle_pos"].tolist() == [pos[i] for i in df["doc_id"]]
+    assert sorted(df["shuffle_pos"]) == list(range(1, len(ids) + 1))
+    assert (
+        df["shard_id"] == (df["shuffle_pos"] - 1) // SHUFFLE_SEQ_DOCS
+    ).all()
+    # a different seed is a different permutation (new epoch)
+    other = shuffle_order(SF, seed="shuf2").to_pandas().sort_values("doc_id")
+    assert other["shuffle_pos"].tolist() != df["shuffle_pos"].tolist()
+    assert sorted(other["shuffle_pos"]) == list(range(1, len(ids) + 1))

@@ -514,6 +514,83 @@ def quality_tiers(sf_dir: str, k: int = TIER_K):
     return idx.groupby("bucket").map_groups(assign, batch_format="pyarrow")
 
 
+# -------------------------------------------------------------- shuffle_order
+SHUFFLE_SEED = "shuf1"  # seed string baked into the hash (epoch selector)
+SHUFFLE_SEQ_DOCS = 64  # docs per shuffled output shard (test scale)
+
+
+def shuffle_order(sf_dir: str, seed: str = SHUFFLE_SEED,
+                  shard_docs: int = SHUFFLE_SEQ_DOCS):
+    """Deterministic seeded GLOBAL shuffle — the training-order pass an
+    LLM pipeline runs before sharding (a different ``seed`` is a new
+    epoch permutation).  Every doc gets its exact position in the
+    permutation ordered by (h, doc_id), h = hash60(seed || ':' || doc_id),
+    plus the shuffled shard it lands in (``(pos-1) // shard_docs``).
+
+    ``Dataset.random_shuffle`` would move every row's payload through an
+    all-to-all; this op moves only 24-byte (doc_id, h) index rows and
+    never the text: the hash's own top bits are a uniformly-balanced
+    coarse bucket key by construction, so the ``quality_tiers`` two-level
+    rank scan (per-bucket Count → tiny driver prefix → independent
+    in-bucket argsort) yields the exact global position.  Consumers then
+    range-read their shard's doc_ids — the shuffle is metadata, the bulk
+    data stays put (the Lance-table take-by-rowid pattern).
+    """
+    from ray.data.aggregate import Count
+
+    def index(batch: pa.Table) -> pa.Table:
+        ids = [int(i) for i in batch.column("doc_id").to_pylist()]
+        hs = [hash60(f"{seed}:{i}") for i in ids]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "h": pa.array(hs, pa.int64()),
+                "bucket": pa.array([h >> 52 for h in hs], pa.int64()),
+            }
+        )
+
+    idx = _docs(sf_dir).map_batches(index, batch_format="pyarrow")
+    idx = idx.materialize()  # tiny (doc_id, h) index, read twice
+
+    sums = (
+        coalesce_small(idx, 4)
+        .groupby("bucket")
+        .aggregate(Count())
+        .to_pandas()
+        .sort_values("bucket")
+    )
+    offsets = dict(
+        zip(
+            sums["bucket"].tolist(),
+            np.concatenate(
+                [[0], np.cumsum(sums["count()"].to_numpy())[:-1]]
+            ).tolist(),
+        )
+    )
+    off_ref = ray.put(offsets)
+
+    def assign(group: pa.Table, off_ref=off_ref) -> pa.Table:
+        key = off_ref.hex()
+        offs = _OFFSET_CACHE.get(key)
+        if offs is None:
+            offs = _OFFSET_CACHE[key] = ray.get(off_ref)
+        ids = np.asarray(group.column("doc_id").to_pylist(), dtype=np.int64)
+        h = np.asarray(group.column("h").to_pylist(), dtype=np.int64)
+        order = np.lexsort((ids, h))  # h asc, doc_id asc
+        ids, h = ids[order], h[order]
+        base = int(offs[int(group.column("bucket")[0].as_py())])
+        pos = base + np.arange(1, len(ids) + 1, dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "shuffle_pos": pa.array(pos, pa.int64()),
+                "shard_id": pa.array((pos - 1) // shard_docs, pa.int64()),
+            }
+        )
+
+    return idx.groupby("bucket").map_groups(assign, batch_format="pyarrow")
+
+
 # --------------------------------------------------------------- pii_scrub
 _PII_RE = re.compile(PII_PATTERN)
 
@@ -557,6 +634,7 @@ def curation_queries() -> dict:
         "select_budget": select_budget,
         "source_mix": source_mix,
         "quality_tiers": quality_tiers,
+        "shuffle_order": shuffle_order,
         "pii_scrub": pii_scrub,
     }
 
@@ -682,6 +760,20 @@ SELECT doc_id, n_tokens, q_mu AS quality_mu,
        CAST(ntile({TIER_K}) OVER (ORDER BY q_mu DESC, doc_id) AS BIGINT)
          AS tier
 FROM c"""
+
+    # shuffle_order: the permutation is ROW_NUMBER over the md5-derived
+    # hash — the same _H60 expression every dedup oracle embeds.
+    sqls["shuffle_order"] = f"""WITH t AS (
+  SELECT doc_id,
+         {_H60.format(f"'{SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR)")} AS h
+  FROM documents
+)
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT)
+         AS shuffle_pos,
+       CAST((row_number() OVER (ORDER BY h, doc_id) - 1)
+            // {SHUFFLE_SEQ_DOCS} AS BIGINT) AS shard_id
+FROM t"""
 
     sqls["pii_scrub"] = f"""WITH aug AS (
   SELECT doc_id,
