@@ -142,7 +142,9 @@ _SAMPLE_FIRST = [
     # pytest foreign fixtures (test_binmedia), not in the driver corpus
     # new in round 4
     "chunk_windows",
-    "dup_span_stats",
+    # dup_span_stats yields its slot to a session-6 newcomer: its dup-set
+    # build + dual-path machinery is exercised in-window by dup_span_scrub
+    # (same stages, plus removal on top)
     "extract_cascade",
     "extract_topnode",
     "extract_plaintext",
@@ -170,6 +172,7 @@ _SAMPLE_FIRST = [
     "bigram_logprob",
     "extract_article",
     "shuffle_order",
+    "pack_sequences",
     # changed late in round 4 (exact-mean hardening of every eval mean;
     # events_props/eval_agg_micro/eval_quantiles — verified green in
     # earlier rounds — yield their slots: exact_mean6 is exercised in

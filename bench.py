@@ -235,6 +235,8 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
                   lambda: _consume(cu.quality_tiers(sf_dir)))
             timed("shuffle_order",
                   lambda: _consume(cu.shuffle_order(sf_dir)))
+            timed("pack_sequences",
+                  lambda: _consume(cu.pack_sequences(sf_dir)))
             timed("pii_scrub", lambda: _consume(cu.pii_scrub(sf_dir)))
         except ImportError:
             pass

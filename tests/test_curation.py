@@ -284,3 +284,43 @@ def test_shuffle_order_is_exact_seeded_permutation(ray_session):
     other = shuffle_order(SF, seed="shuf2").to_pandas().sort_values("doc_id")
     assert other["shuffle_pos"].tolist() != df["shuffle_pos"].tolist()
     assert sorted(other["shuffle_pos"]) == list(range(1, len(ids) + 1))
+
+
+def test_pack_sequences_matches_serial_shuffled_scan(ray_session):
+    """Sequence packing in shuffled order must equal a single-process
+    (hash, doc_id) sort + exclusive cumsum; sequences fill contiguously."""
+    import pyarrow.parquet as pq
+
+    from web_content_extraction_benchmark_ray.functions.hashing import (
+        hash60,
+    )
+    from web_content_extraction_benchmark_ray.functions.text import (
+        tokenize_ws,
+    )
+    from web_content_extraction_benchmark_ray.pipelines.curation import (
+        SEQ_LEN,
+        SHUFFLE_SEED,
+        pack_sequences,
+    )
+
+    df = pack_sequences(SF).to_pandas().sort_values("doc_id")
+    t = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    t["n_tokens"] = t["text"].map(lambda s: len(tokenize_ws(s)))
+    t["h"] = t["doc_id"].map(lambda i: hash60(f"{SHUFFLE_SEED}:{int(i)}"))
+    t = t.sort_values(["h", "doc_id"])
+    t["prefix"] = t["n_tokens"].cumsum() - t["n_tokens"]
+    t = t.sort_values("doc_id")
+    assert (df["doc_id"].to_numpy() == t["doc_id"].to_numpy()).all()
+    assert (df["n_tokens"].to_numpy() == t["n_tokens"].to_numpy()).all()
+    assert (
+        df["seq_id"].to_numpy() == (t["prefix"].to_numpy() // SEQ_LEN)
+    ).all()
+    assert (
+        df["seq_off"].to_numpy() == (t["prefix"].to_numpy() % SEQ_LEN)
+    ).all()
+    # packing is dense: seq ids are contiguous from 0 and every full
+    # sequence carries at least one doc start
+    assert df["seq_id"].min() == 0
+    assert set(range(int(df["seq_id"].max()))) <= set(df["seq_id"])

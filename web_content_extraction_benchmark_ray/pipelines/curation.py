@@ -591,6 +591,95 @@ def shuffle_order(sf_dir: str, seed: str = SHUFFLE_SEED,
     return idx.groupby("bucket").map_groups(assign, batch_format="pyarrow")
 
 
+# ------------------------------------------------------------ pack_sequences
+SEQ_LEN = 512  # tokens per training sequence (test scale)
+
+
+def pack_sequences(sf_dir: str, seq_len: int = SEQ_LEN,
+                   seed: str = SHUFFLE_SEED):
+    """Fixed-length training-sequence packing in SHUFFLED order — the
+    batch-prep composition an LLM pipeline actually runs (shuffle the
+    corpus, then concatenate tokens into seq_len-sized sequences): per
+    doc, the sequence its first token lands in and the offset within it,
+
+        seq_id  = prefix // seq_len,   seq_off = prefix % seq_len
+
+    with ``prefix`` the exclusive token prefix sum in (h, doc_id) order,
+    h = hash60(seed || ':' || doc_id) (``shuffle_order``'s permutation).
+
+    Same two-level scan as ``pack_shards`` but ordered by the seeded
+    hash instead of doc_id: the hash's top bits bucket uniformly, the
+    driver prefix holds 256 bucket token-sums, each bucket scans its own
+    rows sorted by (h, doc_id).  Only 32-byte index rows move; a new
+    seed re-packs a new epoch without touching the text.
+    """
+    from ray.data.aggregate import Sum
+
+    def index(batch: pa.Table) -> pa.Table:
+        ids, hs, toks = [], [], []
+        for i, t in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("text").to_pylist(),
+        ):
+            i = int(i)
+            ids.append(i)
+            hs.append(hash60(f"{seed}:{i}"))
+            toks.append(len(tokenize_ws(t)))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "h": pa.array(hs, pa.int64()),
+                "n_tokens": pa.array(toks, pa.int64()),
+                "bucket": pa.array([h >> 52 for h in hs], pa.int64()),
+            }
+        )
+
+    idx = _docs(sf_dir).map_batches(index, batch_format="pyarrow")
+    idx = idx.materialize()  # tiny index, read twice
+
+    sums = (
+        coalesce_small(idx, 4)
+        .groupby("bucket")
+        .aggregate(Sum("n_tokens"))
+        .to_pandas()
+        .sort_values("bucket")
+    )
+    offsets = dict(
+        zip(
+            sums["bucket"].tolist(),
+            np.concatenate(
+                [[0], np.cumsum(sums["sum(n_tokens)"].to_numpy())[:-1]]
+            ).tolist(),
+        )
+    )
+    off_ref = ray.put(offsets)
+
+    def assign(group: pa.Table, off_ref=off_ref) -> pa.Table:
+        key = off_ref.hex()
+        offs = _OFFSET_CACHE.get(key)
+        if offs is None:
+            offs = _OFFSET_CACHE[key] = ray.get(off_ref)
+        ids = np.asarray(group.column("doc_id").to_pylist(), dtype=np.int64)
+        h = np.asarray(group.column("h").to_pylist(), dtype=np.int64)
+        tok = np.asarray(
+            group.column("n_tokens").to_pylist(), dtype=np.int64
+        )
+        order = np.lexsort((ids, h))  # h asc, doc_id asc
+        ids, h, tok = ids[order], h[order], tok[order]
+        base = int(offs[int(group.column("bucket")[0].as_py())])
+        excl = base + np.concatenate([[0], np.cumsum(tok)[:-1]])
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(tok, pa.int64()),
+                "seq_id": pa.array(excl // seq_len, pa.int64()),
+                "seq_off": pa.array(excl % seq_len, pa.int64()),
+            }
+        )
+
+    return idx.groupby("bucket").map_groups(assign, batch_format="pyarrow")
+
+
 # --------------------------------------------------------------- pii_scrub
 _PII_RE = re.compile(PII_PATTERN)
 
@@ -635,6 +724,7 @@ def curation_queries() -> dict:
         "source_mix": source_mix,
         "quality_tiers": quality_tiers,
         "shuffle_order": shuffle_order,
+        "pack_sequences": pack_sequences,
         "pii_scrub": pii_scrub,
     }
 
@@ -774,6 +864,26 @@ SELECT doc_id,
        CAST((row_number() OVER (ORDER BY h, doc_id) - 1)
             // {SHUFFLE_SEQ_DOCS} AS BIGINT) AS shard_id
 FROM t"""
+
+    # pack_sequences: pack_shards' window sum re-ordered by the shared
+    # _H60 shuffle hash; exclusive prefix via "- n_tokens".
+    sqls["pack_sequences"] = f"""WITH t AS (
+  SELECT doc_id,
+         {_H60.format(f"'{SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR)")} AS h,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n_tokens,
+         CAST(sum(n_tokens) OVER (ORDER BY h, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n_tokens AS BIGINT) AS prefix
+  FROM t
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(prefix // {SEQ_LEN} AS BIGINT) AS seq_id,
+       CAST(prefix % {SEQ_LEN} AS BIGINT) AS seq_off
+FROM s"""
 
     sqls["pii_scrub"] = f"""WITH aug AS (
   SELECT doc_id,
