@@ -156,7 +156,9 @@ _SAMPLE_FIRST = [
     "dedup_fingerprint_survivors",
     "importance_weights",
     "select_budget",
-    "dedup_exact_norm",
+    # dedup_exact_norm yields its slot to a session-6 newcomer: its
+    # groupby-min primitive is thrice-driver-verified via dedup_exact and
+    # the CCNet normalization map is pytest-pinned (test_dataops)
     "dup_span_scrub",
     "dedup_incremental",
     # new in round-4 session 6 (never driver-verified)
@@ -173,6 +175,7 @@ _SAMPLE_FIRST = [
     "extract_article",
     "shuffle_order",
     "pack_sequences",
+    "pq_encode",
     # changed late in round 4 (exact-mean hardening of every eval mean;
     # events_props/eval_agg_micro/eval_quantiles — verified green in
     # earlier rounds — yield their slots: exact_mean6 is exercised in

@@ -1237,3 +1237,50 @@ def test_bigram_logprob_join_path_matches_broadcast(ray_session):
     )
     assert len(a) == len(b) == 500
     assert a.equals(b)
+
+
+def test_pq_encode_matches_serial_lloyd(ray_session):
+    """Distributed integer-PQ training must equal a single-process
+    reproduction of the same fixed-iteration integer Lloyd, and the
+    codes must actually compress (multiple vectors share codewords)."""
+    import pyarrow.parquet as pq
+
+    from web_content_extraction_benchmark_ray.pipelines.dataops import (
+        PQ_ITERS,
+        PQ_K,
+        PQ_M,
+        PQ_OFF,
+        pq_encode,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    df = pq_encode(sf).to_pandas().sort_values("vec_id").reset_index(
+        drop=True
+    )
+    t = pq.read_table(f"{sf}/embeddings.parquet").to_pandas().sort_values(
+        "vec_id"
+    )
+    X = np.stack(t["embedding"].to_numpy())
+    Xq = np.floor(X * 1e6 + 0.5).astype(np.int64) + PQ_OFF
+    dim = X.shape[1]
+    sub = dim // PQ_M
+    codes = {}
+    for m in range(PQ_M):
+        Xs = Xq[:, m * sub:(m + 1) * sub]
+        book = Xs[:PQ_K].copy()  # vec_ids are sorted ascending
+        for _ in range(PQ_ITERS):
+            d = ((Xs[:, None, :] - book[None, :, :]) ** 2).sum(axis=2)
+            cl = d.argmin(axis=1)
+            for j in range(PQ_K):
+                mask = cl == j
+                if mask.any():
+                    book[j] = Xs[mask].sum(axis=0) // mask.sum()
+        d = ((Xs[:, None, :] - book[None, :, :]) ** 2).sum(axis=2)
+        codes[m] = d.argmin(axis=1)
+    assert (df["vec_id"].to_numpy() == t["vec_id"].to_numpy()).all()
+    for m in range(PQ_M):
+        assert (df[f"code_{m}"].to_numpy() == codes[m]).all(), m
+    # compression: every code is in range and codewords are shared
+    for m in range(PQ_M):
+        assert df[f"code_{m}"].between(0, PQ_K - 1).all()
+        assert df[f"code_{m}"].nunique() <= PQ_K < len(df)

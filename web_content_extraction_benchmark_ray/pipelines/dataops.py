@@ -444,6 +444,132 @@ def knn_ivf_trained(sf_dir: str):
     return ss.knn_ivf(labeled, queries_ref).drop_columns(["cos_r"])
 
 
+# ---------------------------------------------------------------- pq_encode
+PQ_M = 4  # subspaces
+PQ_K = 16  # codewords per subspace (=> 4x8-bit codes for a 64-dim vector)
+PQ_ITERS = 2  # fixed Lloyd rounds per subspace
+PQ_OFF = 2_000_000  # micro-unit shift making every value positive
+
+
+def pq_encode(sf_dir: str):
+    """Product-quantization encode (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search") — the vector-compression
+    scale path of ANN: each 64-dim embedding becomes PQ_M=4 one-byte
+    codes (16 codewords per 16-dim subspace), a 64x memory cut that lets
+    a 100 TB embedding corpus fit an in-RAM IVF-PQ index.
+
+    Training is fixed-iteration Lloyd per subspace in **pure int64
+    arithmetic** so the distributed run and the SQL twin are
+    bit-identical: vectors quantize to micro-units SHIFTED positive
+    (xq = floor(x*1e6+0.5) + PQ_OFF — distances are shift-invariant and
+    positivity makes floor-division == truncation in every engine),
+    assignment is argmin integer squared L2 (ties -> lowest codeword id),
+    and the codeword update is the integer floor-mean ``sum // n``
+    (empty codewords keep their previous value).  Init codewords are the
+    PQ_K lowest-vec_id subvectors.
+
+    Shape: one materialize of (vec_id, embedding) feeds the
+    PQ_ITERS x PQ_M broadcast-matmul passes (the ``kmeans_iterate``
+    exact-oracle contract — quantizer CONSUMERS train on the capped hash
+    sample instead, see knn_ivf_trained); codebooks are ~16x16 ints,
+    shuffles move only (m, code, 16 sums, n) partial rows.  The encode
+    pass streams.
+    """
+    from ray.data.aggregate import Count  # noqa: F401  (doc parity)
+
+    from ..functions.arrownp import list_matrix
+    from .analytics import _load_centroids
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    ds = read_table(path, columns=["vec_id", "embedding"]).materialize()
+    dim = len(_load_centroids(sf_dir, k=1)[0])
+    sub = dim // PQ_M
+    init = _load_centroids(sf_dir, k=PQ_K)  # (K, dim) float64
+    init_q = np.floor(init * 1e6 + 0.5).astype(np.int64) + PQ_OFF
+    books = [
+        init_q[:, m * sub:(m + 1) * sub].copy() for m in range(PQ_M)
+    ]
+
+    def _sub_codes(Xq: np.ndarray, book: np.ndarray) -> np.ndarray:
+        # (n, sub) x (K, sub) -> argmin_j sum_d (x-c)^2, first-min = lowest j
+        d = ((Xq[:, None, :] - book[None, :, :]) ** 2).sum(axis=2)
+        return d.argmin(axis=1)
+
+    for _ in range(PQ_ITERS):
+        book_ref = ray.put(books)
+
+        def partial(batch: pa.Table, book_ref=book_ref) -> pa.Table:
+            from ..stages.simsearch import _get_broadcast
+
+            bks = _get_broadcast(book_ref)
+            Xq = np.floor(
+                list_matrix(batch.column("embedding"), np.float64) * 1e6
+                + 0.5
+            ).astype(np.int64) + PQ_OFF
+            key_out, sum_out, n_out = [], [], []
+            for m in range(PQ_M):
+                Xs = Xq[:, m * sub:(m + 1) * sub]
+                codes = _sub_codes(Xs, bks[m])
+                for j in range(PQ_K):
+                    mask = codes == j
+                    if mask.any():
+                        key_out.append(m * PQ_K + j)
+                        sum_out.append(Xs[mask].sum(axis=0).tolist())
+                        n_out.append(int(mask.sum()))
+            return pa.table(
+                {
+                    "mk": pa.array(key_out, pa.int64()),
+                    "vsum": pa.array(sum_out, pa.list_(pa.int64())),
+                    "n": pa.array(n_out, pa.int64()),
+                }
+            )
+
+        def reduce_code(group: pa.Table) -> pa.Table:
+            sums = list_matrix(group.column("vsum"), np.int64)
+            n = sum(group.column("n").to_pylist())
+            return pa.table(
+                {
+                    "mk": group.column("mk").slice(0, 1),
+                    "cq": pa.array(
+                        [(sums.sum(axis=0) // n).tolist()],
+                        pa.list_(pa.int64()),
+                    ),
+                }
+            )
+
+        upd = (
+            ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=1024)
+            .groupby("mk")
+            .map_groups(reduce_code, batch_format="pyarrow")
+            .to_pandas()
+        )
+        books = [b.copy() for b in books]
+        for _, row in upd.iterrows():
+            mk = int(row["mk"])
+            books[mk // PQ_K][mk % PQ_K] = np.array(row["cq"], np.int64)
+
+    final_ref = ray.put(books)
+
+    def encode(batch: pa.Table, final_ref=final_ref) -> pa.Table:
+        from ..stages.simsearch import _get_broadcast
+
+        bks = _get_broadcast(final_ref)
+        ids = [int(i) for i in batch.column("vec_id").to_pylist()]
+        Xq = np.floor(
+            list_matrix(batch.column("embedding"), np.float64) * 1e6 + 0.5
+        ).astype(np.int64) + PQ_OFF
+        cols = {"vec_id": pa.array(ids, pa.int64())}
+        for m in range(PQ_M):
+            codes = _sub_codes(Xq[:, m * sub:(m + 1) * sub], bks[m])
+            cols[f"code_{m}"] = pa.array(
+                codes.astype(np.int64), pa.int64()
+            )
+        return pa.table(cols)
+
+    return ds.map_batches(encode, batch_format="pyarrow", batch_size=1024)
+
+
 def embedding_dup_survivors(sf_dir: str):
     """Embedding near-dup SURVIVORS: the LSH pair pipeline composed with
     the connected-components min-label machinery (stages/dedup.py:
@@ -1850,6 +1976,7 @@ def dataops_queries() -> dict:
         "repetition_stats": repetition_stats,
         "unigram_logprob": unigram_logprob,
         "bigram_logprob": bigram_logprob,
+        "pq_encode": pq_encode,
         "importance_weights": importance_weights,
         "chunk_windows": chunk_windows,
         "dup_span_stats": dup_span_stats,

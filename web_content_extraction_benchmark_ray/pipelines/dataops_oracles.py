@@ -351,6 +351,63 @@ SELECT query_id, vec_id, rank FROM r WHERE rank <= {KNN_K}"""
     sqls["knn_ivf"] = _knn  # nprobe = all lists -> exact
     sqls["knn_ivf_trained"] = _knn  # trained quantizer, nprobe=all -> exact
 
+    # pq_encode: the fixed-iteration per-subspace integer Lloyd unrolled
+    # into CTE rounds (the kmeans_iterate discipline) — pure int64 shifted
+    # micro-units end to end, so sum()/floor-division/argmin tie-breaks
+    # are engine-independent.  ``ms`` (subspace id) is carried through
+    # every CTE so all PQ_M codebooks train in one relational pass.
+    from .dataops import PQ_ITERS, PQ_K, PQ_M, PQ_OFF
+
+    pq_parts = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        "dims AS (SELECT len(v) AS dim FROM e LIMIT 1)",
+        "q0 AS (SELECT vec_id, generate_subscripts(v, 1) AS d, "
+        f"CAST(floor(unnest(v) * 1000000 + 0.5) AS BIGINT) + {PQ_OFF} "
+        "AS xq FROM e)",
+        f"qm AS (SELECT q0.vec_id, q0.d, q0.xq, "
+        f"CAST(((q0.d - 1) * {PQ_M}) // dims.dim AS BIGINT) AS ms "
+        "FROM q0, dims)",
+        "b0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 "
+        "AS BIGINT) AS cid, vec_id FROM "
+        f"(SELECT vec_id FROM e ORDER BY vec_id LIMIT {PQ_K}))",
+        "c0 AS (SELECT qm.ms, b.cid, qm.d, qm.xq AS cq "
+        "FROM b0 b JOIN qm ON qm.vec_id = b.vec_id)",
+    ]
+    for r in range(PQ_ITERS):
+        pq_parts += [
+            f"dd{r} AS (SELECT q.ms, q.vec_id, c.cid, "
+            "sum((q.xq - c.cq) * (q.xq - c.cq)) AS dist "
+            f"FROM qm q JOIN c{r} c ON c.ms = q.ms AND c.d = q.d "
+            "GROUP BY q.ms, q.vec_id, c.cid)",
+            f"a{r} AS (SELECT ms, vec_id, cid, row_number() OVER ("
+            "PARTITION BY ms, vec_id ORDER BY dist, cid) AS rn "
+            f"FROM dd{r})",
+            f"f{r} AS (SELECT ms, vec_id, cid FROM a{r} WHERE rn = 1)",
+            f"s{r} AS (SELECT f.ms, f.cid, q.d, sum(q.xq) AS sq, "
+            f"count(*) AS n FROM f{r} f JOIN qm q "
+            "ON q.vec_id = f.vec_id AND q.ms = f.ms "
+            "GROUP BY f.ms, f.cid, q.d)",
+            f"c{r + 1} AS (SELECT c.ms, c.cid, c.d, "
+            "CAST(COALESCE(s.sq // s.n, c.cq) AS BIGINT) AS cq "
+            f"FROM c{r} c LEFT JOIN s{r} s "
+            "ON s.ms = c.ms AND s.cid = c.cid AND s.d = c.d)",
+        ]
+    pq_codes = ", ".join(
+        f"CAST(max(CASE WHEN ms = {m} THEN cid END) AS BIGINT) AS code_{m}"
+        for m in range(PQ_M)
+    )
+    sqls["pq_encode"] = (
+        "WITH " + ",\n".join(pq_parts) + f""",
+ddF AS (SELECT q.ms, q.vec_id, c.cid,
+        sum((q.xq - c.cq) * (q.xq - c.cq)) AS dist
+        FROM qm q JOIN c{PQ_ITERS} c ON c.ms = q.ms AND c.d = q.d
+        GROUP BY q.ms, q.vec_id, c.cid),
+aF AS (SELECT ms, vec_id, cid, row_number() OVER (PARTITION BY ms, vec_id
+       ORDER BY dist, cid) AS rn FROM ddF)
+SELECT vec_id, {pq_codes}
+FROM aF WHERE rn = 1 GROUP BY vec_id"""
+    )
+
     # Mirrors stages/simsearch.py:cosine_dup_pairs_lsh BIT FOR BIT:
     # integer-quantized embeddings x md5-derived integer hyperplanes ->
     # 8x8-bit sign bands; candidates share a band, survivors pass the
