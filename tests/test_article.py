@@ -59,6 +59,26 @@ def test_byline_sources_in_priority_order():
     assert article(by_class)["byline"] == "By Alan Turing"
 
 
+def test_byline_skips_author_named_containers():
+    """An author-NAMED wrapper around a whole article must not become the
+    byline; the short inner byline element (visited later in pre-order)
+    wins."""
+    body = " ".join(["word"] * 300)
+    html = (
+        f'<html><body><div class="author-page"><h2>Archive</h2>'
+        f"<article><p>{body}</p>"
+        f'<span class="byline">By Ada Lovelace</span></article>'
+        "</div></body></html>"
+    )
+    assert article(html)["byline"] == "By Ada Lovelace"
+    # no short candidate at all -> empty, never the subtree dump
+    no_inner = (
+        f'<html><body><div class="single-author"><p>{body}</p></div>'
+        "</body></html>"
+    )
+    assert article(no_inner)["byline"] == ""
+
+
 def test_pub_date_sources_in_priority_order():
     by_meta = (
         '<html><head><meta property="article:published_time" '

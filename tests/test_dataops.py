@@ -1239,6 +1239,33 @@ def test_bigram_logprob_join_path_matches_broadcast(ray_session):
     assert a.equals(b)
 
 
+def _serial_pq_train(Xq, sub):
+    """Single-process reproduction of the production integer-Lloyd PQ
+    trainer (pq_encode contract): init from the PQ_K lowest-vec_id
+    subvectors, PQ_ITERS assign/update rounds, empty codewords kept."""
+    from web_content_extraction_benchmark_ray.pipelines.dataops import (
+        PQ_ITERS,
+        PQ_K,
+        PQ_M,
+    )
+
+    books, codes = [], {}
+    for m in range(PQ_M):
+        Xs = Xq[:, m * sub:(m + 1) * sub]
+        book = Xs[:PQ_K].copy()
+        for _ in range(PQ_ITERS):
+            d = ((Xs[:, None, :] - book[None, :, :]) ** 2).sum(axis=2)
+            cl = d.argmin(axis=1)
+            for j in range(PQ_K):
+                mask = cl == j
+                if mask.any():
+                    book[j] = Xs[mask].sum(axis=0) // mask.sum()
+        books.append(book)
+        d = ((Xs[:, None, :] - book[None, :, :]) ** 2).sum(axis=2)
+        codes[m] = d.argmin(axis=1)
+    return books, codes
+
+
 def test_pq_encode_matches_serial_lloyd(ray_session):
     """Distributed integer-PQ training must equal a single-process
     reproduction of the same fixed-iteration integer Lloyd, and the
@@ -1246,7 +1273,6 @@ def test_pq_encode_matches_serial_lloyd(ray_session):
     import pyarrow.parquet as pq
 
     from web_content_extraction_benchmark_ray.pipelines.dataops import (
-        PQ_ITERS,
         PQ_K,
         PQ_M,
         PQ_OFF,
@@ -1264,19 +1290,7 @@ def test_pq_encode_matches_serial_lloyd(ray_session):
     Xq = np.floor(X * 1e6 + 0.5).astype(np.int64) + PQ_OFF
     dim = X.shape[1]
     sub = dim // PQ_M
-    codes = {}
-    for m in range(PQ_M):
-        Xs = Xq[:, m * sub:(m + 1) * sub]
-        book = Xs[:PQ_K].copy()  # vec_ids are sorted ascending
-        for _ in range(PQ_ITERS):
-            d = ((Xs[:, None, :] - book[None, :, :]) ** 2).sum(axis=2)
-            cl = d.argmin(axis=1)
-            for j in range(PQ_K):
-                mask = cl == j
-                if mask.any():
-                    book[j] = Xs[mask].sum(axis=0) // mask.sum()
-        d = ((Xs[:, None, :] - book[None, :, :]) ** 2).sum(axis=2)
-        codes[m] = d.argmin(axis=1)
+    _, codes = _serial_pq_train(Xq, sub)
     assert (df["vec_id"].to_numpy() == t["vec_id"].to_numpy()).all()
     for m in range(PQ_M):
         assert (df[f"code_{m}"].to_numpy() == codes[m]).all(), m
@@ -1294,8 +1308,6 @@ def test_pq_search_adc_matches_serial(ray_session):
     import pyarrow.parquet as pq
 
     from web_content_extraction_benchmark_ray.pipelines.dataops import (
-        PQ_ITERS,
-        PQ_K,
         PQ_M,
         PQ_OFF,
         pq_search,
@@ -1317,20 +1329,7 @@ def test_pq_search_adc_matches_serial(ray_session):
     Xq = np.floor(X * 1e6 + 0.5).astype(np.int64) + PQ_OFF
     dim = X.shape[1]
     sub = dim // PQ_M
-    books, codes = [], {}
-    for m in range(PQ_M):
-        Xs = Xq[:, m * sub:(m + 1) * sub]
-        book = Xs[:PQ_K].copy()
-        for _ in range(PQ_ITERS):
-            d = ((Xs[:, None, :] - book[None, :, :]) ** 2).sum(axis=2)
-            cl = d.argmin(axis=1)
-            for j in range(PQ_K):
-                mask = cl == j
-                if mask.any():
-                    book[j] = Xs[mask].sum(axis=0) // mask.sum()
-        books.append(book)
-        d = ((Xs[:, None, :] - book[None, :, :]) ** 2).sum(axis=2)
-        codes[m] = d.argmin(axis=1)
+    books, codes = _serial_pq_train(Xq, sub)
     qmask = ids < N_QUERIES
     expect = []
     for qi in np.where(qmask)[0]:

@@ -15,7 +15,11 @@ body extraction to the same goose/readability cascade family):
   ``<h1>``.
 - **byline**: ``author`` / ``article:author`` meta, else the first
   ``rel="author"`` element, else the first element whose class/id names
-  it a byline (``byline|author`` pattern).
+  it a byline (``byline|author`` pattern) AND whose text is byline-sized
+  (≤ ``_BYLINE_MAX_CHARS``) — the size gate keeps an author-named
+  CONTAINER (``<div class="author-page">`` wrapping a whole article)
+  from returning its entire subtree as the byline; pre-order traversal
+  still reaches the short inner element afterwards.
 - **pub_date**: ``article:published_time`` meta, else date-named metas
   (``date``, ``pubdate``, ``publish-date``, ``dc.date``), else the first
   ``<time datetime=...>`` attribute.  Returned verbatim (ISO strings in
@@ -31,7 +35,7 @@ from __future__ import annotations
 
 import re
 
-from ..htmlparse import Node, body_or_root, parse
+from ..htmlparse import Node, parse
 from ..text import sub_common_entities
 from .cascade import cascade_from_root
 
@@ -40,6 +44,7 @@ from .cascade import cascade_from_root
 # so hyphenated words never split).
 _TITLE_SEP = re.compile(r"\s+(?:\||-|–|—|\xbb|::)\s+")
 _BYLINE_NAME = re.compile(r"byline|author", re.I)
+_BYLINE_MAX_CHARS = 100  # a byline is a name line, never a subtree
 _DATE_META_NAMES = frozenset(
     ("date", "pubdate", "publish-date", "publish_date", "dc.date",
      "article:published_time", "og:published_time")
@@ -96,7 +101,7 @@ def _byline(root: Node, metas: dict[str, str]) -> str:
         )
         if _BYLINE_NAME.search(name):
             text = n.text()
-            if text.strip():
+            if text.strip() and len(text) <= _BYLINE_MAX_CHARS:
                 return _clean(text)
     return ""
 
@@ -129,6 +134,4 @@ def article(html: str) -> dict[str, str]:
     return article_from_root(parse(html))
 
 
-# body_or_root imported for API symmetry with sibling extractors (unused
-# directly: cascade_from_root owns body selection).
-__all__ = ["article", "article_from_root", "body_or_root"]
+__all__ = ["article", "article_from_root"]

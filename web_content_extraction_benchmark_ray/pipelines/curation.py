@@ -141,6 +141,45 @@ def decontaminate(sf_dir: str):
 _OFFSET_CACHE: dict = {}
 
 
+def _bucket_offsets(idx, value_col: str | None, *, descending: bool = False,
+                    bucket_col: str = "bucket"):
+    """Level 1 of the two-level distributed scan shared by every
+    prefix/rank operator in this module (pack_shards, select_budget,
+    quality_tiers, shuffle_order, pack_sequences): per-bucket totals
+    (``Sum(value_col)``, or ``Count()`` when None) prefix-summed ONCE on
+    the driver into exclusive bucket offsets.  Returns
+    ``(off_ref, grand_total)``; workers fetch the dict once per process
+    via ``_cached_offsets``."""
+    from ray.data.aggregate import Count, Sum
+
+    agg = Count() if value_col is None else Sum(value_col)
+    out_col = "count()" if value_col is None else f"sum({value_col})"
+    sums = (
+        coalesce_small(idx, 4)
+        .groupby(bucket_col)
+        .aggregate(agg)
+        .to_pandas()
+        .sort_values(bucket_col, ascending=not descending)
+    )
+    vals = sums[out_col].to_numpy()
+    offsets = dict(
+        zip(
+            sums[bucket_col].tolist(),
+            np.concatenate([[0], np.cumsum(vals)[:-1]]).tolist(),
+        )
+    )
+    return ray.put(offsets), int(vals.sum())
+
+
+def _cached_offsets(off_ref) -> dict:
+    """Per-worker-process cache of the broadcast offsets dict."""
+    key = off_ref.hex()
+    offs = _OFFSET_CACHE.get(key)
+    if offs is None:
+        offs = _OFFSET_CACHE[key] = ray.get(off_ref)
+    return offs
+
+
 def pack_shards(sf_dir: str, range_size: int = PACK_RANGE,
                 budget: int = PACK_BUDGET):
     """Token-budget shard packing: shard_id = (exclusive prefix sum of
@@ -149,8 +188,6 @@ def pack_shards(sf_dir: str, range_size: int = PACK_RANGE,
     Distributed scan, not a driver loop: per-bucket Sum -> one small
     prefix pass over the bucket-sum table -> per-bucket independent
     in-bucket cumulative sums offset by their bucket's prefix."""
-    from ray.data.aggregate import Sum
-
     def counts(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
         toks = [
@@ -171,24 +208,10 @@ def pack_shards(sf_dir: str, range_size: int = PACK_RANGE,
     # materialize the tiny (doc_id, bucket, n_tokens) index once
     cnt = cnt.materialize()
 
-    sums = coalesce_small(cnt, 4).groupby("bucket").aggregate(
-        Sum("n_tokens")
-    ).to_pandas().sort_values("bucket")
-    offsets = dict(
-        zip(
-            sums["bucket"].tolist(),
-            np.concatenate(
-                [[0], np.cumsum(sums["sum(n_tokens)"].to_numpy())[:-1]]
-            ).tolist(),
-        )
-    )
-    off_ref = ray.put(offsets)
+    off_ref, _ = _bucket_offsets(cnt, "n_tokens")
 
     def assign(group: pa.Table, off_ref=off_ref) -> pa.Table:
-        key = off_ref.hex()
-        offs = _OFFSET_CACHE.get(key)
-        if offs is None:
-            offs = _OFFSET_CACHE[key] = ray.get(off_ref)
+        offs = _cached_offsets(off_ref)
         ids = np.asarray(group.column("doc_id").to_pylist(), dtype=np.int64)
         tok = np.asarray(
             group.column("n_tokens").to_pylist(), dtype=np.int64
@@ -233,7 +256,6 @@ def select_budget(sf_dir: str, budget: int = SELECT_BUDGET):
     index rows only, and a finer QSTEP (or a second-level split on
     doc_id) is the knob.
     """
-    from ray.data.aggregate import Sum
 
     from ..functions.textstats import quality_features
 
@@ -244,8 +266,9 @@ def select_budget(sf_dir: str, budget: int = SELECT_BUDGET):
             batch.column("text").to_pylist(),
         ):
             ids.append(int(i))
-            q_mu.append(int(round(quality_features(t)["quality"] * 1e6)))
-            ntok.append(len(tokenize_ws(t)))
+            qf = quality_features(t)  # n_ws IS len(tokenize_ws(t))
+            q_mu.append(int(round(qf["quality"] * 1e6)))
+            ntok.append(qf["n_ws"])
         return pa.table(
             {
                 "doc_id": pa.array(ids, pa.int64()),
@@ -260,28 +283,11 @@ def select_budget(sf_dir: str, budget: int = SELECT_BUDGET):
     idx = _docs(sf_dir).map_batches(counts, batch_format="pyarrow")
     idx = idx.materialize()  # tiny (doc_id, q_mu, n_tokens) index, read 2x
 
-    sums = (
-        coalesce_small(idx, 4)
-        .groupby("bucket")
-        .aggregate(Sum("n_tokens"))
-        .to_pandas()
-        .sort_values("bucket", ascending=False)  # high quality first
-    )
-    offsets = dict(
-        zip(
-            sums["bucket"].tolist(),
-            np.concatenate(
-                [[0], np.cumsum(sums["sum(n_tokens)"].to_numpy())[:-1]]
-            ).tolist(),
-        )
-    )
-    off_ref = ray.put(offsets)
+    # high quality first
+    off_ref, _ = _bucket_offsets(idx, "n_tokens", descending=True)
 
     def assign(group: pa.Table, off_ref=off_ref) -> pa.Table:
-        key = off_ref.hex()
-        offs = _OFFSET_CACHE.get(key)
-        if offs is None:
-            offs = _OFFSET_CACHE[key] = ray.get(off_ref)
+        offs = _cached_offsets(off_ref)
         ids = np.asarray(group.column("doc_id").to_pylist(), dtype=np.int64)
         q = np.asarray(group.column("q_mu").to_pylist(), dtype=np.int64)
         tok = np.asarray(group.column("n_tokens").to_pylist(), dtype=np.int64)
@@ -334,11 +340,12 @@ def source_mix(sf_dir: str, budget: int = SELECT_BUDGET):
             batch.column("source").to_pylist(),
             batch.column("text").to_pylist(),
         ):
-            q = int(round(quality_features(t)["quality"] * 1e6))
+            qf = quality_features(t)  # n_ws IS len(tokenize_ws(t))
+            q = int(round(qf["quality"] * 1e6))
             ids.append(int(i))
             srcs.append(s)
             q_mu.append(q)
-            ntok.append(len(tokenize_ws(t)))
+            ntok.append(qf["n_ws"])
             gkey.append(f"{s}#{q // _SELECT_QSTEP}")
         return pa.table(
             {
@@ -377,10 +384,7 @@ def source_mix(sf_dir: str, budget: int = SELECT_BUDGET):
     off_ref = ray.put(offsets)
 
     def assign(group: pa.Table, off_ref=off_ref) -> pa.Table:
-        key = off_ref.hex()
-        offs = _OFFSET_CACHE.get(key)
-        if offs is None:
-            offs = _OFFSET_CACHE[key] = ray.get(off_ref)
+        offs = _cached_offsets(off_ref)
         ids = np.asarray(group.column("doc_id").to_pylist(), dtype=np.int64)
         q = np.asarray(group.column("q_mu").to_pylist(), dtype=np.int64)
         tok = np.asarray(group.column("n_tokens").to_pylist(), dtype=np.int64)
@@ -431,7 +435,6 @@ def quality_tiers(sf_dir: str, k: int = TIER_K):
     the exact rank (first n%k tiles hold ceil(n/k) rows), so the tier
     matches DuckDB's window function bit for bit.
     """
-    from ray.data.aggregate import Count
 
     from ..functions.textstats import quality_features
 
@@ -442,8 +445,9 @@ def quality_tiers(sf_dir: str, k: int = TIER_K):
             batch.column("text").to_pylist(),
         ):
             ids.append(int(i))
-            q_mu.append(int(round(quality_features(t)["quality"] * 1e6)))
-            ntok.append(len(tokenize_ws(t)))
+            qf = quality_features(t)  # n_ws IS len(tokenize_ws(t))
+            q_mu.append(int(round(qf["quality"] * 1e6)))
+            ntok.append(qf["n_ws"])
         return pa.table(
             {
                 "doc_id": pa.array(ids, pa.int64()),
@@ -458,23 +462,8 @@ def quality_tiers(sf_dir: str, k: int = TIER_K):
     idx = _docs(sf_dir).map_batches(counts, batch_format="pyarrow")
     idx = idx.materialize()  # tiny index, read twice (counts + rank pass)
 
-    sums = (
-        coalesce_small(idx, 4)
-        .groupby("bucket")
-        .aggregate(Count())
-        .to_pandas()
-        .sort_values("bucket", ascending=False)  # high quality first
-    )
-    n_total = int(sums["count()"].sum())
-    offsets = dict(
-        zip(
-            sums["bucket"].tolist(),
-            np.concatenate(
-                [[0], np.cumsum(sums["count()"].to_numpy())[:-1]]
-            ).tolist(),
-        )
-    )
-    off_ref = ray.put(offsets)
+    # high quality first
+    off_ref, n_total = _bucket_offsets(idx, None, descending=True)
 
     # SQL NTILE(k) over n rows: the first n % k tiles hold ceil(n/k)
     # rows, the rest floor(n/k).
@@ -482,10 +471,7 @@ def quality_tiers(sf_dir: str, k: int = TIER_K):
     cutoff = rem * (small + 1)
 
     def assign(group: pa.Table, off_ref=off_ref) -> pa.Table:
-        key = off_ref.hex()
-        offs = _OFFSET_CACHE.get(key)
-        if offs is None:
-            offs = _OFFSET_CACHE[key] = ray.get(off_ref)
+        offs = _cached_offsets(off_ref)
         ids = np.asarray(group.column("doc_id").to_pylist(), dtype=np.int64)
         q = np.asarray(group.column("q_mu").to_pylist(), dtype=np.int64)
         tok = np.asarray(group.column("n_tokens").to_pylist(), dtype=np.int64)
@@ -536,7 +522,6 @@ def shuffle_order(sf_dir: str, seed: str = SHUFFLE_SEED,
     range-read their shard's doc_ids — the shuffle is metadata, the bulk
     data stays put (the Lance-table take-by-rowid pattern).
     """
-    from ray.data.aggregate import Count
 
     def index(batch: pa.Table) -> pa.Table:
         ids = [int(i) for i in batch.column("doc_id").to_pylist()]
@@ -552,28 +537,10 @@ def shuffle_order(sf_dir: str, seed: str = SHUFFLE_SEED,
     idx = _docs(sf_dir).map_batches(index, batch_format="pyarrow")
     idx = idx.materialize()  # tiny (doc_id, h) index, read twice
 
-    sums = (
-        coalesce_small(idx, 4)
-        .groupby("bucket")
-        .aggregate(Count())
-        .to_pandas()
-        .sort_values("bucket")
-    )
-    offsets = dict(
-        zip(
-            sums["bucket"].tolist(),
-            np.concatenate(
-                [[0], np.cumsum(sums["count()"].to_numpy())[:-1]]
-            ).tolist(),
-        )
-    )
-    off_ref = ray.put(offsets)
+    off_ref, _ = _bucket_offsets(idx, None)
 
     def assign(group: pa.Table, off_ref=off_ref) -> pa.Table:
-        key = off_ref.hex()
-        offs = _OFFSET_CACHE.get(key)
-        if offs is None:
-            offs = _OFFSET_CACHE[key] = ray.get(off_ref)
+        offs = _cached_offsets(off_ref)
         ids = np.asarray(group.column("doc_id").to_pylist(), dtype=np.int64)
         h = np.asarray(group.column("h").to_pylist(), dtype=np.int64)
         order = np.lexsort((ids, h))  # h asc, doc_id asc
@@ -613,7 +580,6 @@ def pack_sequences(sf_dir: str, seq_len: int = SEQ_LEN,
     rows sorted by (h, doc_id).  Only 32-byte index rows move; a new
     seed re-packs a new epoch without touching the text.
     """
-    from ray.data.aggregate import Sum
 
     def index(batch: pa.Table) -> pa.Table:
         ids, hs, toks = [], [], []
@@ -637,28 +603,10 @@ def pack_sequences(sf_dir: str, seq_len: int = SEQ_LEN,
     idx = _docs(sf_dir).map_batches(index, batch_format="pyarrow")
     idx = idx.materialize()  # tiny index, read twice
 
-    sums = (
-        coalesce_small(idx, 4)
-        .groupby("bucket")
-        .aggregate(Sum("n_tokens"))
-        .to_pandas()
-        .sort_values("bucket")
-    )
-    offsets = dict(
-        zip(
-            sums["bucket"].tolist(),
-            np.concatenate(
-                [[0], np.cumsum(sums["sum(n_tokens)"].to_numpy())[:-1]]
-            ).tolist(),
-        )
-    )
-    off_ref = ray.put(offsets)
+    off_ref, _ = _bucket_offsets(idx, "n_tokens")
 
     def assign(group: pa.Table, off_ref=off_ref) -> pa.Table:
-        key = off_ref.hex()
-        offs = _OFFSET_CACHE.get(key)
-        if offs is None:
-            offs = _OFFSET_CACHE[key] = ray.get(off_ref)
+        offs = _cached_offsets(off_ref)
         ids = np.asarray(group.column("doc_id").to_pylist(), dtype=np.int64)
         h = np.asarray(group.column("h").to_pylist(), dtype=np.int64)
         tok = np.asarray(

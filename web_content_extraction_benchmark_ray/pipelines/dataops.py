@@ -875,171 +875,37 @@ def unigram_logprob(sf_dir: str, broadcast_max_types: int | None = None):
     (``length(bin(c)) - 1``) agree bit for bit — no transcendental-libm
     parity risk.
 
-    Shape: distributed wordcount (per-batch Counter combiner → bucketed
+    Shape (shared with ``bigram_logprob`` via ``_ngram_logprob``):
+    distributed gram-count (per-batch Counter combiner → bucketed
     vectorized Sum, stages/vecagg.py), materialized ONCE in the object
-    store (types, not tokens),
-    then one of two integer-identical scoring paths chosen by vocab size:
+    store (types, not tokens), then one of two integer-identical scoring
+    paths chosen by vocab size:
 
     - ``n_types <= broadcast_max_types``: the vocab is genuinely the
       small side — ``ray.put`` one dict, shuffle-free scoring pass.
-    - larger: token-explode join.  Docs explode to one row per DISTINCT
-      token per doc ``(doc_id, tok, k)`` (the per-doc Counter is the
-      map-side combiner), hash-join against the vocab on ``tok``, then a
-      bucketed vectorized Sum on ``doc_id`` rebuilds ``(n_tokens, sum_log2)``.
+    - larger: gram-explode join.  Docs explode to one row per DISTINCT
+      gram per doc ``(doc_id, gram, k)`` (the per-doc Counter is the
+      map-side combiner), hash-join against the vocab on ``gram``, then a
+      bucketed vectorized Sum on ``doc_id`` rebuilds the per-doc sums.
       No process ever holds the vocabulary; both sides stream.  A
-      sentinel ``("", k=0)`` row per doc (tokenize_ws never yields "")
-      keeps zero-token docs in the inner join with exact sums.
+      sentinel ``("", k=0)`` row per doc keeps gram-less docs in the
+      inner join with exact sums.
     """
-    from collections import Counter
-
     from ..functions.text import tokenize_ws
 
-    if broadcast_max_types is None:
-        broadcast_max_types = UNIGRAM_BROADCAST_MAX_TYPES
-
-    def wc(batch: pa.Table) -> pa.Table:
-        c = Counter()
-        for t in batch.column("text").to_pylist():
-            c.update(tokenize_ws(t))
-        return pa.table(
-            {
-                "tok": pa.array(list(c.keys()), pa.string()),
-                "c": pa.array(list(c.values()), pa.int64()),
-            }
-        )
-
-    from ..stages.vecagg import bucketed_groupby
-
-    vocab = bucketed_groupby(
-        _docs(sf_dir).map_batches(wc, batch_format="pyarrow"),
-        "tok", ["c"], ["sum"],
-    ).materialize()
-    total = int(vocab.sum("c") or 0)
-    d_log = total.bit_length() - 1
-
-    n_types = vocab.count()
-    if n_types <= broadcast_max_types:
-        counts = {r["tok"]: int(r["c"]) for r in vocab.take_all()}
-        ref = ray.put(counts)
-
-        def score(batch: pa.Table) -> pa.Table:
-            from ..stages.simsearch import _get_broadcast
-
-            cmap = _get_broadcast(ref)
-            ids = batch.column("doc_id").to_pylist()
-            n_out, s_out, q_out = [], [], []
-            for t in batch.column("text").to_pylist():
-                toks = tokenize_ws(t)
-                slp = sum(cmap[tok].bit_length() - 1 for tok in toks)
-                n_out.append(len(toks))
-                s_out.append(slp)
-                q_out.append(
-                    (slp * 1_000_000 // (len(toks) * d_log)) / 1e6
-                    if toks and d_log else 0.0
-                )
-            return pa.table(
-                {
-                    "doc_id": pa.array(
-                        [int(i) for i in ids], pa.int64()
-                    ),
-                    "n_tokens": pa.array(n_out, pa.int64()),
-                    "sum_log2": pa.array(s_out, pa.int64()),
-                    "lm_score": pa.array(q_out, pa.float64()),
-                }
-            )
-
-        return _docs(sf_dir).map_batches(score, batch_format="pyarrow")
-
-    # ---- big-vocab path: token-explode hash join, vocabulary never held
-    # in one process.
-    from .evalpipe import join_partitions
-
-    def explode(batch: pa.Table) -> pa.Table:
-        ids_out, tok_out, k_out = [], [], []
-        for i, t in zip(
-            batch.column("doc_id").to_pylist(),
-            batch.column("text").to_pylist(),
-        ):
-            i = int(i)
-            c = Counter(tokenize_ws(t))
-            ids_out.extend([i] * (len(c) + 1))
-            tok_out.extend(c.keys())
-            k_out.extend(c.values())
-            tok_out.append("")  # sentinel: keeps zero-token docs joined
-            k_out.append(0)
-        return pa.table(
-            {
-                "doc_id": pa.array(ids_out, pa.int64()),
-                "tok": pa.array(tok_out, pa.string()),
-                "k": pa.array(k_out, pa.int64()),
-            }
-        )
-
-    sentinel = ray.data.from_arrow(
-        pa.table({"tok": pa.array([""], pa.string()),
-                  "c": pa.array([1], pa.int64())})
-    )
-    joined = (
-        _docs(sf_dir)
-        .map_batches(explode, batch_format="pyarrow")
-        .join(
-            vocab.union(sentinel).map_batches(
-                _with_schema(
-                    pa.schema([("tok", pa.string()), ("c", pa.int64())])
-                ),
-                batch_format="pyarrow",
-            ),
-            join_type="inner",
-            num_partitions=_join_parts(n_types),
-            on=("tok",),
-        )
+    return _ngram_logprob(
+        sf_dir, tokenize_ws, "tok", "n_tokens", "lm_score",
+        broadcast_max_types,
     )
 
-    def contrib(batch: pa.Table) -> pa.Table:
-        k = batch.column("k").to_pylist()
-        c = batch.column("c").to_pylist()
-        return pa.table(
-            {
-                "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
-                "n_tokens": pa.array(k, pa.int64()),
-                "sum_log2": pa.array(
-                    [ki * (int(ci).bit_length() - 1)
-                     for ki, ci in zip(k, c)],
-                    pa.int64(),
-                ),
-            }
-        )
 
-    from ..stages.vecagg import bucketed_groupby
+def _bigrams_ws(text: str) -> list:
+    from ..functions.text import tokenize_ws
 
-    per_doc = bucketed_groupby(
-        joined.map_batches(contrib, batch_format="pyarrow"),
-        "doc_id", ["n_tokens", "sum_log2"], ["sum", "sum"],
-    )
-
-    def finish(batch: pa.Table) -> pa.Table:
-        n = batch.column("n_tokens").to_pylist()
-        s = batch.column("sum_log2").to_pylist()
-        return pa.table(
-            {
-                "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
-                "n_tokens": pa.array([int(x) for x in n], pa.int64()),
-                "sum_log2": pa.array([int(x) for x in s], pa.int64()),
-                "lm_score": pa.array(
-                    [
-                        (si * 1_000_000 // (ni * d_log)) / 1e6
-                        if ni and d_log else 0.0
-                        for ni, si in zip(n, s)
-                    ],
-                    pa.float64(),
-                ),
-            }
-        )
-
-    return per_doc.map_batches(finish, batch_format="pyarrow")
+    toks = tokenize_ws(text)
+    return [toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1)]
 
 
-# ----------------------------------------------------------- bigram_logprob
 def bigram_logprob(sf_dir: str, broadcast_max_types: int | None = None):
     """Bigram LM quality score — the order-2 step from ``unigram_logprob``
     toward the KenLM scoring CCNet actually ships (Wenzek et al. 2020):
@@ -1050,52 +916,52 @@ def bigram_logprob(sf_dir: str, broadcast_max_types: int | None = None):
                     / 1e6,  ilog2(c) = bit_length(c) - 1
 
     over whitespace-token bigrams (docs with < 2 tokens emit 0/0/0.0).
-    Integer-quantized log2 (bit length == SQL ``length(bin(c)) - 1``), so
-    the twin matches bit for bit.
-
-    Shape: identical dual path to ``unigram_logprob`` — distributed
-    bigram-count (per-batch Counter combiner → bucketed vectorized Sum)
-    materialized once as the model table; broadcast dict below
-    ``broadcast_max_types`` distinct bigrams, else a bigram-explode hash
-    join where no process ever holds the model.  Bigram vocabularies are
-    ~10× unigram ones, so at corpus scale the join path is the default
-    — which is exactly why it exists.
+    Same dual-path shape as ``unigram_logprob`` (one shared
+    implementation, ``_ngram_logprob``); bigram vocabularies are ~10×
+    unigram ones, so at corpus scale the explode-join is the default —
+    which is exactly why it exists.
     """
-    from collections import Counter
+    return _ngram_logprob(
+        sf_dir, _bigrams_ws, "gram", "n_bigrams", "lm2_score",
+        broadcast_max_types,
+    )
 
-    from ..functions.text import tokenize_ws
+
+def _ngram_logprob(sf_dir: str, grams_of, key_col: str, n_col: str,
+                   score_col: str, broadcast_max_types: int | None):
+    """Shared dual-path integer-log2 LM scorer of unigram_logprob /
+    bigram_logprob (see their docstrings for semantics and the scale
+    contract).  ``grams_of(text) -> list[str]`` defines the model order;
+    grams never equal "" (tokenize_ws yields no empty token, bigrams
+    always contain a space), so "" is the safe sentinel key."""
+    from collections import Counter
 
     if broadcast_max_types is None:
         broadcast_max_types = UNIGRAM_BROADCAST_MAX_TYPES
 
-    def _bigrams(toks: list) -> list:
-        return [
-            toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1)
-        ]
-
     def wc(batch: pa.Table) -> pa.Table:
         c = Counter()
         for t in batch.column("text").to_pylist():
-            c.update(_bigrams(tokenize_ws(t)))
+            c.update(grams_of(t))
         return pa.table(
             {
-                "gram": pa.array(list(c.keys()), pa.string()),
+                key_col: pa.array(list(c.keys()), pa.string()),
                 "c": pa.array(list(c.values()), pa.int64()),
             }
         )
 
     from ..stages.vecagg import bucketed_groupby
 
-    model = bucketed_groupby(
+    vocab = bucketed_groupby(
         _docs(sf_dir).map_batches(wc, batch_format="pyarrow"),
-        "gram", ["c"], ["sum"],
+        key_col, ["c"], ["sum"],
     ).materialize()
-    total = int(model.sum("c") or 0)
+    total = int(vocab.sum("c") or 0)
     d_log = total.bit_length() - 1 if total > 0 else 0
 
-    n_types = model.count()
+    n_types = vocab.count()
     if n_types <= broadcast_max_types:
-        counts = {r["gram"]: int(r["c"]) for r in model.take_all()}
+        counts = {r[key_col]: int(r["c"]) for r in vocab.take_all()}
         ref = ray.put(counts)
 
         def score(batch: pa.Table) -> pa.Table:
@@ -1105,7 +971,7 @@ def bigram_logprob(sf_dir: str, broadcast_max_types: int | None = None):
             ids = batch.column("doc_id").to_pylist()
             n_out, s_out, q_out = [], [], []
             for t in batch.column("text").to_pylist():
-                grams = _bigrams(tokenize_ws(t))
+                grams = grams_of(t)
                 slp = sum(cmap[g].bit_length() - 1 for g in grams)
                 n_out.append(len(grams))
                 s_out.append(slp)
@@ -1118,16 +984,16 @@ def bigram_logprob(sf_dir: str, broadcast_max_types: int | None = None):
                     "doc_id": pa.array(
                         [int(i) for i in ids], pa.int64()
                     ),
-                    "n_bigrams": pa.array(n_out, pa.int64()),
+                    n_col: pa.array(n_out, pa.int64()),
                     "sum_log2": pa.array(s_out, pa.int64()),
-                    "lm2_score": pa.array(q_out, pa.float64()),
+                    score_col: pa.array(q_out, pa.float64()),
                 }
             )
 
         return _docs(sf_dir).map_batches(score, batch_format="pyarrow")
 
-    # ---- big-model path: bigram-explode hash join (the unigram shape;
-    # a sentinel ("", k=0) row keeps short docs in the inner join).
+    # ---- big-vocab path: gram-explode hash join, vocabulary never held
+    # in one process.
     def explode(batch: pa.Table) -> pa.Table:
         ids_out, g_out, k_out = [], [], []
         for i, t in zip(
@@ -1135,37 +1001,37 @@ def bigram_logprob(sf_dir: str, broadcast_max_types: int | None = None):
             batch.column("text").to_pylist(),
         ):
             i = int(i)
-            c = Counter(_bigrams(tokenize_ws(t)))
+            c = Counter(grams_of(t))
             ids_out.extend([i] * (len(c) + 1))
             g_out.extend(c.keys())
             k_out.extend(c.values())
-            g_out.append("")  # real bigrams always contain a space
+            g_out.append("")  # sentinel: keeps gram-less docs joined
             k_out.append(0)
         return pa.table(
             {
                 "doc_id": pa.array(ids_out, pa.int64()),
-                "gram": pa.array(g_out, pa.string()),
+                key_col: pa.array(g_out, pa.string()),
                 "k": pa.array(k_out, pa.int64()),
             }
         )
 
     sentinel = ray.data.from_arrow(
-        pa.table({"gram": pa.array([""], pa.string()),
+        pa.table({key_col: pa.array([""], pa.string()),
                   "c": pa.array([1], pa.int64())})
     )
     joined = (
         _docs(sf_dir)
         .map_batches(explode, batch_format="pyarrow")
         .join(
-            model.union(sentinel).map_batches(
+            vocab.union(sentinel).map_batches(
                 _with_schema(
-                    pa.schema([("gram", pa.string()), ("c", pa.int64())])
+                    pa.schema([(key_col, pa.string()), ("c", pa.int64())])
                 ),
                 batch_format="pyarrow",
             ),
             join_type="inner",
             num_partitions=_join_parts(n_types),
-            on=("gram",),
+            on=(key_col,),
         )
     )
 
@@ -1175,7 +1041,7 @@ def bigram_logprob(sf_dir: str, broadcast_max_types: int | None = None):
         return pa.table(
             {
                 "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
-                "n_bigrams": pa.array(k, pa.int64()),
+                n_col: pa.array(k, pa.int64()),
                 "sum_log2": pa.array(
                     [ki * (int(ci).bit_length() - 1)
                      for ki, ci in zip(k, c)],
@@ -1186,18 +1052,18 @@ def bigram_logprob(sf_dir: str, broadcast_max_types: int | None = None):
 
     per_doc = bucketed_groupby(
         joined.map_batches(contrib, batch_format="pyarrow"),
-        "doc_id", ["n_bigrams", "sum_log2"], ["sum", "sum"],
+        "doc_id", [n_col, "sum_log2"], ["sum", "sum"],
     )
 
     def finish(batch: pa.Table) -> pa.Table:
-        n = batch.column("n_bigrams").to_pylist()
+        n = batch.column(n_col).to_pylist()
         s = batch.column("sum_log2").to_pylist()
         return pa.table(
             {
                 "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
-                "n_bigrams": pa.array([int(x) for x in n], pa.int64()),
+                n_col: pa.array([int(x) for x in n], pa.int64()),
                 "sum_log2": pa.array([int(x) for x in s], pa.int64()),
-                "lm2_score": pa.array(
+                score_col: pa.array(
                     [
                         (si * 1_000_000 // (ni * d_log)) / 1e6
                         if ni and d_log else 0.0
