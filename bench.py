@@ -36,7 +36,7 @@ def _consume(ds) -> int:
     on the workers, never pulled through the driver) and return the row
     count.  A driver-side iter_batches pull was measured to serialize the
     tail of the pipeline and cap scaling."""
-    return ds.count()
+    return ds.count() if hasattr(ds, "count") else len(ds)
 
 
 def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
@@ -224,6 +224,10 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
                   lambda: _consume(qo.cooccur_topk(sf_dir)))
             timed("distinct_by_source",
                   lambda: _consume(qo.distinct_by_source(sf_dir)))
+            timed("length_quantiles",
+                  lambda: _consume(qo.length_quantiles(sf_dir)))
+            timed("score_correlation",
+                  lambda: _consume(qo.score_correlation(sf_dir)))
         except ImportError:
             pass
         try:

@@ -319,3 +319,77 @@ def test_events_funnel_matches_serial_scan(ray_session):
                 break
             depth += 1
         assert row["depth"] == depth
+
+
+def test_length_quantiles_matches_serial_selection(ray_session):
+    """Integer-index selection per source must equal a single-process
+    sort + index pick."""
+    import pyarrow.parquet as pq
+
+    from web_content_extraction_benchmark_ray.functions.text import (
+        tokenize_ws,
+    )
+    from web_content_extraction_benchmark_ray.pipelines.qualityops import (
+        LENGTH_PCTS,
+        length_quantiles,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    df = length_quantiles(sf).to_pandas()
+    docs = pq.read_table(
+        f"{sf}/documents.parquet", columns=["source", "text"]
+    ).to_pandas()
+    docs["n_tokens"] = docs["text"].map(lambda s: len(tokenize_ws(s)))
+    expect = {}
+    for src, g in docs.groupby("source"):
+        tok = np.sort(g["n_tokens"].to_numpy())
+        for p in LENGTH_PCTS:
+            expect[(src, p)] = int(tok[(p * (len(tok) - 1)) // 100])
+    assert len(df) == len(expect)
+    for _, row in df.iterrows():
+        assert row["n_tokens_q"] == expect[(row["source"], row["pct"])]
+    # percentiles are monotone within a source
+    for _, g in df.groupby("source"):
+        vals = g.sort_values("pct")["n_tokens_q"].tolist()
+        assert vals == sorted(vals)
+
+
+def test_score_correlation_matches_serial_pearson(ray_session):
+    """Distributed sufficient statistics must reproduce a single-process
+    exact-integer Pearson, and corr6 stays inside [-1e6, 1e6]."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from web_content_extraction_benchmark_ray.functions.textstats import (
+        quality_features,
+    )
+    from web_content_extraction_benchmark_ray.pipelines.qualityops import (
+        score_correlation,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    df = score_correlation(sf).to_pandas().set_index("source")
+    docs = pq.read_table(
+        f"{sf}/documents.parquet", columns=["source", "text"]
+    ).to_pandas()
+    for src, g in docs.groupby("source"):
+        qs, ls = [], []
+        for t in g["text"]:
+            qf = quality_features(t)
+            qs.append(int(round(qf["quality"] * 1e6)))
+            ls.append(qf["n_ws"])
+        n = len(qs)
+        sq, sl = sum(qs), sum(ls)
+        sqq = sum(q * q for q in qs)
+        sll = sum(x * x for x in ls)
+        sql = sum(q * x for q, x in zip(qs, ls))
+        va, vb = n * sqq - sq * sq, n * sll - sl * sl
+        corr6 = (
+            int(math.floor(1e6 * (float(n * sql - sq * sl)
+                / (math.sqrt(float(va)) * math.sqrt(float(vb)))) + 0.5))
+            if va > 0 and vb > 0 else 0
+        )
+        assert df.loc[src, "n"] == n
+        assert df.loc[src, "corr6"] == corr6
+        assert -1_000_000 <= corr6 <= 1_000_000

@@ -793,6 +793,156 @@ def distinct_by_source(sf_dir: str):
     return agg.map_batches(split, batch_format="pyarrow")
 
 
+# --------------------------------------------------------- length_quantiles
+LENGTH_PCTS = (50, 90, 99)  # data-card percentiles
+
+
+def length_quantiles(sf_dir: str, pcts=LENGTH_PCTS):
+    """Per-source exact token-length percentiles — the per-domain length
+    distribution row of a dataset card.  Selection semantics are pure
+    integers (0-based index ``(pct * (n-1)) // 100`` into the ascending
+    length multiset), so there is no interpolation float to disagree on.
+
+    Shape: only 16-byte (source, n_tokens) index rows leave the scan;
+    the per-source selection runs on index rows (a group is
+    ``n_docs(source)`` ints — for a group too big for one worker, the
+    ``stages/quantiles.py`` two-pass range-count selection is the
+    drop-in, as ``complexity_quantiles`` already demonstrates globally).
+    Output: (source, pct, n_tokens_q).
+    """
+    import os
+
+    from ..sources.storage import read_table as _rt
+
+    ds = _rt(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["source", "text"],
+    )
+
+    def index(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": pc.cast(batch.column("source"), pa.string()),
+                "n_tokens": pa.array(
+                    [
+                        len(tokenize_ws(t))
+                        for t in batch.column("text").to_pylist()
+                    ],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def select(group: pa.Table, pcts=tuple(pcts)) -> pa.Table:
+        src = group.column("source")[0].as_py()
+        tok = np.sort(
+            np.asarray(group.column("n_tokens").to_pylist(), np.int64)
+        )
+        n = len(tok)
+        out_p, out_v = [], []
+        for p in pcts:
+            out_p.append(int(p))
+            out_v.append(int(tok[(p * (n - 1)) // 100]))
+        return pa.table(
+            {
+                "source": pa.array([src] * len(out_p), pa.string()),
+                "pct": pa.array(out_p, pa.int64()),
+                "n_tokens_q": pa.array(out_v, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(index, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(select, batch_format="pyarrow")
+    )
+
+
+# -------------------------------------------------------- score_correlation
+def score_correlation(sf_dir: str):
+    """Per-source Pearson correlation between the quality score and doc
+    length — the 'is our quality score just measuring length?' sanity row
+    of a dataset card.  Sufficient statistics (n, Σq, Σl, Σq², Σl², Σql
+    over q = integer micro-quality, l = token count) are EXACT integer
+    sums (map-side partials per source, Python-int fold on the ≤
+    n_sources×blocks tiny reduce — int64 per batch, arbitrary precision
+    across batches, so no overflow at any corpus size); the final
+
+        corr6 = floor(1e6·(nΣql−ΣqΣl) /
+                      (sqrt(nΣq²−Σq²)·sqrt(nΣl²−Σl²)) + 0.5)
+
+    is deterministic cross-engine because every float op consumes the
+    same exact integers and IEEE sqrt/division are correctly rounded —
+    the SQL twin spells the identical expression tree.  Zero variance on
+    either side -> corr6 = 0.  Output: (source, n, corr6).
+    """
+    import math
+    import os
+
+    from ..functions.textstats import quality_features
+    from ..sources.storage import read_table as _rt
+
+    ds = _rt(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["source", "text"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        acc: dict[str, list] = {}
+        for s, t in zip(
+            batch.column("source").to_pylist(),
+            batch.column("text").to_pylist(),
+        ):
+            qf = quality_features(t)
+            q = int(round(qf["quality"] * 1e6))
+            l = qf["n_ws"]
+            a = acc.setdefault(s, [0, 0, 0, 0, 0, 0])
+            a[0] += 1
+            a[1] += q
+            a[2] += l
+            a[3] += q * q
+            a[4] += l * l
+            a[5] += q * l
+        srcs = sorted(acc)
+        cols = list(zip(*(acc[s] for s in srcs))) if srcs else [[]] * 6
+        names = ["n", "sq", "sl", "sqq", "sll", "sql"]
+        table = {"source": pa.array(srcs, pa.string())}
+        for name, col in zip(names, cols):
+            table[name] = pa.array(list(col), pa.int64())
+        return pa.table(table)
+
+    parts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()  # <= n_sources x blocks rows (tiny by construction)
+        .groupby("source")
+        .sum()
+    )
+    out_s, out_n, out_c = [], [], []
+    for src, row in parts.sort_index().iterrows():
+        n, sq, sl, sqq, sll, sql = (int(row[c]) for c in
+                                    ("n", "sq", "sl", "sqq", "sll", "sql"))
+        num = n * sql - sq * sl
+        va = n * sqq - sq * sq
+        vb = n * sll - sl * sl
+        if va > 0 and vb > 0:
+            corr6 = int(math.floor(
+                1e6 * (float(num) / (math.sqrt(float(va))
+                                     * math.sqrt(float(vb)))) + 0.5
+            ))
+        else:
+            corr6 = 0
+        out_s.append(src)
+        out_n.append(n)
+        out_c.append(corr6)
+    return pa.table(
+        {
+            "source": pa.array(out_s, pa.string()),
+            "n": pa.array(out_n, pa.int64()),
+            "corr6": pa.array(out_c, pa.int64()),
+        }
+    )
+
+
 # ------------------------------------------------------------------ oracles
 def qualityops_queries() -> dict:
     return {
@@ -803,6 +953,8 @@ def qualityops_queries() -> dict:
         "bm25_score": bm25_score,
         "cooccur_topk": cooccur_topk,
         "distinct_by_source": distinct_by_source,
+        "length_quantiles": length_quantiles,
+        "score_correlation": score_correlation,
     }
 
 
@@ -1015,5 +1167,55 @@ r AS (
 SELECT source, CAST(register AS BIGINT) AS register,
        CAST(max(rho) AS BIGINT) AS max_rho
 FROM r GROUP BY source, register"""
+
+    # length_quantiles: integer selection — no interpolation float.
+    pcts_values = ", ".join(f"({p})" for p in LENGTH_PCTS)
+    sqls["length_quantiles"] = f"""WITH t AS (
+  SELECT source,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+  FROM documents
+),
+r AS (
+  SELECT source, n_tokens,
+         row_number() OVER (PARTITION BY source ORDER BY n_tokens) - 1
+           AS rk,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM t
+),
+p AS (SELECT * FROM (VALUES {pcts_values}) AS v(pct))
+SELECT r.source, CAST(p.pct AS BIGINT) AS pct,
+       CAST(r.n_tokens AS BIGINT) AS n_tokens_q
+FROM r, p WHERE r.rk = (p.pct * (r.n - 1)) // 100"""
+
+    # score_correlation: exact HUGEINT sufficient statistics; the float
+    # tail spells the identical expression tree as the Python side
+    # (CAST each exact integer to DOUBLE, two sqrts multiplied, one
+    # division, floor(x*1e6+0.5)) — IEEE-correct rounding makes the two
+    # engines agree bit for bit.
+    q_mu = (
+        "CAST(floor((0.5 * least(1.0, len(l) / 50.0) "
+        "+ 0.3 * least(1.0, (CAST(len(list_filter(l, x -> "
+        f"list_contains([{stop_list}], lower(x)))) AS DOUBLE) / len(l)) * 5.0) "
+        "+ 0.2 * (1.0 - least(1.0, (CAST(len(regexp_extract_all(text, "
+        "'[^\\w\\s]')) AS DOUBLE) / length(text)) * 10.0))) * 1000000 + 0.5) "
+        "AS BIGINT)"
+    )
+    sqls["score_correlation"] = f"""WITH t AS (
+  SELECT source, text, regexp_split_to_array(trim(text), '\\s+') AS l
+  FROM documents
+),
+c AS (SELECT source, {q_mu} AS q, CAST(len(l) AS BIGINT) AS ln FROM t),
+s AS (
+  SELECT source, count(*) AS n, sum(q) AS sq, sum(ln) AS sl,
+         sum(q * q) AS sqq, sum(ln * ln) AS sll, sum(q * ln) AS sql_
+  FROM c GROUP BY source
+)
+SELECT source, CAST(n AS BIGINT) AS n,
+       CAST(CASE WHEN n * sqq - sq * sq > 0 AND n * sll - sl * sl > 0
+            THEN floor(1000000 * (CAST(n * sql_ - sq * sl AS DOUBLE)
+                 / (sqrt(CAST(n * sqq - sq * sq AS DOUBLE))
+                    * sqrt(CAST(n * sll - sl * sl AS DOUBLE)))) + 0.5)
+            ELSE 0 END AS BIGINT) AS corr6
+FROM s"""
 
     return sqls
