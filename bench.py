@@ -181,6 +181,7 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
             timed("knn_cosine", lambda: _consume(d.knn_cosine(sf_dir)))
             timed("pq_encode", lambda: _consume(d.pq_encode(sf_dir)))
             timed("pq_search", lambda: _consume(d.pq_search(sf_dir)))
+            timed("ann_recall", lambda: _consume(d.ann_recall(sf_dir)))
             timed("knn_ivf", lambda: _consume(d.knn_ivf(sf_dir)))
             timed("knn_ivf_trained",
                   lambda: _consume(d.knn_ivf_trained(sf_dir)))

@@ -1352,3 +1352,30 @@ def test_pq_search_adc_matches_serial(ray_session):
     )
     assert sorted(got) == sorted(expect)
     assert df.groupby("query_id")["rank"].max().eq(KNN_K).all()
+
+
+def test_ann_recall_counts_real_overlap(ray_session):
+    """Recall rows cover every query; overlap == |exact ∩ pq| recomputed
+    from the two in-engine pipelines; planted near-dup corpora keep PQ
+    recall well above zero."""
+    from web_content_extraction_benchmark_ray.pipelines.dataops import (
+        ann_recall,
+        knn_cosine,
+        pq_search,
+    )
+    from web_content_extraction_benchmark_ray.stages.simsearch import (
+        KNN_K,
+        N_QUERIES,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    df = ann_recall(sf).to_pandas().set_index("query_id")
+    assert len(df) == N_QUERIES
+    ex = knn_cosine(sf).to_pandas().groupby("query_id")["vec_id"].apply(set)
+    ap = pq_search(sf).to_pandas().groupby("query_id")["vec_id"].apply(set)
+    for qid in ex.index:
+        ov = len(ex[qid] & ap[qid])
+        assert df.loc[qid, "n_overlap"] == ov
+        assert df.loc[qid, "recall_pct"] == 100 * ov // KNN_K
+    assert df["n_overlap"].between(0, KNN_K).all()
+    assert df["n_overlap"].sum() > 0  # 4x16 codes retain real signal

@@ -666,6 +666,38 @@ def pq_search(sf_dir: str):
     )
 
 
+def ann_recall(sf_dir: str):
+    """Recall@k of the PQ scan against the exact brute force — the
+    acceptance metric every ANN deployment reports before trading exact
+    search for compressed codes.  Per query: |pq top-k ∩ exact top-k|
+    and the integer recall percentage (``100 * overlap // k``).
+
+    Both inputs are the engine's own distributed pipelines
+    (``knn_cosine`` exact, ``pq_search`` ADC); their outputs are
+    nq x k rows BY CONSTRUCTION (independent of corpus size), so the
+    intersection is a driver-side fold over two tiny result sets — the
+    ``score_correlation`` discipline, not a corpus materialize.
+    """
+    exact = knn_cosine(sf_dir).to_pandas()
+    approx = pq_search(sf_dir).to_pandas()
+    ex = exact.groupby("query_id")["vec_id"].apply(set)
+    ap = approx.groupby("query_id")["vec_id"].apply(set)
+    qids = sorted(ex.index)
+    out_q, out_o, out_r = [], [], []
+    for qid in qids:
+        overlap = len(ex[qid] & ap.get(qid, set()))
+        out_q.append(int(qid))
+        out_o.append(overlap)
+        out_r.append(100 * overlap // ss.KNN_K)
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            "n_overlap": pa.array(out_o, pa.int64()),
+            "recall_pct": pa.array(out_r, pa.int64()),
+        }
+    )
+
+
 def embedding_dup_survivors(sf_dir: str):
     """Embedding near-dup SURVIVORS: the LSH pair pipeline composed with
     the connected-components min-label machinery (stages/dedup.py:
@@ -1940,6 +1972,7 @@ def dataops_queries() -> dict:
         "bigram_logprob": bigram_logprob,
         "pq_encode": pq_encode,
         "pq_search": pq_search,
+        "ann_recall": ann_recall,
         "importance_weights": importance_weights,
         "chunk_windows": chunk_windows,
         "dup_span_stats": dup_span_stats,

@@ -329,7 +329,7 @@ WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= {JACCARD_THRESHOLD}"""
     # prefix-filtered variant: lossless at the threshold -> same oracle
     sqls["dedup_jaccard_prefix"] = sqls["dedup_ngram_jaccard"]
 
-    _knn = f"""WITH q AS (
+    _knn_ctes = f"""q AS (
   SELECT vec_id AS query_id, embedding FROM embeddings
   WHERE vec_id < {N_QUERIES}
 ),
@@ -345,8 +345,11 @@ r AS (
          row_number() OVER (PARTITION BY query_id
                             ORDER BY c DESC, vec_id) AS rank
   FROM pairs
-)
-SELECT query_id, vec_id, rank FROM r WHERE rank <= {KNN_K}"""
+)"""
+    _knn = (
+        "WITH " + _knn_ctes
+        + f"\nSELECT query_id, vec_id, rank FROM r WHERE rank <= {KNN_K}"
+    )
     sqls["knn_cosine"] = _knn
     sqls["knn_ivf"] = _knn  # nprobe = all lists -> exact
     sqls["knn_ivf_trained"] = _knn  # trained quantizer, nprobe=all -> exact
@@ -429,6 +432,41 @@ rk AS (SELECT query_id, vec_id, adc, row_number() OVER (
        PARTITION BY query_id ORDER BY adc, vec_id) AS rank FROM adc)
 SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank, adc
 FROM rk WHERE rank <= {KNN_K}"""
+    )
+
+    # ann_recall: recall@k of the PQ scan against the exact brute force —
+    # the exact knn CTEs (q/pairs/r) and the PQ CTEs share one WITH block
+    # (no name collisions by construction); intersection counted per
+    # query, 0-overlap queries kept via the LEFT JOIN.
+    sqls["ann_recall"] = (
+        "WITH " + _knn_ctes + ",\n" + ",\n".join(pq_parts) + pq_final
+        + f""",
+codes AS (SELECT ms, vec_id, cid FROM aF WHERE rn = 1),
+adc AS (
+  SELECT qv.vec_id AS query_id, cd.vec_id,
+         CAST(sum((qv.xq - bb.cq) * (qv.xq - bb.cq)) AS BIGINT) AS adc
+  FROM codes cd
+  JOIN c{PQ_ITERS} bb ON bb.ms = cd.ms AND bb.cid = cd.cid
+  JOIN (SELECT * FROM qm WHERE vec_id < {N_QUERIES}) qv
+    ON qv.ms = cd.ms AND qv.d = bb.d
+  WHERE cd.vec_id <> qv.vec_id
+  GROUP BY qv.vec_id, cd.vec_id
+),
+prk AS (SELECT query_id, vec_id, row_number() OVER (
+        PARTITION BY query_id ORDER BY adc, vec_id) AS rank FROM adc),
+ov AS (
+  SELECT x.query_id, CAST(count(*) AS BIGINT) AS n_overlap
+  FROM (SELECT query_id, vec_id FROM r WHERE rank <= {KNN_K}) x
+  JOIN (SELECT query_id, vec_id FROM prk WHERE rank <= {KNN_K}) p
+    USING (query_id, vec_id)
+  GROUP BY x.query_id
+),
+qs AS (SELECT DISTINCT query_id FROM q)
+SELECT qs.query_id,
+       CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+       CAST(100 * COALESCE(ov.n_overlap, 0) // {KNN_K} AS BIGINT)
+         AS recall_pct
+FROM qs LEFT JOIN ov USING (query_id)"""
     )
 
     # Mirrors stages/simsearch.py:cosine_dup_pairs_lsh BIT FOR BIT:
