@@ -267,6 +267,8 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
                   lambda: _consume(ev.events_retention(sf_dir)))
             timed("events_funnel",
                   lambda: _consume(ev.events_funnel(sf_dir)))
+            timed("events_paths",
+                  lambda: _consume(ev.events_paths(sf_dir)))
         except ImportError:
             pass
 

@@ -194,3 +194,45 @@ def test_events_retention_dedups_across_batches(ray_session, tmp_path):
     }
     h0 = base // 1_000_000 // 3600 * 3600
     assert got == {(h0, 0): 1, (h0, 2): 1, (h0 + 3600, 0): 1}
+
+
+def test_events_paths_matches_serial(ray_session):
+    """Distributed path counting must equal a single-process sessionize +
+    Counter + top-k, including the prefix cap and (n DESC, path ASC)
+    rank order."""
+    from collections import Counter
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from web_content_extraction_benchmark_ray.pipelines.events import (
+        PATH_K,
+        PATH_PREFIX_LEN,
+        SESSION_GAP_S,
+        events_paths,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    df = events_paths(sf).to_pandas()
+    t = pq.read_table(
+        f"{sf}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    ).to_pandas()
+    t["s"] = t["ts"].astype("int64") // 10**6
+    t = t.sort_values(["user_id", "s", "event_id"])
+    c = Counter()
+    for _, g in t.groupby("user_id"):
+        secs = g["s"].to_numpy()
+        types = g["event_type"].tolist()
+        i, n = 0, len(g)
+        while i < n:
+            j = i + 1
+            while j < n and secs[j] - secs[j - 1] <= SESSION_GAP_S:
+                j += 1
+            c[">".join(types[i:min(j, i + PATH_PREFIX_LEN)])] += 1
+            i = j
+    expect = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:PATH_K]
+    got = list(df[["path", "n"]].itertuples(index=False, name=None))
+    assert got == expect
+    assert len(df) == PATH_K
+    assert all(p.count(">") <= PATH_PREFIX_LEN - 1 for p in df["path"])

@@ -286,6 +286,86 @@ def events_sessionize(sf_dir: str, user_buckets: int | None = None):
     return ds.groupby("bucket").map_groups(sessions, batch_format="pyarrow")
 
 
+# ----------------------------------------------------------- session paths
+PATH_PREFIX_LEN = 8  # events per session contributing to its path
+PATH_K = 10  # top paths reported
+
+
+def events_paths(sf_dir: str, user_buckets: int | None = None,
+                 k: int = PATH_K):
+    """Top-``k`` most common session PATHS — the product-analytics path
+    analysis next to funnels/retention: each session's first
+    ``PATH_PREFIX_LEN`` event types in time order join into a '>'-path
+    string, paths are counted corpus-wide, ranked ``(n DESC, path ASC)``.
+    The prefix cap bounds the key size (a pathological million-event
+    session contributes a fixed-size key, not a megabyte string).
+
+    Shape: the ``events_sessionize`` user-bucket co-group emits one
+    COUNTER row per distinct path per bucket group (map-side combiner —
+    sessions never leave their group), then the ``vocab_topk``
+    discipline finishes: bucketed vectorized Sum -> per-block partial
+    top-k -> one tiny global sort.  Output: (path, n).
+    """
+    from collections import Counter
+
+    from ..stages.vecagg import bucketed_groupby
+
+    def paths(group: pa.Table) -> pa.Table:
+        users = np.asarray(group.column("user_id").to_pylist(), dtype=np.int64)
+        ids = np.asarray(group.column("event_id").to_pylist(), dtype=np.int64)
+        types = group.column("event_type").to_pylist()
+        secs = _epoch_s(group.column("ts"))
+        order = np.lexsort((ids, secs, users))
+        users, ids, secs = users[order], ids[order], secs[order]
+        types = [types[i] for i in order]
+        c: Counter = Counter()
+        i, n = 0, len(users)
+        while i < n:
+            j = i + 1
+            while (
+                j < n
+                and users[j] == users[i]
+                and secs[j] - secs[j - 1] <= SESSION_GAP_S
+            ):
+                j += 1
+            c[">".join(types[i:min(j, i + PATH_PREFIX_LEN)])] += 1
+            i = j
+        return pa.table(
+            {
+                "path": pa.array(list(c.keys()), pa.string()),
+                "n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    def block_topk(batch: pa.Table, k=k) -> pa.Table:
+        p = batch.column("path").to_pylist()
+        n = np.asarray(batch.column("n").to_pylist(), dtype=np.int64)
+        if len(p) > k:
+            keep = np.lexsort((np.asarray(p, dtype=object), -n))[:k]
+            p = [p[i] for i in keep]
+            n = n[keep]
+        return pa.table(
+            {
+                "path": pa.array(p, pa.string()),
+                "n": pa.array(n, pa.int64()),
+            }
+        )
+
+    ds = _events(sf_dir, columns=["event_id", "ts", "user_id", "event_type"])
+    ds = ds.map_batches(
+        _add_user_bucket,
+        fn_kwargs={"num_buckets": user_buckets or derived_user_buckets()},
+        batch_format="pyarrow",
+    )
+    per_group = ds.groupby("bucket").map_groups(
+        paths, batch_format="pyarrow"
+    )
+    totals = bucketed_groupby(
+        per_group, "path", ["n"], ["sum"]
+    ).map_batches(block_topk, batch_format="pyarrow")
+    return totals.sort(["n", "path"], descending=[True, False]).limit(k)
+
+
 # -------------------------------------------------------------- as-of join
 def events_asof(sf_dir: str, user_buckets: int | None = None):
     """For every event: the most recent prior-or-equal '{ASOF_TYPE}' event
@@ -507,6 +587,7 @@ def events_queries() -> dict:
         "events_props": events_props,
         "events_retention": events_retention,
         "events_funnel": events_funnel,
+        "events_paths": events_paths,
     }
 
 
@@ -617,4 +698,36 @@ SELECT u.user_id, a.t1 AS t1_us, b.t2 AS t2_us, c.t3 AS t3_us,
                  WHEN a.t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS depth
 FROM u LEFT JOIN a USING (user_id) LEFT JOIN b USING (user_id)
        LEFT JOIN c USING (user_id)"""
+
+    # events_paths: the sessionize window CTEs + row_number prefix cap +
+    # ordered string_agg; ranked (n DESC, path ASC) LIMIT k.
+    sqls["events_paths"] = f"""
+WITH o AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) // 1000000 AS s,
+         lag(epoch_us(ts) // 1000000) OVER (PARTITION BY user_id
+                                      ORDER BY epoch_us(ts) // 1000000, event_id)
+           AS prev_s
+  FROM events
+),
+f AS (
+  SELECT *, CASE WHEN prev_s IS NULL OR s - prev_s > {SESSION_GAP_S}
+                 THEN 1 ELSE 0 END AS new_session
+  FROM o
+),
+g AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id
+                                   ORDER BY s, event_id) AS sess_no
+  FROM f
+),
+h AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, sess_no
+                               ORDER BY s, event_id) AS rn
+  FROM g
+),
+p AS (
+  SELECT string_agg(event_type, '>' ORDER BY s, event_id) AS path
+  FROM h WHERE rn <= {PATH_PREFIX_LEN} GROUP BY user_id, sess_no
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n
+FROM p GROUP BY path ORDER BY n DESC, path LIMIT {PATH_K}"""
     return sqls
