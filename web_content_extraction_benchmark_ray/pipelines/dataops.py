@@ -468,18 +468,18 @@ def pq_encode(sf_dir: str):
     (empty codewords keep their previous value).  Init codewords are the
     PQ_K lowest-vec_id subvectors.
 
-    Shape: one materialize of (vec_id, embedding) feeds the
-    PQ_ITERS x PQ_M broadcast-matmul passes (the ``kmeans_iterate``
-    exact-oracle contract — quantizer CONSUMERS train on the capped hash
-    sample instead, see knn_ivf_trained); codebooks are ~16x16 ints,
-    shuffles move only (m, code, 16 sums, n) partial rows.  The encode
-    pass streams.
+    Shape: the trainer gets a materialized deterministic hash-sample
+    capped at KMEANS_TRAIN_MAX rows (``_pq_inputs`` — the
+    knn_ivf_trained scale contract; at or under the cap the sample IS
+    the corpus, so the oracle is unchanged at any tested scale) and the
+    corpus streams through the encode pass exactly once; codebooks are
+    ~16x16 ints, shuffles move only (m, code, 16 sums, n) partial rows.
     """
     from ..functions.arrownp import list_matrix
 
     path = os.path.join(sf_dir, "embeddings.parquet")
-    ds = read_table(path, columns=["vec_id", "embedding"]).materialize()
-    books, sub = _pq_train(ds, sf_dir)
+    ds, train = _pq_inputs(path)
+    books, sub = _pq_train(train, sf_dir)
     final_ref = ray.put(books)
 
     def encode(batch: pa.Table, final_ref=final_ref) -> pa.Table:
@@ -505,6 +505,23 @@ def _sub_codes(Xq: np.ndarray, book: np.ndarray) -> np.ndarray:
     # (n, sub) x (K, sub) -> argmin_j sum_d (x-c)^2, first-min = lowest j
     d = ((Xq[:, None, :] - book[None, :, :]) ** 2).sum(axis=2)
     return d.argmin(axis=1)
+
+
+def _pq_inputs(path: str):
+    """(corpus_ds, train_ds) for the PQ pipelines — the knn_ivf_trained
+    scale contract: only the Lloyd passes need a re-readable input, so
+    the trainer gets a materialized deterministic hash-sample capped at
+    KMEANS_TRAIN_MAX rows while the corpus itself STREAMS through the
+    encode/scan stage exactly once.  Corpora at or under the cap train
+    on every row (the sample IS the corpus, so the integer-exact oracle
+    is unchanged at any tested scale); above it, codes come from
+    sample-trained books — still a valid PQ, disclosed here."""
+    ds = read_table(path, columns=["vec_id", "embedding"])
+    n_rows = ds.count()  # parquet metadata - no scan
+    if n_rows <= KMEANS_TRAIN_MAX:
+        ds = ds.materialize()  # shared by the train passes + encode
+        return ds, ds
+    return ds, _hash_sample(ds, n_rows, KMEANS_TRAIN_MAX).materialize()
 
 
 def _pq_train(ds, sf_dir: str) -> tuple[list, int]:
@@ -591,17 +608,18 @@ def pq_search(sf_dir: str):
     excluded; integer-exact end to end, so the SQL twin ranks
     identically.
 
-    Shape: codebooks train as in ``pq_encode`` (one materialize,
-    partial-sum shuffles only), the LUTs broadcast once (PQ_M x PQ_K
-    ints per query), and the scan is a streaming per-batch
-    encode-gather-sum with a per-batch partial top-k before the tiny
-    per-query merge (the knn_cosine combiner discipline).
+    Shape: codebooks train as in ``pq_encode`` (capped hash-sample
+    materialize, partial-sum shuffles only — ``_pq_inputs``), the LUTs
+    broadcast once (PQ_M x PQ_K ints per query), and the scan is a
+    streaming per-batch encode-gather-sum with a per-batch partial
+    top-k before the tiny per-query merge (the knn_cosine combiner
+    discipline).
     """
     from ..functions.arrownp import list_matrix
 
     path = os.path.join(sf_dir, "embeddings.parquet")
-    ds = read_table(path, columns=["vec_id", "embedding"]).materialize()
-    books, sub = _pq_train(ds, sf_dir)
+    ds, train = _pq_inputs(path)
+    books, sub = _pq_train(train, sf_dir)
     qids, qmat = ss.load_query_matrix(path)
     Qq = np.floor(qmat * 1e6 + 0.5).astype(np.int64) + PQ_OFF
     luts = [
