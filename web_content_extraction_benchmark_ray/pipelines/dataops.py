@@ -524,10 +524,26 @@ def _pq_inputs(path: str):
     return ds, _hash_sample(ds, n_rows, KMEANS_TRAIN_MAX).materialize()
 
 
+_PQ_BOOK_CACHE: dict = {}
+
+
 def _pq_train(ds, sf_dir: str) -> tuple[list, int]:
     """The distributed integer-Lloyd PQ codebook trainer of ``pq_encode``
     (see its docstring for the exactness contract); returns
-    ([PQ_M x (PQ_K, sub) int64 codebooks], sub)."""
+    ([PQ_M x (PQ_K, sub) int64 codebooks], sub).
+
+    Training is deterministic per corpus, so the (tiny) books memoize
+    per embeddings file in the driver process — pq_encode, pq_search
+    and ann_recall share one training run instead of three."""
+    import os as _os
+
+    path = _os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        key = (path, _os.path.getmtime(path))
+    except OSError:
+        key = None
+    if key is not None and key in _PQ_BOOK_CACHE:
+        return _PQ_BOOK_CACHE[key]
     from ..functions.arrownp import list_matrix
     from .analytics import _load_centroids
 
@@ -593,6 +609,8 @@ def _pq_train(ds, sf_dir: str) -> tuple[list, int]:
             mk = int(row["mk"])
             books[mk // PQ_K][mk % PQ_K] = np.array(row["cq"], np.int64)
 
+    if key is not None:
+        _PQ_BOOK_CACHE[key] = (books, sub)
     return books, sub
 
 
