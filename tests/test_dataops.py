@@ -1379,3 +1379,61 @@ def test_ann_recall_counts_real_overlap(ray_session):
         assert df.loc[qid, "recall_pct"] == 100 * ov // KNN_K
     assert df["n_overlap"].between(0, KNN_K).all()
     assert df["n_overlap"].sum() > 0  # 4x16 codes retain real signal
+
+def test_semdedup_prunes_planted_copies(ray_session):
+    """semdedup over the driver corpus: every planted exact copy
+    (vec_id = base + EMB_COPY_OFFSET) is pruned (keep=0) in favour of
+    its lower-id original (keep=1), and both land in the same cluster."""
+    from web_content_extraction_benchmark_ray.pipelines.dataops import (
+        EMB_COPY_EVERY,
+        EMB_COPY_OFFSET,
+        semdedup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    df = semdedup(sf).to_pandas().set_index("vec_id")
+    copies = [i for i in df.index if i >= EMB_COPY_OFFSET]
+    assert copies, "corpus should plant exact copies"
+    for c in copies:
+        base = c - EMB_COPY_OFFSET
+        assert base % EMB_COPY_EVERY == 0
+        assert df.loc[c, "keep"] == 0
+        assert df.loc[base, "keep"] == 1
+        assert df.loc[c, "cluster"] == df.loc[base, "cluster"]
+    # pruning is strict: at least one vec kept per cluster
+    kept_per_cluster = df.groupby("cluster")["keep"].sum()
+    assert (kept_per_cluster >= 1).all()
+
+
+def test_semdedup_ref_cap_bounds_degenerate_cluster(ray_session):
+    """A cluster of identical vectors larger than SEMDEDUP_REF_CAP: the
+    capped reference set still prunes every member but the global-min id
+    (cos=1.0 against ref id 0), and the job completes with dim x CAP
+    per-row work — the posting-list-cap discipline for the quadratic
+    within-cluster compare."""
+    import ray
+
+    from web_content_extraction_benchmark_ray.pipelines.dataops import (
+        SEMDEDUP_REF_CAP,
+        semdedup_flags,
+    )
+
+    n, d = SEMDEDUP_REF_CAP + 50, 8
+    vec = np.ones(d, dtype=np.float32)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                "embedding": pa.array(
+                    np.tile(vec, (n, 1)).tolist(), pa.list_(pa.float32())
+                ),
+            }
+        )
+    )
+    cents = np.tile(vec.astype(np.float64), (2, 1))
+    cents[1] = -cents[1]
+    df = semdedup_flags(ds, cents).to_pandas().sort_values("vec_id")
+    assert len(df) == n
+    assert (df["cluster"] == 0).all()
+    assert df["keep"].sum() == 1
+    assert df.loc[df["keep"] == 1, "vec_id"].item() == 0

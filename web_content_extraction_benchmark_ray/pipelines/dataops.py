@@ -26,6 +26,7 @@ from ..sources.storage import read_table
 from ..functions.textstats import lang_id, quality_features, token_counts
 from ..stages import dedup as dd
 from ..stages import simsearch as ss
+from ..stages.simsearch import emb_matrix
 from ..stages.media import decode_media
 
 EXACT_COPY_EVERY = 10
@@ -781,6 +782,145 @@ def embedding_dup_pairs(sf_dir: str):
     nbytes = os.path.getsize(os.path.join(sf_dir, "embeddings.parquet"))
     parts = max(4, -(-(nbytes * 8) // (16 << 20)))
     return ss.cosine_dup_pairs_lsh(ds, partitions=parts)
+
+
+# ----------------------------------------------------------------- semdedup
+SEMDEDUP_EPS = ss.COS_DUP_THRESHOLD
+SEMDEDUP_REF_CAP = 128  # per-cluster reference-set size (lowest vec_ids)
+
+
+def _sem_cluster(nvecs: np.ndarray, ncents: np.ndarray) -> np.ndarray:
+    """Max-rounded-cosine centroid, ties to the lowest centroid index —
+    the exact kmeans_assign rule (pipelines/analytics.py:_assign_batch)."""
+    cos = np.floor((nvecs @ ncents.T) * 1e6 + 0.5) / 1e6
+    return cos.argmax(axis=1).astype(np.int64)
+
+
+def _nvec_list_col(nvecs: np.ndarray) -> pa.Array:
+    offs = np.arange(len(nvecs) + 1, dtype=np.int64) * nvecs.shape[1]
+    return pa.LargeListArray.from_arrays(
+        pa.array(offs, pa.int64()), pa.array(nvecs.ravel(), pa.float64())
+    ).cast(pa.list_(pa.float64()))
+
+
+def semdedup(sf_dir: str):
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    k-means-cluster the embedding space, then prune within each cluster any
+    vector whose rounded cosine to a LOWER-vec_id cluster member reaches
+    SEMDEDUP_EPS.  Returns (vec_id, cluster, keep) over the augmented
+    embedding table (the embedding_dup corpus, exact copies planted).
+
+    Zero corpus shuffle: centroids (the kmeans_assign seed rule — the k
+    lowest-vec_id base embeddings) are broadcast once; a per-batch partial
+    keeps only the SEMDEDUP_REF_CAP lowest vec_ids per cluster, a k-group
+    merge reduces those partials to the tiny per-cluster REFERENCE sets
+    (<= k x CAP rows total — the only rows that ever move), and a second
+    broadcast map flags every vector against its own cluster's reference
+    matrix.  Corpus vectors are read twice and shuffled never.
+
+    The CAP is the posting-list/MAX_DF discipline applied to SemDeDup's
+    quadratic within-cluster compare: members beyond the CAP lowest ids
+    are never compared against each other (bounded recall loss, visible
+    in the rule itself), and per-row work is dim x CAP flops regardless
+    of cluster size.  Real SemDeDup sizes k so clusters stay small; the
+    cap is the guard for when skew defeats that.  The SQL twin mirrors
+    the cap via a rank <= CAP self-join, so engine and oracle agree at
+    any cluster size."""
+    from .analytics import _load_centroids
+
+    ds = _emb(sf_dir).map_batches(_augment_emb, batch_format="pyarrow")
+    return semdedup_flags(ds, _load_centroids(sf_dir))
+
+
+def semdedup_flags(ds, cents: np.ndarray):
+    """The distributed core of :func:`semdedup` over an arbitrary
+    (vec_id, embedding) dataset and centroid matrix."""
+    ncent_ref = ray.put(ss._norm(np.asarray(cents, dtype=np.float64)))
+
+    def ref_partial(batch: pa.Table) -> pa.Table:
+        ncents = ss._get_broadcast(ncent_ref)
+        ids = ss.num_col(batch.column("vec_id"), np.int64)
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    "cluster": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "nvec": pa.array([], pa.list_(pa.float64())),
+                }
+            )
+        nvecs = ss._norm(emb_matrix(batch.column("embedding")))
+        cl = _sem_cluster(nvecs, ncents)
+        keep_idx = []
+        for c in np.unique(cl):
+            members = np.flatnonzero(cl == c)
+            order = members[np.argsort(ids[members], kind="stable")]
+            keep_idx.extend(order[:SEMDEDUP_REF_CAP].tolist())
+        keep_idx = np.array(sorted(keep_idx), dtype=np.int64)
+        return pa.table(
+            {
+                "cluster": pa.array(cl[keep_idx], pa.int64()),
+                "vec_id": pa.array(ids[keep_idx], pa.int64()),
+                "nvec": _nvec_list_col(nvecs[keep_idx]),
+            }
+        )
+
+    def ref_merge(group: pa.Table) -> pa.Table:
+        ids = ss.num_col(group.column("vec_id"), np.int64)
+        order = np.argsort(ids, kind="stable")[:SEMDEDUP_REF_CAP]
+        return group.take(pa.array(np.sort(order), pa.int64()))
+
+    refs = (
+        ds.map_batches(ref_partial, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(ref_merge, batch_format="pyarrow")
+        .take_all()  # bounded: <= k x SEMDEDUP_REF_CAP rows by construction
+    )
+    by_cluster: dict = {}
+    for row in refs:
+        by_cluster.setdefault(int(row["cluster"]), []).append(
+            (int(row["vec_id"]), row["nvec"])
+        )
+    ref_map = {
+        c: (
+            np.array([i for i, _ in sorted(rows)], dtype=np.int64),
+            np.array([v for _, v in sorted(rows)], dtype=np.float64),
+        )
+        for c, rows in by_cluster.items()
+    }
+    ref_ref = ray.put(ref_map)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        ncents = ss._get_broadcast(ncent_ref)
+        rmap = ss._get_broadcast(ref_ref)
+        ids = ss.num_col(batch.column("vec_id"), np.int64)
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    "cluster": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "keep": pa.array([], pa.int64()),
+                }
+            )
+        nvecs = ss._norm(emb_matrix(batch.column("embedding")))
+        cl = _sem_cluster(nvecs, ncents)
+        keep = np.ones(len(ids), dtype=np.int64)
+        for c in np.unique(cl):
+            rid, rmat = rmap[int(c)]
+            members = np.flatnonzero(cl == c)
+            cos = np.floor((nvecs[members] @ rmat.T) * 1e6 + 0.5) / 1e6
+            dup = (
+                (cos >= SEMDEDUP_EPS) & (rid[None, :] < ids[members, None])
+            ).any(axis=1)
+            keep[members[dup]] = 0
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cluster": pa.array(cl, pa.int64()),
+                "keep": pa.array(keep, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(flag, batch_format="pyarrow")
 
 
 # ------------------------------------------------------------ text analysis
@@ -1994,6 +2134,7 @@ def dataops_queries() -> dict:
         "knn_ivf_trained": knn_ivf_trained,
         "embedding_dup_pairs": embedding_dup_pairs,
         "embedding_dup_survivors": embedding_dup_survivors,
+        "semdedup": semdedup,
         "token_count": token_count,
         "text_quality": text_quality,
         "lang_id": lang_id_q,

@@ -541,6 +541,53 @@ SELECT vec_id FROM emb
 WHERE vec_id NOT IN (SELECT node FROM comp WHERE label <> node)"""
     )
 
+    # semdedup: kmeans_assign's centroid rule (k lowest-vec_id base
+    # embeddings, max rounded cosine, ties to lowest cid) + within-cluster
+    # prune against the SEMDEDUP_REF_CAP lowest-vec_id members (rk <= CAP
+    # mirrors dataops.semdedup's capped reference set bit for bit)
+    from .dataops import SEMDEDUP_EPS, SEMDEDUP_REF_CAP
+    from .analytics import KMEANS_K
+
+    sqls["semdedup"] = f"""WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+  UNION ALL
+  SELECT vec_id + {EMB_COPY_OFFSET}, embedding::DOUBLE[] FROM embeddings
+  WHERE vec_id % {EMB_COPY_EVERY} = 0
+),
+cent AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS e FROM embeddings
+  ORDER BY vec_id LIMIT {KMEANS_K}
+),
+pc AS (
+  SELECT emb.vec_id, c.cid,
+         floor(list_cosine_similarity(emb.e, c.e) * 1000000 + 0.5)
+           / 1000000 AS cos
+  FROM emb, cent c
+),
+asg AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos DESC, cid) AS rn
+    FROM pc) WHERE rn = 1
+),
+m AS (
+  SELECT a.vec_id, a.cluster, e.e,
+         row_number() OVER (PARTITION BY a.cluster ORDER BY a.vec_id) AS rk
+  FROM asg a JOIN emb e ON e.vec_id = a.vec_id
+),
+dup AS (
+  SELECT DISTINCT v.vec_id
+  FROM m v JOIN m u
+    ON u.cluster = v.cluster AND u.vec_id < v.vec_id
+   AND u.rk <= {SEMDEDUP_REF_CAP}
+  WHERE floor(list_cosine_similarity(u.e, v.e) * 1000000 + 0.5)
+        / 1000000 >= {SEMDEDUP_EPS}
+)
+SELECT m.vec_id, m.cluster,
+       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM m LEFT JOIN dup d ON d.vec_id = m.vec_id"""
+
     sqls["token_count"] = r"""SELECT doc_id,
        len(regexp_split_to_array(trim(text), '\s+')) AS n_ws,
        len(regexp_extract_all(text, '\w+')) AS n_words,
