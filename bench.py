@@ -188,6 +188,8 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
             timed("embedding_dup_pairs",
                   lambda: _consume(d.embedding_dup_pairs(sf_dir)))
             timed("semdedup", lambda: _consume(d.semdedup(sf_dir)))
+            timed("dup_cluster_sizes",
+                  lambda: _consume(d.dup_cluster_sizes(sf_dir)))
             timed("text_quality", lambda: _consume(d.text_quality(sf_dir)))
             timed("lang_id", lambda: _consume(d.lang_id_q(sf_dir)))
             timed("doc_fingerprint", lambda: _consume(d.doc_fingerprint(sf_dir)))

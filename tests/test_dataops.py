@@ -1437,3 +1437,47 @@ def test_semdedup_ref_cap_bounds_degenerate_cluster(ray_session):
     assert (df["cluster"] == 0).all()
     assert df["keep"].sum() == 1
     assert df.loc[df["keep"] == 1, "vec_id"].item() == 0
+
+def test_cc_bucket_labels_components(ray_session):
+    """cc_bucket_labels over a hand-built pair graph: every node gets its
+    component's min id as label (chains propagate transitively)."""
+    import ray
+
+    from web_content_extraction_benchmark_ray.stages.dedup import (
+        cc_bucket_labels,
+    )
+
+    pairs = pa.table(
+        {
+            "doc_id_a": pa.array([1, 2, 10, 20, 21, 22], pa.int64()),
+            "doc_id_b": pa.array([2, 3, 11, 21, 22, 23], pa.int64()),
+        }
+    )
+    labels = cc_bucket_labels(ray.data.from_arrow(pairs))
+    df = labels.to_pandas()
+    got = dict(zip(df["key"], df["val"]))
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20, 23: 20}
+    # empty pair set -> None sentinel (survivors path returns all docs)
+    empty = cc_bucket_labels(
+        ray.data.from_arrow(pairs.slice(0, 0))
+    )
+    assert empty is None
+
+
+def test_dup_cluster_sizes_histogram(ray_session):
+    """dup_cluster_sizes over the driver corpus: sizes start at 2, and
+    sum(size * n_clusters) equals the number of distinct docs appearing
+    in any verified minhash pair (nodes of the CC graph)."""
+    from web_content_extraction_benchmark_ray.pipelines.dataops import (
+        _aug_docs,
+        dup_cluster_sizes,
+    )
+    from web_content_extraction_benchmark_ray.stages import dedup as dd
+
+    sf = "/root/testdata/sf0.001"
+    hist = dup_cluster_sizes(sf).to_pandas()
+    assert (hist["size"] >= 2).all()
+    pairs = dd.dedup_minhash_pairs(_aug_docs(sf)).to_pandas()
+    nodes = set(pairs["doc_id_a"]) | set(pairs["doc_id_b"])
+    assert (hist["size"] * hist["n_clusters"]).sum() == len(nodes)

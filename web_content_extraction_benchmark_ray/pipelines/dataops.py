@@ -314,6 +314,61 @@ def dedup_minhash_survivors(sf_dir: str):
     return dd.neardup_survivors(docs, pairs)
 
 
+def dup_cluster_sizes(sf_dir: str):
+    """Near-dup CLUSTER SIZE histogram (a data-card staple): MinHash+LSH
+    pairs -> connected components (stages/dedup.py:cc_bucket_labels) ->
+    (size, n_clusters) for every component size >= 2.
+
+    Both reductions ride stages/vecagg.bucketed_groupby: component-label
+    cardinality is O(#components) (web-scale: billions) and per-key
+    native aggregates are the measured scale-killer; bucketed flat
+    np.add.at reductions track data size instead.  Singleton docs never
+    enter the label table, so the histogram starts at size 2 by
+    construction."""
+    from ..stages.vecagg import bucketed_groupby
+
+    pairs = dd.dedup_minhash_pairs(_aug_docs(sf_dir))
+    labels = dd.cc_bucket_labels(pairs)
+    if labels is None:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "size": pa.array([], pa.int64()),
+                    "n_clusters": pa.array([], pa.int64()),
+                }
+            )
+        )
+
+    def label_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "label": batch.column("val").cast(pa.int64()),
+                "one": pa.array(np.ones(n, dtype=np.int64)),
+            }
+        )
+
+    sizes = bucketed_groupby(
+        labels.map_batches(label_rows, batch_format="pyarrow"),
+        "label", ["one"], ["sum"], out_names=["size"],
+    )
+
+    def size_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "size": batch.column("size"),
+                "one": pa.array(np.ones(n, dtype=np.int64)),
+            }
+        )
+
+    hist = bucketed_groupby(
+        sizes.map_batches(size_rows, batch_format="pyarrow"),
+        "size", ["one"], ["sum"], out_names=["n_clusters"],
+    )
+    return hist.sort("size")
+
+
 def dedup_simhash(sf_dir: str):
     return dd.dedup_simhash(_aug_docs(sf_dir))
 
@@ -2135,6 +2190,7 @@ def dataops_queries() -> dict:
         "embedding_dup_pairs": embedding_dup_pairs,
         "embedding_dup_survivors": embedding_dup_survivors,
         "semdedup": semdedup,
+        "dup_cluster_sizes": dup_cluster_sizes,
         "token_count": token_count,
         "text_quality": text_quality,
         "lang_id": lang_id_q,

@@ -197,7 +197,7 @@ norm AS (
 )
 SELECT min(doc_id) AS doc_id FROM norm GROUP BY md5(ntext)"""
 
-    sqls["dedup_minhash_pairs"] = f"""WITH {_AUG.strip()},
+    _mh_body = f"""{_AUG.strip()},
 {_SHINGLES.strip()},
 {_seeds_values()},
 mh AS (
@@ -223,40 +223,16 @@ matches AS (
   JOIN mh x ON x.doc_id = c.da
   JOIN mh y ON y.doc_id = c.db AND y.i = x.i
   GROUP BY c.da, c.db
-)
+)"""
+
+    sqls["dedup_minhash_pairs"] = f"""WITH {_mh_body}
 SELECT da AS doc_id_a, db AS doc_id_b,
        floor((m / {float(MINHASH_K)}) * 1000000 + 0.5) / 1000000 AS est_jaccard
 FROM matches WHERE m / {float(MINHASH_K)} >= {MINHASH_THRESHOLD}"""
 
-    # survivors: same candidate/verify pipeline, then connected components
-    # via a recursive transitive closure and min-label canonical selection
-    sqls["dedup_minhash_survivors"] = f"""WITH RECURSIVE {_AUG.strip()},
-{_SHINGLES.strip()},
-{_seeds_values()},
-mh AS (
-  SELECT doc_id, i, min((a * hp + b) % {MERSENNE_P}) AS mh
-  FROM shh, seeds GROUP BY doc_id, i
-),
-bands AS (
-  SELECT doc_id, i // {MINHASH_ROWS} AS band_id,
-         substr(md5(CAST(i // {MINHASH_ROWS} AS VARCHAR) || ':' ||
-                    string_agg(CAST(mh AS VARCHAR), '-' ORDER BY i)), 1, 16)
-           AS band_key
-  FROM mh GROUP BY doc_id, i // {MINHASH_ROWS}
-),
-cand AS (
-  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-  FROM bands a JOIN bands b
-    ON a.band_id = b.band_id AND a.band_key = b.band_key
-   AND a.doc_id < b.doc_id
-),
-matches AS (
-  SELECT c.da, c.db, sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS m
-  FROM cand c
-  JOIN mh x ON x.doc_id = c.da
-  JOIN mh y ON y.doc_id = c.db AND y.i = x.i
-  GROUP BY c.da, c.db
-),
+    # same candidate/verify pipeline, then connected components via a
+    # recursive transitive closure (engine: stages/dedup.cc_bucket_labels)
+    _mh_cc = f"""{_mh_body},
 pairs AS (
   SELECT da AS a, db AS b FROM matches
   WHERE m / {float(MINHASH_K)} >= {MINHASH_THRESHOLD}
@@ -269,9 +245,18 @@ reach AS (
 ),
 comp AS (
   SELECT node, least(node, min(other)) AS label FROM reach GROUP BY node
-)
+)"""
+
+    # survivors: min-label canonical selection per component
+    sqls["dedup_minhash_survivors"] = f"""WITH RECURSIVE {_mh_cc}
 SELECT doc_id FROM aug
 WHERE doc_id NOT IN (SELECT node FROM comp WHERE label <> node)"""
+
+    # component-size histogram (dataops.dup_cluster_sizes); singletons
+    # never enter comp, so sizes start at 2 in both engines
+    sqls["dup_cluster_sizes"] = f"""WITH RECURSIVE {_mh_cc},
+cs AS (SELECT label, count(*) AS size FROM comp GROUP BY label)
+SELECT size, count(*) AS n_clusters FROM cs GROUP BY size ORDER BY size"""
 
     _sim = f"""
 words AS (

@@ -672,27 +672,25 @@ def dedup_ngram_jaccard(ds, pair_buckets: int | None = None):
 
 
 # --------------------------------------------- near-dup survivor selection
-def neardup_survivors(docs_ds, pairs_ds, num_buckets: int | None = None,
-                      max_iters: int = 25):
-    """(documents, near-dup pairs) -> surviving doc_ids: one canonical
-    (min doc_id) per connected component of the near-dup graph, plus every
-    unpaired doc — the final step of a real dedup pipeline.
+def cc_bucket_labels(pairs_ds, num_buckets: int | None = None,
+                     max_iters: int = 25):
+    """Connected components of the near-dup graph, distributed.
 
-    Distributed min-label propagation expressed as CO-GROUP message
-    passing (no join operator): each round unions the label table with the
-    edge table keyed by source node, a bucketed groupby delivers every
-    node's label to its neighbours, and a second bucketed groupby takes
-    the per-node min.  (Dataset.join was avoided deliberately: Ray 2.49's
-    hash join errors when one materialized dataset feeds two joins across
-    loop iterations.)  Rounds needed = component diameter; convergence is
-    the fixpoint of the strictly-decreasing global label sum.
+    (doc_id_a, doc_id_b) pairs -> the bucketed LABEL table: one row
+    (bucket, key=node, kind=0, val=component min-label) per node that
+    appears in any pair, or ``None`` when the pair set is empty.
 
-    The final survivor filter is an ANTI-JOIN expressed as the same
-    keyed co-group (docs ∪ non-canonical labels, bucketed groupby): no
-    id set ever materializes on the driver, so the stage holds even when
-    almost every document is a duplicate.
-    """
+    Min-label propagation expressed as CO-GROUP message passing (no join
+    operator): each round unions the label table with the edge table
+    keyed by source node, a bucketed groupby delivers every node's label
+    to its neighbours, and a second bucketed groupby takes the per-node
+    min.  (Dataset.join was avoided deliberately: Ray 2.49's hash join
+    errors when one materialized dataset feeds two joins across loop
+    iterations.)  Rounds needed = component diameter; convergence is the
+    fixpoint of the strictly-decreasing global label sum.
 
+    Consumers: neardup_survivors (canonical-per-component anti-join) and
+    dataops.dup_cluster_sizes (component-size histogram)."""
     if num_buckets is None:
         num_buckets = derived_pair_buckets()
 
@@ -714,7 +712,7 @@ def neardup_survivors(docs_ds, pairs_ds, num_buckets: int | None = None,
 
     edges = pairs_ds.map_batches(both_dirs, batch_format="pyarrow").materialize()
     if edges.count() == 0:
-        return docs_ds.select_columns(["doc_id"])
+        return None
 
     def init_labels(group: pa.Table) -> pa.Table:
         # label(node) = min(node, min direct neighbour) within this bucket
@@ -798,6 +796,27 @@ def neardup_survivors(docs_ds, pairs_ds, num_buckets: int | None = None,
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    return labels
+
+
+def neardup_survivors(docs_ds, pairs_ds, num_buckets: int | None = None,
+                      max_iters: int = 25):
+    """(documents, near-dup pairs) -> surviving doc_ids: one canonical
+    (min doc_id) per connected component of the near-dup graph
+    (cc_bucket_labels), plus every unpaired doc — the final step of a
+    real dedup pipeline.
+
+    The survivor filter is an ANTI-JOIN expressed as a keyed co-group
+    (docs ∪ non-canonical labels, bucketed groupby): no id set ever
+    materializes on the driver, so the stage holds even when almost
+    every document is a duplicate.
+    """
+    if num_buckets is None:
+        num_buckets = derived_pair_buckets()
+
+    labels = cc_bucket_labels(pairs_ds, num_buckets, max_iters)
+    if labels is None:
+        return docs_ds.select_columns(["doc_id"])
 
     # anti-join: doc rows (kind=2) co-grouped with non-canonical label
     # rows (kind=0, key != val) on the same bucket key; a doc survives iff
