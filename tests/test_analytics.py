@@ -89,3 +89,29 @@ def test_eval_agg_by_complexity_band(ray_session):
     assert ((0.0 <= out["mean_score"]) & (out["mean_score"] <= 1.0)).all()
     # banded doc count is strictly less than the full corpus
     assert out.groupby("model")["n"].sum().max() < 500
+
+
+def test_bpe_pairs_matches_counter(ray_session):
+    """bpe_pairs against a serial Counter mirror over the same corpus:
+    adjacent char pairs of each whitespace token, weighted by the token's
+    corpus frequency, ranked (count desc, pair asc)."""
+    from web_content_extraction_benchmark_ray.functions.text import tokenize_ws
+    from web_content_extraction_benchmark_ray.pipelines.analytics import (
+        BPE_TOPK,
+        bpe_pairs,
+    )
+
+    texts = pq.read_table(f"{SF}/documents.parquet", columns=["text"])
+    counter = collections.Counter()
+    for row in texts.column("text").to_pylist():
+        for tok in tokenize_ws(row):
+            for i in range(len(tok) - 1):
+                counter[tok[i:i + 2]] += 1
+    expected = sorted(counter.items(), key=lambda kv: (-kv[1], kv[0]))[:BPE_TOPK]
+    got = bpe_pairs(SF).to_pandas()
+    got_pairs = sorted(
+        zip(got["pair"], got["n"]), key=lambda kv: (-kv[1], kv[0])
+    )
+    assert [(p, int(n)) for p, n in got_pairs] == expected
+    # single-char tokens contribute nothing; every pair has length 2
+    assert all(len(p) == 2 for p in got["pair"])

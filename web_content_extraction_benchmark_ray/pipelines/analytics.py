@@ -146,6 +146,70 @@ def vocab_topk(sf_dir: str):
     return totals.sort(["n", "word"], descending=[True, False]).limit(VOCAB_K)
 
 
+BPE_TOPK = 20
+
+
+def bpe_pairs(sf_dir: str):
+    """First BPE merge iteration, distributed (Sennrich et al. 2016,
+    arXiv:1508.07909 — tokenizer TRAINING's inner loop): count adjacent
+    character-pair occurrences across the corpus (each word's pairs
+    weighted by the word's occurrence count) and rank the top
+    BPE_TOPK merge candidates by (count desc, pair asc).
+
+    Same three-stage scale shape as vocab_topk: per-batch Counter
+    combiner (one row per distinct pair per block — the pair universe is
+    ~|alphabet|^2, far smaller than the vocabulary, so combiners collapse
+    hard), bucketed vectorized reduce, per-block partial top-K before one
+    tiny final sort.  A full BPE trainer re-runs this op after each merge
+    over a re-symbolized corpus; the counting plan is iteration-invariant."""
+    def partial_pairs(batch: pa.Table) -> pa.Table:
+        wc: dict[str, int] = {}
+        for text in batch.column("text").to_pylist():
+            for tok in tokenize_ws(text):
+                wc[tok] = wc.get(tok, 0) + 1
+        counts: dict[str, int] = {}
+        for tok, c in wc.items():
+            for i in range(len(tok) - 1):
+                p = tok[i:i + 2]
+                counts[p] = counts.get(p, 0) + c
+        return pa.table(
+            {
+                "pair": pa.array(list(counts.keys()), pa.string()),
+                "n": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        pairs = batch.column("pair").to_pylist()
+        n = np.asarray(batch.column("n").to_pylist(), dtype=np.int64)
+        if len(pairs) <= BPE_TOPK:
+            keep = np.arange(len(pairs))
+        else:
+            keep = np.lexsort((np.asarray(pairs, dtype=object), -n))[
+                :BPE_TOPK
+            ]
+        return pa.table(
+            {
+                "pair": pa.array([pairs[i] for i in keep], pa.string()),
+                "n": pa.array(n[keep], pa.int64()),
+            }
+        )
+
+    ds = read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+    counts = coalesce_small(
+        ds.map_batches(partial_pairs, batch_format="pyarrow")
+    )
+    from ..stages.vecagg import bucketed_groupby
+
+    totals = (
+        bucketed_groupby(counts, "pair", ["n"], ["sum"])
+        .map_batches(block_topk, batch_format="pyarrow")
+    )
+    return totals.sort(["n", "pair"], descending=[True, False]).limit(BPE_TOPK)
+
+
 # ------------------------------------------------------------- M1: k-means
 def _load_centroids(sf_dir: str, k: int = KMEANS_K) -> np.ndarray:
     import pyarrow.parquet as pq
@@ -418,6 +482,7 @@ def analytics_queries() -> dict:
         "vocab_topk": vocab_topk,
         "kmeans_assign": kmeans_assign,
         "kmeans_iterate": kmeans_iterate,
+        "bpe_pairs": bpe_pairs,
         "sample_split": sample_split,
         "sample_stratified": sample_stratified,
         "dataset_stats": dataset_stats,
@@ -469,6 +534,21 @@ WITH w AS (
 )
 SELECT tok AS word, count(*) AS n FROM w
 GROUP BY tok ORDER BY n DESC, tok LIMIT {VOCAB_K}"""
+
+    sqls["bpe_pairs"] = f"""
+WITH w AS (
+  SELECT u.tok FROM (
+    SELECT regexp_split_to_array(trim(text), '\\s+') AS l FROM documents
+  ) t, UNNEST(l) AS u(tok)
+),
+wc AS (SELECT tok, count(*) AS c FROM w GROUP BY tok),
+p AS (
+  SELECT substr(wc.tok, u.i, 2) AS pair, sum(wc.c) AS n
+  FROM wc, UNNEST(generate_series(1, len(wc.tok) - 1)) AS u(i)
+  GROUP BY substr(wc.tok, u.i, 2)
+)
+SELECT pair, CAST(n AS BIGINT) AS n FROM p
+ORDER BY n DESC, pair LIMIT {BPE_TOPK}"""
 
     sqls["kmeans_assign"] = f"""
 WITH cent AS (
