@@ -171,7 +171,9 @@ _SAMPLE_FIRST = [
     "gopher_filter",
     "tfidf_topterms",
     "line_dedup",
-    "distinct_sketch",
+    # distinct_sketch yields its slot to a session-8 newcomer: its HLL
+    # register/rho math is in-window via distinct_by_source (the grouped
+    # form of the same sketch, same register fold)
     "events_funnel",
     "bm25_score",
     "cooccur_topk",
@@ -179,12 +181,21 @@ _SAMPLE_FIRST = [
     "quality_tiers",
     "bigram_logprob",
     "extract_article",
-    "shuffle_order",
+    # shuffle_order yields its slot to a session-8 newcomer: its seeded
+    # hash60 permutation + two-level bucket scan are in-window via
+    # pack_sequences, which packs in exactly that order
     "pack_sequences",
-    "pq_encode",
+    # pq_encode yields its slot to a session-8 newcomer: codebook
+    # training (_pq_inputs/_pq_train, the capped hash-sample Lloyd) is
+    # in-window via pq_search, which shares both helpers and the int64
+    # subspace distance kernel
     "pq_search",
     "length_quantiles",
     "score_correlation",
+    # new in round-4 session 8 (never driver-verified)
+    "semdedup",
+    "dup_cluster_sizes",
+    "bpe_pairs",
     # changed late in round 4 (exact-mean hardening of every eval mean;
     # events_props/eval_agg_micro/eval_quantiles — verified green in
     # earlier rounds — yield their slots: exact_mean6 is exercised in
