@@ -1481,3 +1481,26 @@ def test_dup_cluster_sizes_histogram(ray_session):
     pairs = dd.dedup_minhash_pairs(_aug_docs(sf)).to_pandas()
     nodes = set(pairs["doc_id_a"]) | set(pairs["doc_id_b"])
     assert (hist["size"] * hist["n_clusters"]).sum() == len(nodes)
+
+def test_bucketed_groupby_count_op(ray_session):
+    """vecagg's count op: exact per-key row counts regardless of the
+    value column's contents, alongside a sum over the same key."""
+    import ray
+
+    from web_content_extraction_benchmark_ray.stages.vecagg import (
+        bucketed_groupby,
+    )
+
+    t = pa.table(
+        {
+            "k": pa.array([1, 2, 1, 3, 2, 1], pa.int64()),
+            "v": pa.array([10, 20, 30, 40, 50, 60], pa.int64()),
+        }
+    )
+    out = bucketed_groupby(
+        ray.data.from_arrow(t), "k", ["v", "k"], ["sum", "count"],
+        out_names=["v_sum", "n"],
+    ).to_pandas().sort_values("k").reset_index(drop=True)
+    assert out["k"].tolist() == [1, 2, 3]
+    assert out["v_sum"].tolist() == [100, 70, 40]
+    assert out["n"].tolist() == [3, 2, 1]

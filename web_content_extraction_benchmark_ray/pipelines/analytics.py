@@ -102,31 +102,41 @@ def vocab_topk(sf_dir: str):
     3. per-block PARTIAL top-K (each totals block emits <= K rows), so
        the final sort ranks <= blocks x K rows, never the vocabulary.
     """
-    def partial_counts(batch: pa.Table) -> pa.Table:
+    def word_counts(texts: list[str]) -> dict[str, int]:
         counts: dict[str, int] = {}
-        for text in batch.column("text").to_pylist():
+        for text in texts:
             for tok in tokenize_ws(text):
                 counts[tok] = counts.get(tok, 0) + 1
+        return counts
+
+    return _counted_topk(sf_dir, word_counts, "word", VOCAB_K)
+
+
+def _counted_topk(sf_dir: str, expand_counts, key_name: str, k: int):
+    """The shared scale scaffold of vocab_topk / bpe_pairs (the
+    three-stage shape in vocab_topk's docstring): per-batch dict
+    combiner over ``expand_counts(texts)``, bucketed vectorized sum,
+    per-block partial top-K, one tiny final (n desc, key asc) sort."""
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        counts = expand_counts(batch.column("text").to_pylist())
         return pa.table(
             {
-                "word": pa.array(list(counts.keys()), pa.string()),
+                key_name: pa.array(list(counts.keys()), pa.string()),
                 "n": pa.array(list(counts.values()), pa.int64()),
             }
         )
 
     def block_topk(batch: pa.Table) -> pa.Table:
-        words = batch.column("word").to_pylist()
+        keys = batch.column(key_name).to_pylist()
         n = np.asarray(batch.column("n").to_pylist(), dtype=np.int64)
-        if len(words) <= VOCAB_K:
-            keep = np.arange(len(words))
+        if len(keys) <= k:
+            keep = np.arange(len(keys))
         else:
-            # (count desc, word asc) — lexsort's last key is primary
-            keep = np.lexsort((np.asarray(words, dtype=object), -n))[
-                :VOCAB_K
-            ]
+            # (count desc, key asc) — lexsort's last key is primary
+            keep = np.lexsort((np.asarray(keys, dtype=object), -n))[:k]
         return pa.table(
             {
-                "word": pa.array([words[i] for i in keep], pa.string()),
+                key_name: pa.array([keys[i] for i in keep], pa.string()),
                 "n": pa.array(n[keep], pa.int64()),
             }
         )
@@ -140,10 +150,10 @@ def vocab_topk(sf_dir: str):
     from ..stages.vecagg import bucketed_groupby
 
     totals = (
-        bucketed_groupby(counts, "word", ["n"], ["sum"])
+        bucketed_groupby(counts, key_name, ["n"], ["sum"])
         .map_batches(block_topk, batch_format="pyarrow")
     )
-    return totals.sort(["n", "word"], descending=[True, False]).limit(VOCAB_K)
+    return totals.sort(["n", key_name], descending=[True, False]).limit(k)
 
 
 BPE_TOPK = 20
@@ -160,11 +170,12 @@ def bpe_pairs(sf_dir: str):
     combiner (one row per distinct pair per block — the pair universe is
     ~|alphabet|^2, far smaller than the vocabulary, so combiners collapse
     hard), bucketed vectorized reduce, per-block partial top-K before one
-    tiny final sort.  A full BPE trainer re-runs this op after each merge
-    over a re-symbolized corpus; the counting plan is iteration-invariant."""
-    def partial_pairs(batch: pa.Table) -> pa.Table:
+    tiny final sort — all via the shared _counted_topk scaffold.  A full
+    BPE trainer re-runs this op after each merge over a re-symbolized
+    corpus; the counting plan is iteration-invariant."""
+    def pair_counts(texts: list[str]) -> dict[str, int]:
         wc: dict[str, int] = {}
-        for text in batch.column("text").to_pylist():
+        for text in texts:
             for tok in tokenize_ws(text):
                 wc[tok] = wc.get(tok, 0) + 1
         counts: dict[str, int] = {}
@@ -172,42 +183,9 @@ def bpe_pairs(sf_dir: str):
             for i in range(len(tok) - 1):
                 p = tok[i:i + 2]
                 counts[p] = counts.get(p, 0) + c
-        return pa.table(
-            {
-                "pair": pa.array(list(counts.keys()), pa.string()),
-                "n": pa.array(list(counts.values()), pa.int64()),
-            }
-        )
+        return counts
 
-    def block_topk(batch: pa.Table) -> pa.Table:
-        pairs = batch.column("pair").to_pylist()
-        n = np.asarray(batch.column("n").to_pylist(), dtype=np.int64)
-        if len(pairs) <= BPE_TOPK:
-            keep = np.arange(len(pairs))
-        else:
-            keep = np.lexsort((np.asarray(pairs, dtype=object), -n))[
-                :BPE_TOPK
-            ]
-        return pa.table(
-            {
-                "pair": pa.array([pairs[i] for i in keep], pa.string()),
-                "n": pa.array(n[keep], pa.int64()),
-            }
-        )
-
-    ds = read_table(
-        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
-    )
-    counts = coalesce_small(
-        ds.map_batches(partial_pairs, batch_format="pyarrow")
-    )
-    from ..stages.vecagg import bucketed_groupby
-
-    totals = (
-        bucketed_groupby(counts, "pair", ["n"], ["sum"])
-        .map_batches(block_topk, batch_format="pyarrow")
-    )
-    return totals.sort(["n", "pair"], descending=[True, False]).limit(BPE_TOPK)
+    return _counted_topk(sf_dir, pair_counts, "pair", BPE_TOPK)
 
 
 # ------------------------------------------------------------- M1: k-means

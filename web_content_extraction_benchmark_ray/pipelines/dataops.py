@@ -26,7 +26,6 @@ from ..sources.storage import read_table
 from ..functions.textstats import lang_id, quality_features, token_counts
 from ..stages import dedup as dd
 from ..stages import simsearch as ss
-from ..stages.simsearch import emb_matrix
 from ..stages.media import decode_media
 
 EXACT_COPY_EVERY = 10
@@ -340,31 +339,14 @@ def dup_cluster_sizes(sf_dir: str):
         )
 
     def label_rows(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        return pa.table(
-            {
-                "label": batch.column("val").cast(pa.int64()),
-                "one": pa.array(np.ones(n, dtype=np.int64)),
-            }
-        )
+        return pa.table({"label": batch.column("val").cast(pa.int64())})
 
     sizes = bucketed_groupby(
         labels.map_batches(label_rows, batch_format="pyarrow"),
-        "label", ["one"], ["sum"], out_names=["size"],
+        "label", ["label"], ["count"], out_names=["size"],
     )
-
-    def size_rows(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        return pa.table(
-            {
-                "size": batch.column("size"),
-                "one": pa.array(np.ones(n, dtype=np.int64)),
-            }
-        )
-
     hist = bucketed_groupby(
-        sizes.map_batches(size_rows, batch_format="pyarrow"),
-        "size", ["one"], ["sum"], out_names=["n_clusters"],
+        sizes, "size", ["size"], ["count"], out_names=["n_clusters"],
     )
     return hist.sort("size")
 
@@ -903,7 +885,7 @@ def semdedup_flags(ds, cents: np.ndarray):
                     "nvec": pa.array([], pa.list_(pa.float64())),
                 }
             )
-        nvecs = ss._norm(emb_matrix(batch.column("embedding")))
+        nvecs = ss._norm(ss.emb_matrix(batch.column("embedding")))
         cl = _sem_cluster(nvecs, ncents)
         keep_idx = []
         for c in np.unique(cl):
@@ -951,12 +933,12 @@ def semdedup_flags(ds, cents: np.ndarray):
         if len(ids) == 0:
             return pa.table(
                 {
-                    "cluster": pa.array([], pa.int64()),
                     "vec_id": pa.array([], pa.int64()),
+                    "cluster": pa.array([], pa.int64()),
                     "keep": pa.array([], pa.int64()),
                 }
             )
-        nvecs = ss._norm(emb_matrix(batch.column("embedding")))
+        nvecs = ss._norm(ss.emb_matrix(batch.column("embedding")))
         cl = _sem_cluster(nvecs, ncents)
         keep = np.ones(len(ids), dtype=np.int64)
         for c in np.unique(cl):

@@ -796,6 +796,17 @@ def cc_bucket_labels(pairs_ds, num_buckets: int | None = None,
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    else:
+        # A silent cap here would hand hash-verified consumers
+        # (dup_cluster_sizes, the survivor anti-join) labels that split
+        # one true component in two.  Rounds needed = component diameter,
+        # so this fires only on a chain of > max_iters pairwise-linked
+        # docs — raise loudly and let the caller re-run with a higher cap.
+        raise RuntimeError(
+            f"label propagation did not converge in {max_iters} rounds "
+            "(component diameter exceeds max_iters); pass a higher "
+            "max_iters"
+        )
     return labels
 
 

@@ -29,7 +29,7 @@ import pyarrow as pa
 
 DEFAULT_BUCKETS = 256
 
-_OPS = ("sum", "min", "max")
+_OPS = ("sum", "min", "max", "count")
 
 
 def _bucket_of(col: pa.ChunkedArray, num_buckets: int) -> np.ndarray:
@@ -56,7 +56,10 @@ def bucketed_groupby(
     """groupby(key).aggregate(ops over vals), bucketed + vectorized.
 
     Returns a Dataset with columns ``(key, *out_names)`` where
-    ``out_names`` defaults to ``vals``.  ``ops[i]`` in {sum, min, max}
+    ``out_names`` defaults to ``vals``.  ``ops[i]`` in {sum, min, max,
+    count} — count ignores the value column's contents (``vals[i]`` may
+    name any existing column; it only labels the output) and is exact
+    because the reduce sees each key's complete group in one call —
     applies to int64 column ``vals[i]`` (integer-exact, order-
     independent — the float-parity discipline)."""
     assert len(vals) == len(ops) and all(o in _OPS for o in ops)
@@ -83,6 +86,13 @@ def bucketed_groupby(
             )
         }
         for val, op, name in zip(vals, ops, names):
+            if op == "count":
+                # row count per key; ``val`` only names the output
+                cols[name] = pa.array(
+                    np.bincount(kinv, minlength=len(uk)).astype(np.int64),
+                    pa.int64(),
+                )
+                continue
             v = np.asarray(group.column(val).to_pylist(), dtype=np.int64)
             if op == "sum":
                 acc = np.zeros(len(uk), dtype=np.int64)
