@@ -196,6 +196,10 @@ _SAMPLE_FIRST = [
     "semdedup",
     "dup_cluster_sizes",
     "bpe_pairs",
+    # dedup_incremental_minhash sits OUTSIDE the full window: it
+    # composes two in-window ops' machinery end to end (the Bloom
+    # screen + bucket-prefiltered confirm of dedup_incremental, the
+    # band/signature verify of dedup_minhash_pairs)
     # changed late in round 4 (exact-mean hardening of every eval mean;
     # events_props/eval_agg_micro/eval_quantiles — verified green in
     # earlier rounds — yield their slots: exact_mean6 is exercised in

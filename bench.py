@@ -173,6 +173,8 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
                   lambda: _consume(d.dedup_exact_norm(sf_dir)))
             timed("dedup_incremental",
                   lambda: _consume(d.dedup_incremental(sf_dir)))
+            timed("dedup_incremental_minhash",
+                  lambda: _consume(d.dedup_incremental_minhash(sf_dir)))
             timed("dedup_minhash", lambda: _consume(d.dedup_minhash_pairs(sf_dir)))
             timed("dedup_simhash", lambda: _consume(d.dedup_simhash_pairs(sf_dir)))
             timed("dedup_jaccard", lambda: _consume(d.dedup_ngram_jaccard(sf_dir)))

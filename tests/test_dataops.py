@@ -1504,3 +1504,35 @@ def test_bucketed_groupby_count_op(ray_session):
     assert out["k"].tolist() == [1, 2, 3]
     assert out["v_sum"].tolist() == [100, 70, 40]
     assert out["n"].tolist() == [3, 2, 1]
+
+def test_dedup_incremental_minhash_families(ray_session):
+    """The near-dup incremental screen: exact copies and dropped-last-word
+    near-dups are dups of the standing corpus; token-reversed docs (every
+    shingle rewritten) are novel — and a tiny Bloom (forcing false
+    positives through the confirm) must not change the output."""
+    from web_content_extraction_benchmark_ray.pipelines.dataops import (
+        EXACT_COPY_OFFSET,
+        INC_NOVEL_OFFSET,
+        NEAR_DUP_OFFSET,
+        dedup_incremental_minhash,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    novel = set(
+        dedup_incremental_minhash(sf).to_pandas()["doc_id"].astype(int)
+    )
+    assert novel, "reversed family should be novel"
+    assert all(i >= INC_NOVEL_OFFSET for i in novel)
+    assert not any(
+        EXACT_COPY_OFFSET <= i < EXACT_COPY_OFFSET + 1_000_000
+        for i in novel
+    )
+    assert not any(
+        NEAR_DUP_OFFSET <= i < NEAR_DUP_OFFSET + 1_000_000 for i in novel
+    )
+    # 64 bloom bits ~ guaranteed false positives; exact confirm holds
+    tiny = set(
+        dedup_incremental_minhash(sf, bloom_bits=64)
+        .to_pandas()["doc_id"].astype(int)
+    )
+    assert tiny == novel

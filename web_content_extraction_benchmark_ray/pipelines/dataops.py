@@ -69,6 +69,36 @@ def _aug_docs(sf_dir: str):
     return _docs(sf_dir).map_batches(_augment_docs, batch_format="pyarrow")
 
 
+# dedup_incremental_minhash's incoming batch: the augmented additions
+# (expected near-dups of the standing corpus) plus a token-REVERSED
+# variant of every INC_NOVEL_EVERY-th doc (expected novel: reversal
+# rewrites every word shingle)
+INC_NOVEL_EVERY = 7
+INC_NOVEL_OFFSET = 4_000_000
+
+
+def _incremental_incoming(batch: pa.Table) -> pa.Table:
+    ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    out_id, out_text = [], []
+    for i, t in zip(ids, texts):
+        if i % EXACT_COPY_EVERY == 0:
+            out_id.append(i + EXACT_COPY_OFFSET)
+            out_text.append(t)
+        if i % NEAR_DUP_EVERY == 0:
+            out_id.append(i + NEAR_DUP_OFFSET)
+            out_text.append(" ".join(tokenize_ws(t)[:-1]))
+        if i % INC_NOVEL_EVERY == 0:
+            out_id.append(i + INC_NOVEL_OFFSET)
+            out_text.append(" ".join(reversed(tokenize_ws(t))))
+    return pa.table(
+        {
+            "doc_id": pa.array(out_id, pa.int64()),
+            "text": pa.array(out_text, pa.string()),
+        }
+    )
+
+
 # ------------------------------------------------------------------- dedup
 def dedup_exact(sf_dir: str):
     return dd.dedup_exact(_aug_docs(sf_dir))
@@ -280,6 +310,200 @@ def dedup_incremental(sf_dir: str, bloom_bits: int | None = None):
         .map_groups(anti, batch_format="pyarrow")
     )
     return misses.union(confirmed_new)
+
+
+def dedup_incremental_minhash(sf_dir: str, bloom_bits: int | None = None):
+    """Incremental-ingest NEAR-dup dedup: the incoming batch (every
+    augmented addition, ``doc_id >= NEAR_DUP_OFFSET``) is screened
+    against the already-ingested reference corpus (the base
+    ``documents`` table) by MinHash+LSH band keys — the near-dup
+    analogue of ``dedup_incremental``'s exact-hash screen, the op a
+    daily crawl increment runs against a standing 100-TB corpus.
+
+    1. A Bloom filter over the REFERENCE BAND KEYS is built distributed
+       from the reference band rows and ``ray.put`` once.  In
+       production this filter (or the band index it summarizes) is the
+       artifact persisted between ingests, so the recurring cost is the
+       incoming side only; here it is built in-run.
+    2. Incoming band rows probe the filter.  Bloom has no false
+       negatives, so a MISSING band key certainly matches no reference
+       band — miss rows never enter the confirm shuffle.
+    3. Hit rows co-group with reference band rows PRE-FILTERED to the
+       hit coarse buckets (distinct hit-bucket set broadcast, the
+       dedup_incremental discipline).  Inside a bucket, posting lists
+       by (band_id, band_key) pair incoming x reference members, and
+       the full signatures carried on the band rows (no join) confirm
+       ``est_jaccard >= MINHASH_THRESHOLD`` — dedup_minhash_pairs'
+       exact verify.  Posting lists over ``LSH_POSTING_CAP`` drop
+       loudly (stages/dedup.py:_cap_posting).
+    4. Output = incoming ids with NO confirmed reference partner, via a
+       keyed co-group anti-join (no driver id set).
+
+    The incoming view is the augmented additions PLUS a token-REVERSED
+    variant of every ``INC_NOVEL_EVERY``-th doc: reversal rewrites every
+    word 3-gram, so those docs share no shingles with their source and
+    are genuinely novel — exact copies and the perturbed NEAR_DUP family
+    are flagged dup, the reversed family survives (and, having no
+    matching band keys, exercises the Bloom miss fast path end to end)."""
+    from ..functions.hashing import MINHASH_K
+    from ..stages.bloom import (
+        BLOOM_BITS_DEFAULT,
+        bloom_contains,
+        bloom_from_hashes,
+    )
+    from ..stages.dedup import (
+        MINHASH_THRESHOLD,
+        _cap_posting,
+        minhash_band_rows,
+    )
+
+    m = int(bloom_bits or BLOOM_BITS_DEFAULT)
+    nb = dd.derived_pair_buckets()
+
+    inc_docs = _docs(sf_dir).map_batches(
+        _incremental_incoming, batch_format="pyarrow"
+    )
+
+    # reference band rows: read by the bloom build AND the confirm —
+    # pinned once (the persisted-index artifact at production scale)
+    ref_bands = _docs(sf_dir).map_batches(
+        minhash_band_rows, fn_kwargs={"num_buckets": nb},
+        batch_format="pyarrow",
+    ).materialize()
+
+    def key_hash_rows(b: pa.Table) -> pa.Table:
+        hs = [int(k[:15], 16) for k in b.column("band_key").to_pylist()]
+        return pa.table({"h": pa.array(hs, pa.int64())})
+
+    bloom = bloom_from_hashes(
+        ref_bands.map_batches(key_hash_rows, batch_format="pyarrow"),
+        "h", m,
+    )
+    bloom_ref = ray.put(bloom)
+
+    def probe(b: pa.Table) -> pa.Table:
+        bits = ss._get_broadcast(bloom_ref)
+        hs = np.asarray(
+            [int(k[:15], 16) for k in b.column("band_key").to_pylist()],
+            dtype=np.int64,
+        )
+        hit = bloom_contains(bits, hs, m)
+        return b.append_column("hit", pa.array(hit, pa.bool_()))
+
+    classified = inc_docs.map_batches(
+        minhash_band_rows, fn_kwargs={"num_buckets": nb},
+        batch_format="pyarrow",
+    ).map_batches(probe, batch_format="pyarrow").materialize()
+
+    def inc_id_rows(b: pa.Table) -> pa.Table:
+        ids = np.asarray(
+            [int(i) for i in b.column("doc_id").to_pylist()], dtype=np.int64
+        )
+        return pa.table(
+            {
+                "bucket": pa.array((ids % nb).astype(np.int32)),
+                "doc_id": pa.array(ids, pa.int64()),
+                "kind": pa.array(np.full(len(ids), 2, dtype=np.int32)),
+            }
+        )
+
+    inc_ids = inc_docs.map_batches(inc_id_rows, batch_format="pyarrow")
+
+    def hit_bucket_rows(b: pa.Table) -> pa.Table:
+        t = b.filter(b.column("hit").combine_chunks())
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    np.unique(
+                        np.asarray(
+                            t.column("bucket").to_pylist(), dtype=np.int64
+                        )
+                    ).astype(np.int32)
+                )
+            }
+        )
+
+    hit_buckets = np.unique(
+        np.asarray(
+            [
+                r["bucket"]
+                for r in classified.map_batches(
+                    hit_bucket_rows, batch_format="pyarrow"
+                ).take_all()
+            ],
+            dtype=np.int64,
+        )
+    )
+    if len(hit_buckets) == 0:
+        return inc_ids.select_columns(["doc_id"])
+    hb_ref = ray.put(hit_buckets)
+
+    def hit_side(b: pa.Table) -> pa.Table:
+        t = b.filter(b.column("hit").combine_chunks()).drop_columns(["hit"])
+        return t.append_column(
+            "side", pa.array(np.zeros(t.num_rows, dtype=np.int32))
+        )
+
+    def ref_side(b: pa.Table) -> pa.Table:
+        hb = ss._get_broadcast(hb_ref)
+        bucket = np.asarray(b.column("bucket").to_pylist(), dtype=np.int64)
+        t = b.filter(pa.array(np.isin(bucket, hb)))
+        return t.append_column(
+            "side", pa.array(np.ones(t.num_rows, dtype=np.int32))
+        )
+
+    def confirm(group: pa.Table) -> pa.Table:
+        posting: dict = {}
+        for bd, k, d, s, sd in zip(
+            group.column("band_id").to_pylist(),
+            group.column("band_key").to_pylist(),
+            group.column("doc_id").to_pylist(),
+            group.column("sig").to_pylist(),
+            group.column("side").to_pylist(),
+        ):
+            posting.setdefault((bd, k), []).append((sd, int(d), tuple(s)))
+        posting = _cap_posting(posting, "dedup_incremental_minhash")
+        dups: set = set()
+        for members in posting.values():
+            refs = [(d, s) for sd, d, s in members if sd == 1]
+            if not refs:
+                continue
+            for sd, d, s in members:
+                if sd != 0 or d in dups:
+                    continue
+                for _, sj in refs:
+                    est = sum(x == y for x, y in zip(s, sj)) / MINHASH_K
+                    if est >= MINHASH_THRESHOLD:
+                        dups.add(d)
+                        break
+        ids = np.array(sorted(dups), dtype=np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array((ids % nb).astype(np.int32)),
+                "doc_id": pa.array(ids, pa.int64()),
+                "kind": pa.array(np.zeros(len(ids), dtype=np.int32)),
+            }
+        )
+
+    dup_rows = (
+        classified.map_batches(hit_side, batch_format="pyarrow")
+        .union(ref_bands.map_batches(ref_side, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(confirm, batch_format="pyarrow")
+    )
+
+    def keep_novel(group: pa.Table) -> pa.Table:
+        kinds = np.asarray(group.column("kind").to_pylist(), dtype=np.int32)
+        ids = np.asarray(group.column("doc_id").to_pylist(), dtype=np.int64)
+        dead = set(ids[kinds == 0].tolist())
+        keep = [int(i) for i in ids[kinds == 2] if int(i) not in dead]
+        return pa.table({"doc_id": pa.array(keep, pa.int64())})
+
+    return (
+        inc_ids.union(dup_rows)
+        .groupby("bucket")
+        .map_groups(keep_novel, batch_format="pyarrow")
+    )
 
 
 def dedup_fingerprint_pairs(sf_dir: str):
@@ -2158,6 +2382,7 @@ def dataops_queries() -> dict:
         "dedup_exact": dedup_exact,
         "dedup_exact_norm": dedup_exact_norm,
         "dedup_incremental": dedup_incremental,
+        "dedup_incremental_minhash": dedup_incremental_minhash,
         "dedup_fingerprint_pairs": dedup_fingerprint_pairs,
         "dedup_fingerprint_survivors": dedup_fingerprint_survivors,
         "dedup_minhash_pairs": dedup_minhash_pairs,

@@ -197,8 +197,7 @@ norm AS (
 )
 SELECT min(doc_id) AS doc_id FROM norm GROUP BY md5(ntext)"""
 
-    _mh_body = f"""{_AUG.strip()},
-{_SHINGLES.strip()},
+    _mh_tail = f"""{_SHINGLES.strip()},
 {_seeds_values()},
 mh AS (
   SELECT doc_id, i, min((a * hp + b) % {MERSENNE_P}) AS mh
@@ -224,6 +223,7 @@ matches AS (
   JOIN mh y ON y.doc_id = c.db AND y.i = x.i
   GROUP BY c.da, c.db
 )"""
+    _mh_body = f"{_AUG.strip()},\n{_mh_tail}"
 
     sqls["dedup_minhash_pairs"] = f"""WITH {_mh_body}
 SELECT da AS doc_id_a, db AS doc_id_b,
@@ -257,6 +257,33 @@ WHERE doc_id NOT IN (SELECT node FROM comp WHERE label <> node)"""
     sqls["dup_cluster_sizes"] = f"""WITH RECURSIVE {_mh_cc},
 cs AS (SELECT label, count(*) AS size FROM comp GROUP BY label)
 SELECT size, count(*) AS n_clusters FROM cs GROUP BY size ORDER BY size"""
+
+    # incremental near-dup screen (dataops.dedup_incremental_minhash):
+    # incoming = augmented additions + the token-reversed novel family
+    # (all ids >= NEAR_DUP_OFFSET, the smallest planted offset),
+    # reference = the base corpus; an incoming doc is a dup iff it
+    # band-matches AND signature-verifies against a REFERENCE doc.  Base
+    # ids are always < the offsets, so the generic cand/matches
+    # (da < db) pairs cover exactly the ref x incoming combinations.
+    from .dataops import INC_NOVEL_EVERY, INC_NOVEL_OFFSET
+
+    _inc_aug = _AUG.strip()[:-1] + f"""  UNION ALL
+  SELECT doc_id + {INC_NOVEL_OFFSET} AS doc_id,
+         array_to_string(list_reverse(l), ' ') AS text
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS l
+        FROM documents)
+  WHERE doc_id % {INC_NOVEL_EVERY} = 0
+)"""
+    sqls["dedup_incremental_minhash"] = f"""WITH {_inc_aug},
+{_mh_tail},
+dup AS (
+  SELECT DISTINCT db AS doc_id FROM matches
+  WHERE da < {NEAR_DUP_OFFSET} AND db >= {NEAR_DUP_OFFSET}
+    AND m / {float(MINHASH_K)} >= {MINHASH_THRESHOLD}
+)
+SELECT doc_id FROM aug
+WHERE doc_id >= {NEAR_DUP_OFFSET}
+  AND doc_id NOT IN (SELECT doc_id FROM dup)"""
 
     _sim = f"""
 words AS (
