@@ -1536,3 +1536,34 @@ def test_dedup_incremental_minhash_families(ray_session):
         .to_pandas()["doc_id"].astype(int)
     )
     assert tiny == novel
+
+def test_hash_embed_matches_serial(ray_session):
+    """hash_embed against a serial mirror: signed token counts per hashed
+    dimension, nonzero rows only, zero-shuffle long format."""
+    from web_content_extraction_benchmark_ray.functions.hashing import hash60
+    from web_content_extraction_benchmark_ray.functions.text import tokenize_ws
+    from web_content_extraction_benchmark_ray.pipelines.dataops import (
+        HASH_EMBED_DIM,
+        hash_embed,
+    )
+
+    import pyarrow.parquet as pq
+
+    sf = "/root/testdata/sf0.001"
+    df = hash_embed(sf).to_pandas()
+    texts = pq.read_table(f"{sf}/documents.parquet",
+                          columns=["doc_id", "text"])
+    want: dict = {}
+    for i, t in zip(texts.column("doc_id").to_pylist(),
+                    texts.column("text").to_pylist()):
+        for tok in tokenize_ws(t):
+            h = hash60(tok)
+            k = (int(i), h % HASH_EMBED_DIM)
+            want[k] = want.get(k, 0) + (1 - 2 * ((h >> 30) & 1))
+    want = {k: v for k, v in want.items() if v != 0}
+    got = {
+        (int(r.doc_id), int(r.dim)): int(r.weight)
+        for r in df.itertuples()
+    }
+    assert got == want
+    assert (df["dim"] >= 0).all() and (df["dim"] < HASH_EMBED_DIM).all()

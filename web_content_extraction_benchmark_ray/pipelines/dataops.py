@@ -1754,6 +1754,58 @@ def doc_fingerprint(sf_dir: str):
     return _docs(sf_dir).map_batches(stats, batch_format="pyarrow")
 
 
+HASH_EMBED_DIM = 256
+
+
+def hash_embed(sf_dir: str):
+    """Feature-hashing text vectorizer (Weinberger et al. 2009, "Feature
+    Hashing for Large Scale Multitask Learning"): each whitespace token
+    lands in dimension ``hash60(tok) % DIM`` with sign ``(hash60 >> 30)
+    & 1`` (an independent bit region, the signed variant that makes the
+    estimator unbiased), and a document's vector is the signed token
+    count per dimension.  Output is LONG format — one exact int64 row
+    ``(doc_id, dim, weight)`` per NONZERO dimension — the sparse form a
+    downstream dense-vector or index builder consumes, and the form
+    whose values an SQL twin can match bit for bit (a list<float> column
+    would stringify differently across engines).
+
+    Zero shuffle: a document's tokens never leave its batch, so the
+    whole featurizer is one stateless map — the text->vector stage that
+    feeds the knn/semdedup/pq family when no model embedding exists."""
+    def embed(batch: pa.Table) -> pa.Table:
+        from ..functions.hashing import hash60
+
+        out_id, out_dim, out_w = [], [], []
+        for i, t in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("text").to_pylist(),
+        ):
+            toks = tokenize_ws(t)
+            if not toks:
+                continue
+            hs = np.fromiter(
+                (hash60(tok) for tok in toks), dtype=np.int64,
+                count=len(toks),
+            )
+            dims = hs % HASH_EMBED_DIM
+            signs = 1 - 2 * ((hs >> 30) & 1)
+            acc = np.zeros(HASH_EMBED_DIM, dtype=np.int64)
+            np.add.at(acc, dims, signs)
+            nz = np.flatnonzero(acc)
+            out_id.extend([int(i)] * len(nz))
+            out_dim.extend(nz.tolist())
+            out_w.extend(acc[nz].tolist())
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "dim": pa.array(out_dim, pa.int64()),
+                "weight": pa.array(out_w, pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(embed, batch_format="pyarrow")
+
+
 # --------------------------------------------------------------- multimodal
 def _media_payload_rows(batch: pa.Table) -> pa.Table:
     """Synthesize the media side-table (every 10th doc carries one payload;
@@ -2402,6 +2454,7 @@ def dataops_queries() -> dict:
         "text_quality": text_quality,
         "lang_id": lang_id_q,
         "doc_fingerprint": doc_fingerprint,
+        "hash_embed": hash_embed,
         "media_features": media_features,
         "media_decode": media_decode,
         "media_resize": media_resize,

@@ -285,6 +285,26 @@ SELECT doc_id FROM aug
 WHERE doc_id >= {NEAR_DUP_OFFSET}
   AND doc_id NOT IN (SELECT doc_id FROM dup)"""
 
+    # feature-hashing vectorizer (dataops.hash_embed): signed token
+    # counts per hashed dimension, long-format nonzero rows
+    from .dataops import HASH_EMBED_DIM
+
+    sqls["hash_embed"] = f"""
+WITH w AS (
+  SELECT doc_id, u.tok FROM (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS l
+    FROM documents
+  ) t, UNNEST(l) AS u(tok)
+),
+h AS (SELECT doc_id, {_H60.format('tok')} AS hv FROM w),
+e AS (
+  SELECT doc_id, hv % {HASH_EMBED_DIM} AS dim,
+         1 - 2 * ((hv >> 30) & 1) AS s
+  FROM h
+)
+SELECT doc_id, dim, CAST(sum(s) AS BIGINT) AS weight
+FROM e GROUP BY doc_id, dim HAVING sum(s) <> 0"""
+
     _sim = f"""
 words AS (
   SELECT doc_id, tok, count(*) AS c
