@@ -196,6 +196,8 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
             timed("lang_id", lambda: _consume(d.lang_id_q(sf_dir)))
             timed("doc_fingerprint", lambda: _consume(d.doc_fingerprint(sf_dir)))
             timed("hash_embed", lambda: _consume(d.hash_embed(sf_dir)))
+            timed("hash_embed_knn",
+                  lambda: _consume(d.hash_embed_knn(sf_dir)))
             timed("repetition_stats",
                   lambda: _consume(d.repetition_stats(sf_dir)))
             timed("unigram_logprob",

@@ -1567,3 +1567,33 @@ def test_hash_embed_matches_serial(ray_session):
     }
     assert got == want
     assert (df["dim"] >= 0).all() and (df["dim"] < HASH_EMBED_DIM).all()
+
+def test_hash_embed_knn_serial_mirror(ray_session):
+    """hash_embed_knn against a dense numpy mirror: integer dot-product
+    ranking, positive scores only, self excluded, ties to lowest id."""
+    import pyarrow.parquet as pq
+
+    from web_content_extraction_benchmark_ray.functions.text import tokenize_ws
+    from web_content_extraction_benchmark_ray.pipelines.dataops import (
+        HE_K,
+        HE_NQ,
+        _he_vec,
+        hash_embed_knn,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    ids = np.asarray(t.column("doc_id").to_pylist(), dtype=np.int64)
+    vecs = np.stack(
+        [_he_vec(tokenize_ws(x)) for x in t.column("text").to_pylist()]
+    )
+    got = hash_embed_knn(sf).to_pandas()
+    for qid in range(HE_NQ):
+        qv = vecs[ids == qid][0]
+        s = vecs @ qv
+        ok = np.flatnonzero((s > 0) & (ids != qid))
+        want = ok[np.lexsort((ids[ok], -s[ok]))][:HE_K]
+        sub = got[got["query_id"] == qid].sort_values("rank")
+        assert sub["doc_id"].tolist() == ids[want].tolist()
+        assert sub["score"].tolist() == s[want].tolist()
+        assert sub["rank"].tolist() == list(range(1, len(want) + 1))

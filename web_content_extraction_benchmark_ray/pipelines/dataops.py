@@ -1757,6 +1757,19 @@ def doc_fingerprint(sf_dir: str):
 HASH_EMBED_DIM = 256
 
 
+def _he_vec(toks: list[str]) -> np.ndarray:
+    """Dense signed-count feature-hash vector of one token list."""
+    from ..functions.hashing import hash60
+
+    acc = np.zeros(HASH_EMBED_DIM, dtype=np.int64)
+    if toks:
+        hs = np.fromiter(
+            (hash60(tok) for tok in toks), dtype=np.int64, count=len(toks)
+        )
+        np.add.at(acc, hs % HASH_EMBED_DIM, 1 - 2 * ((hs >> 30) & 1))
+    return acc
+
+
 def hash_embed(sf_dir: str):
     """Feature-hashing text vectorizer (Weinberger et al. 2009, "Feature
     Hashing for Large Scale Multitask Learning"): each whitespace token
@@ -1773,24 +1786,12 @@ def hash_embed(sf_dir: str):
     whole featurizer is one stateless map — the text->vector stage that
     feeds the knn/semdedup/pq family when no model embedding exists."""
     def embed(batch: pa.Table) -> pa.Table:
-        from ..functions.hashing import hash60
-
         out_id, out_dim, out_w = [], [], []
         for i, t in zip(
             batch.column("doc_id").to_pylist(),
             batch.column("text").to_pylist(),
         ):
-            toks = tokenize_ws(t)
-            if not toks:
-                continue
-            hs = np.fromiter(
-                (hash60(tok) for tok in toks), dtype=np.int64,
-                count=len(toks),
-            )
-            dims = hs % HASH_EMBED_DIM
-            signs = 1 - 2 * ((hs >> 30) & 1)
-            acc = np.zeros(HASH_EMBED_DIM, dtype=np.int64)
-            np.add.at(acc, dims, signs)
+            acc = _he_vec(tokenize_ws(t))
             nz = np.flatnonzero(acc)
             out_id.extend([int(i)] * len(nz))
             out_dim.extend(nz.tolist())
@@ -1804,6 +1805,104 @@ def hash_embed(sf_dir: str):
         )
 
     return _docs(sf_dir).map_batches(embed, batch_format="pyarrow")
+
+
+HE_NQ = 8   # query docs: the HE_NQ lowest doc_ids
+HE_K = 10   # neighbours per query
+
+
+def hash_embed_knn(sf_dir: str):
+    """Integer-exact top-K similarity search over the hash_embed space —
+    text-to-neighbours end to end with NO model and NO float: per query
+    doc (the HE_NQ lowest ids, a driver-side filtered read), every
+    corpus doc's score is the int64 dot product of signed-count vectors,
+    and the top HE_K POSITIVELY-similar docs rank by (score desc,
+    doc_id asc), self-match excluded.
+
+    Positive-only is semantic, not cosmetic: a doc sharing no nonzero
+    dimension scores exactly 0, and the SQL twin's sparse dim-join never
+    sees such pairs — restricting both engines to score > 0 makes the
+    result set identical by construction while keeping the join sparse.
+
+    Shape: the dense (HE_NQ x DIM) int64 query matrix broadcasts once;
+    each batch embeds its own docs (the corpus vector never
+    materializes), one matmul scores the batch, a per-batch partial
+    top-K emits <= HE_NQ x HE_K rows, and a tiny HE_NQ-group merge
+    ranks — the knn_bruteforce combiner discipline on integer
+    arithmetic."""
+    import pyarrow.parquet as pq_mod
+
+    t = pq_mod.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        filters=[("doc_id", "<", HE_NQ)],
+    )
+    qids = np.asarray(t.column("doc_id").to_pylist(), dtype=np.int64)
+    order = np.argsort(qids)
+    qmat = np.stack(
+        [
+            _he_vec(tokenize_ws(t.column("text").to_pylist()[int(i)]))
+            for i in order
+        ]
+    )
+    qids = qids[order]
+    q_ref = ray.put((qids, qmat))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qi, qm = ss._get_broadcast(q_ref)
+        ids = np.asarray(
+            [int(x) for x in batch.column("doc_id").to_pylist()],
+            dtype=np.int64,
+        )
+        out_q, out_d, out_s = [], [], []
+        if len(ids):
+            vecs = np.stack(
+                [
+                    _he_vec(tokenize_ws(t))
+                    for t in batch.column("text").to_pylist()
+                ]
+            )
+            scores = vecs @ qm.T  # (n, HE_NQ) int64 exact
+            for j, qid in enumerate(qi):
+                s = scores[:, j]
+                ok = np.flatnonzero((s > 0) & (ids != qid))
+                if len(ok) > HE_K:
+                    top = ok[np.lexsort((ids[ok], -s[ok]))[:HE_K]]
+                else:
+                    top = ok
+                out_q.extend([int(qid)] * len(top))
+                out_d.extend(ids[top].tolist())
+                out_s.extend(s[top].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "doc_id": pa.array(out_d, pa.int64()),
+                "score": pa.array(out_s, pa.int64()),
+            }
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        ids = np.asarray(group.column("doc_id").to_pylist(), dtype=np.int64)
+        s = np.asarray(group.column("score").to_pylist(), dtype=np.int64)
+        qid = group.column("query_id")[0].as_py()
+        top = np.lexsort((ids, -s))[:HE_K]
+        return pa.table(
+            {
+                "query_id": pa.array([qid] * len(top), pa.int64()),
+                "rank": pa.array(
+                    np.arange(1, len(top) + 1, dtype=np.int64)
+                ),
+                "doc_id": pa.array(ids[top], pa.int64()),
+                "score": pa.array(s[top], pa.int64()),
+            }
+        )
+
+    return (
+        _docs(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(merge, batch_format="pyarrow")
+    )
 
 
 # --------------------------------------------------------------- multimodal
@@ -2455,6 +2554,7 @@ def dataops_queries() -> dict:
         "lang_id": lang_id_q,
         "doc_fingerprint": doc_fingerprint,
         "hash_embed": hash_embed,
+        "hash_embed_knn": hash_embed_knn,
         "media_features": media_features,
         "media_decode": media_decode,
         "media_resize": media_resize,

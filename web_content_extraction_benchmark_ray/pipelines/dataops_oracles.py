@@ -305,6 +305,44 @@ e AS (
 SELECT doc_id, dim, CAST(sum(s) AS BIGINT) AS weight
 FROM e GROUP BY doc_id, dim HAVING sum(s) <> 0"""
 
+    # integer top-K over the hash_embed space: sparse dim-join dot
+    # product, positive scores only (dataops.hash_embed_knn's invariant)
+    from .dataops import HE_K, HE_NQ
+
+    sqls["hash_embed_knn"] = f"""
+WITH w AS (
+  SELECT doc_id, u.tok FROM (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS l
+    FROM documents
+  ) t, UNNEST(l) AS u(tok)
+),
+h AS (SELECT doc_id, {_H60.format('tok')} AS hv FROM w),
+e AS (
+  SELECT doc_id, hv % {HASH_EMBED_DIM} AS dim,
+         1 - 2 * ((hv >> 30) & 1) AS s
+  FROM h
+),
+v AS (
+  SELECT doc_id, dim, CAST(sum(s) AS BIGINT) AS weight
+  FROM e GROUP BY doc_id, dim HAVING sum(s) <> 0
+),
+q AS (SELECT doc_id AS query_id, dim, weight FROM v WHERE doc_id < {HE_NQ}),
+scores AS (
+  SELECT q.query_id, v.doc_id,
+         CAST(sum(q.weight * v.weight) AS BIGINT) AS score
+  FROM q JOIN v ON v.dim = q.dim
+  WHERE v.doc_id <> q.query_id
+  GROUP BY q.query_id, v.doc_id
+  HAVING sum(q.weight * v.weight) > 0
+),
+r AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM scores
+)
+SELECT query_id, rank, doc_id, score FROM r WHERE rank <= {HE_K}"""
+
     _sim = f"""
 words AS (
   SELECT doc_id, tok, count(*) AS c
