@@ -524,8 +524,30 @@ def dedup_fingerprint_survivors(sf_dir: str):
     return dd.neardup_survivors(docs, pairs)
 
 
+_MH_BAND_MEMO: dict = {}
+
+
+def _aug_band_rows(sf_dir: str):
+    """Materialized wide-space MinHash band rows of the augmented view,
+    memoized per documents file (the PQ-codebook-memo discipline):
+    pairs, survivors and the cluster-size histogram all start from the
+    same signature pass, which dominates the family's cost — one
+    process computes it once.  ~200 B/band-row, object-store resident."""
+    key = os.path.realpath(os.path.join(sf_dir, "documents.parquet"))
+    ds = _MH_BAND_MEMO.get(key)
+    if ds is None:
+        ds = _MH_BAND_MEMO[key] = _aug_docs(sf_dir).map_batches(
+            dd.minhash_band_rows,
+            fn_kwargs={"num_buckets": dd.WIDE_PAIR_SPACE},
+            batch_format="pyarrow",
+        ).materialize()
+    return ds
+
+
 def dedup_minhash_pairs(sf_dir: str):
-    return dd.dedup_minhash_pairs(_aug_docs(sf_dir))
+    return dd.dedup_minhash_pairs(
+        _aug_docs(sf_dir), band_rows=_aug_band_rows(sf_dir)
+    )
 
 
 def dedup_minhash_survivors(sf_dir: str):
@@ -533,7 +555,7 @@ def dedup_minhash_survivors(sf_dir: str):
     components (distributed min-label propagation) -> one canonical doc
     per component + all unpaired docs."""
     docs = _aug_docs(sf_dir)
-    pairs = dd.dedup_minhash_pairs(docs)
+    pairs = dd.dedup_minhash_pairs(docs, band_rows=_aug_band_rows(sf_dir))
     return dd.neardup_survivors(docs, pairs)
 
 
@@ -550,7 +572,9 @@ def dup_cluster_sizes(sf_dir: str):
     construction."""
     from ..stages.vecagg import bucketed_groupby
 
-    pairs = dd.dedup_minhash_pairs(_aug_docs(sf_dir))
+    pairs = dd.dedup_minhash_pairs(
+        _aug_docs(sf_dir), band_rows=_aug_band_rows(sf_dir)
+    )
     labels = dd.cc_bucket_labels(pairs)
     if labels is None:
         return ray.data.from_arrow(

@@ -300,10 +300,16 @@ def _bucket_sorted(rows, partitions: int | None = None,
     return rows.sort(column, boundaries=bounds)
 
 
-def dedup_minhash_pairs(ds, pair_buckets: int | None = None):
-    """Dataset(doc_id, text) -> Dataset(doc_id_a, doc_id_b, est_jaccard)."""
+def dedup_minhash_pairs(ds, pair_buckets: int | None = None,
+                        band_rows=None):
+    """Dataset(doc_id, text) -> Dataset(doc_id_a, doc_id_b, est_jaccard).
+
+    ``band_rows`` short-circuits the signature pass with a precomputed
+    (typically memoized) wide-space band-row dataset — the signature
+    Python loop dominates the family's cost, and pairs / survivors /
+    cluster-size consumers all start from the same rows."""
     pb = pair_buckets or WIDE_PAIR_SPACE
-    rows = ds.map_batches(
+    rows = band_rows if band_rows is not None else ds.map_batches(
         minhash_band_rows, fn_kwargs={"num_buckets": pb},
         batch_format="pyarrow",
     )
