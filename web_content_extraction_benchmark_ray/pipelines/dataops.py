@@ -77,17 +77,12 @@ INC_NOVEL_EVERY = 7
 INC_NOVEL_OFFSET = 4_000_000
 
 
-def _incremental_incoming(batch: pa.Table) -> pa.Table:
-    ids = batch.column("doc_id").to_pylist()
-    texts = batch.column("text").to_pylist()
+def _reversed_incoming(batch: pa.Table) -> pa.Table:
+    """The novel incoming family alone: token-reversed variants."""
     out_id, out_text = [], []
-    for i, t in zip(ids, texts):
-        if i % EXACT_COPY_EVERY == 0:
-            out_id.append(i + EXACT_COPY_OFFSET)
-            out_text.append(t)
-        if i % NEAR_DUP_EVERY == 0:
-            out_id.append(i + NEAR_DUP_OFFSET)
-            out_text.append(" ".join(tokenize_ws(t)[:-1]))
+    for i, t in zip(
+        batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+    ):
         if i % INC_NOVEL_EVERY == 0:
             out_id.append(i + INC_NOVEL_OFFSET)
             out_text.append(" ".join(reversed(tokenize_ws(t))))
@@ -97,6 +92,31 @@ def _incremental_incoming(batch: pa.Table) -> pa.Table:
             "text": pa.array(out_text, pa.string()),
         }
     )
+
+
+def _incoming_id_rows_fn(nb: int):
+    """Incoming doc_ids WITHOUT text work (ids are arithmetic on the
+    base ids): the anti-join side of dedup_incremental_minhash."""
+    def rows(batch: pa.Table) -> pa.Table:
+        out = []
+        for i in batch.column("doc_id").to_pylist():
+            i = int(i)
+            if i % EXACT_COPY_EVERY == 0:
+                out.append(i + EXACT_COPY_OFFSET)
+            if i % NEAR_DUP_EVERY == 0:
+                out.append(i + NEAR_DUP_OFFSET)
+            if i % INC_NOVEL_EVERY == 0:
+                out.append(i + INC_NOVEL_OFFSET)
+        ids = np.asarray(out, dtype=np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array((ids % nb).astype(np.int32)),
+                "doc_id": pa.array(ids, pa.int64()),
+                "kind": pa.array(np.full(len(ids), 2, dtype=np.int32)),
+            }
+        )
+
+    return rows
 
 
 # ------------------------------------------------------------------- dedup
@@ -329,15 +349,19 @@ def dedup_incremental_minhash(sf_dir: str, bloom_bits: int | None = None):
        negatives, so a MISSING band key certainly matches no reference
        band — miss rows never enter the confirm shuffle.
     3. Hit rows co-group with reference band rows PRE-FILTERED to the
-       hit coarse buckets (distinct hit-bucket set broadcast, the
-       dedup_incremental discipline).  Inside a bucket, posting lists
-       by (band_id, band_key) pair incoming x reference members, and
-       the full signatures carried on the band rows (no join) confirm
-       ``est_jaccard >= MINHASH_THRESHOLD`` — dedup_minhash_pairs'
-       exact verify.  Posting lists over ``LSH_POSTING_CAP`` drop
-       loudly (stages/dedup.py:_cap_posting).
-    4. Output = incoming ids with NO confirmed reference partner, via a
-       keyed co-group anti-join (no driver id set).
+       hit buckets (distinct hit-bucket set broadcast, the
+       dedup_incremental discipline).  The co-group is the wide-space
+       balanced sort (stages/dedup.py:_bucket_sorted — a 256-value
+       groupby key skews sampled sort boundaries ~3x, the repo's
+       measured small-keyspace trap) with one confirm call per
+       PARTITION: posting lists by (band_id, band_key) pair incoming x
+       reference members, and the full signatures carried on the band
+       rows (no join) confirm ``est_jaccard >= MINHASH_THRESHOLD`` —
+       dedup_minhash_pairs' exact verify.  Posting lists over
+       ``LSH_POSTING_CAP`` drop loudly (stages/dedup.py:_cap_posting).
+    4. Output = incoming ids with NO confirmed reference partner, via
+       the same wide-space sorted co-group as an anti-join (no driver
+       id set).
 
     The incoming view is the augmented additions PLUS a token-REVERSED
     variant of every ``INC_NOVEL_EVERY``-th doc: reversal rewrites every
@@ -358,17 +382,36 @@ def dedup_incremental_minhash(sf_dir: str, bloom_bits: int | None = None):
     )
 
     m = int(bloom_bits or BLOOM_BITS_DEFAULT)
-    nb = dd.derived_pair_buckets()
+    # the MEMOIZED wide-bucket band rows (shared with the whole minhash
+    # family, _aug_band_rows) already carry everything this op needs —
+    # no second signature pass over the corpus (the signature Python
+    # loop is the family's dominant cost), and the wide bucket feeds
+    # _bucket_sorted directly
+    nb = dd.WIDE_PAIR_SPACE
+    wide = _aug_band_rows(sf_dir)
+    # size-fitted sort partitions (~1 per 16 MiB of corpus, the
+    # embedding_dup_pairs discipline): band+id rows are a small multiple
+    # of the text size, and 2/CPU partitions on a small corpus are pure
+    # scheduling overhead
+    nbytes = os.path.getsize(os.path.join(sf_dir, "documents.parquet"))
+    parts = max(4, -(-(nbytes * 2) // (16 << 20)))
 
-    inc_docs = _docs(sf_dir).map_batches(
-        _incremental_incoming, batch_format="pyarrow"
-    )
+    def ref_from_wide(b: pa.Table) -> pa.Table:
+        return b.filter(
+            pc.less(pc.cast(b.column("doc_id"), pa.int64()), NEAR_DUP_OFFSET)
+        )
+
+    def add_from_wide(b: pa.Table) -> pa.Table:
+        return b.filter(
+            pc.greater_equal(
+                pc.cast(b.column("doc_id"), pa.int64()), NEAR_DUP_OFFSET
+            )
+        )
 
     # reference band rows: read by the bloom build AND the confirm —
     # pinned once (the persisted-index artifact at production scale)
-    ref_bands = _docs(sf_dir).map_batches(
-        minhash_band_rows, fn_kwargs={"num_buckets": nb},
-        batch_format="pyarrow",
+    ref_bands = wide.map_batches(
+        ref_from_wide, batch_format="pyarrow"
     ).materialize()
 
     def key_hash_rows(b: pa.Table) -> pa.Table:
@@ -390,24 +433,27 @@ def dedup_incremental_minhash(sf_dir: str, bloom_bits: int | None = None):
         hit = bloom_contains(bits, hs, m)
         return b.append_column("hit", pa.array(hit, pa.bool_()))
 
-    classified = inc_docs.map_batches(
+    # incoming band rows: the planted additions come straight from the
+    # wide memo; only the reversed novel family needs fresh signatures
+    rev_bands = _docs(sf_dir).map_batches(
+        _reversed_incoming, batch_format="pyarrow"
+    ).map_batches(
         minhash_band_rows, fn_kwargs={"num_buckets": nb},
         batch_format="pyarrow",
-    ).map_batches(probe, batch_format="pyarrow").materialize()
+    )
+    classified = (
+        wide.map_batches(add_from_wide, batch_format="pyarrow")
+        .union(rev_bands)
+        .map_batches(probe, batch_format="pyarrow")
+        .materialize()
+    )
 
-    def inc_id_rows(b: pa.Table) -> pa.Table:
-        ids = np.asarray(
-            [int(i) for i in b.column("doc_id").to_pylist()], dtype=np.int64
+    inc_ids = (
+        read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
         )
-        return pa.table(
-            {
-                "bucket": pa.array((ids % nb).astype(np.int32)),
-                "doc_id": pa.array(ids, pa.int64()),
-                "kind": pa.array(np.full(len(ids), 2, dtype=np.int32)),
-            }
-        )
-
-    inc_ids = inc_docs.map_batches(inc_id_rows, batch_format="pyarrow")
+        .map_batches(_incoming_id_rows_fn(nb), batch_format="pyarrow")
+    )
 
     def hit_bucket_rows(b: pa.Table) -> pa.Table:
         t = b.filter(b.column("hit").combine_chunks())
@@ -485,24 +531,32 @@ def dedup_incremental_minhash(sf_dir: str, bloom_bits: int | None = None):
             }
         )
 
-    dup_rows = (
+    # wide-space balanced sorts, one Python call per PARTITION (the
+    # groupby-on-256-values sampled-boundary skew trap measured at
+    # stages/dedup.py:282): confirm keys postings by (band_id, band_key)
+    # and the anti-join by doc_id, so multi-bucket partitions are
+    # semantically identical to per-bucket groups
+    dup_rows = dd._bucket_sorted(
         classified.map_batches(hit_side, batch_format="pyarrow")
-        .union(ref_bands.map_batches(ref_side, batch_format="pyarrow"))
-        .groupby("bucket")
-        .map_groups(confirm, batch_format="pyarrow")
+        .union(ref_bands.map_batches(ref_side, batch_format="pyarrow")),
+        partitions=parts,
+    ).map_batches(
+        confirm, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True,
     )
 
-    def keep_novel(group: pa.Table) -> pa.Table:
-        kinds = np.asarray(group.column("kind").to_pylist(), dtype=np.int32)
-        ids = np.asarray(group.column("doc_id").to_pylist(), dtype=np.int64)
+    def keep_novel(part: pa.Table) -> pa.Table:
+        kinds = np.asarray(part.column("kind").to_pylist(), dtype=np.int32)
+        ids = np.asarray(part.column("doc_id").to_pylist(), dtype=np.int64)
         dead = set(ids[kinds == 0].tolist())
         keep = [int(i) for i in ids[kinds == 2] if int(i) not in dead]
         return pa.table({"doc_id": pa.array(keep, pa.int64())})
 
-    return (
-        inc_ids.union(dup_rows)
-        .groupby("bucket")
-        .map_groups(keep_novel, batch_format="pyarrow")
+    return dd._bucket_sorted(
+        inc_ids.union(dup_rows), partitions=parts
+    ).map_batches(
+        keep_novel, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True,
     )
 
 
