@@ -190,15 +190,26 @@ def bpe_pairs(sf_dir: str):
 
 # ------------------------------------------------------------- M1: k-means
 def _load_centroids(sf_dir: str, k: int = KMEANS_K) -> np.ndarray:
+    """The k lowest-vec_id embeddings (the deterministic seed rule),
+    loaded with a driver read that stays NARROW at corpus scale: pass 1
+    scans only the 8-byte vec_id column for the k-th lowest id, pass 2
+    reads just the matching rows through a parquet row filter (row-group
+    pruning) — the embedding column never materializes beyond k rows."""
     import pyarrow.parquet as pq
 
-    t = pq.read_table(
-        os.path.join(sf_dir, "embeddings.parquet"),
-        columns=["vec_id", "embedding"],
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    ids = np.asarray(
+        pq.read_table(path, columns=["vec_id"]).column("vec_id").to_pylist(),
+        dtype=np.int64,
     )
-    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
-    order = np.argsort(ids)
-    embs = [t.column("embedding").to_pylist()[i] for i in order[:k]]
+    cut = np.partition(ids, min(k, len(ids)) - 1)[min(k, len(ids)) - 1]
+    t = pq.read_table(
+        path, columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<=", int(cut))],
+    )
+    got = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    order = np.argsort(got)[:k]
+    embs = t.column("embedding").take(pa.array(order)).to_pylist()
     return np.array(embs, dtype=np.float64)
 
 
