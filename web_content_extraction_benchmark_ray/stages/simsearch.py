@@ -35,17 +35,17 @@ COS_DUP_THRESHOLD = 0.99
 
 
 def load_query_matrix(embeddings_path: str) -> tuple[np.ndarray, np.ndarray]:
-    """Driver-side tiny read of the query vectors (vec_id < N_QUERIES)."""
+    """Driver-side tiny read of the query vectors (vec_id < N_QUERIES):
+    the parquet row filter prunes row groups, so only matching rows'
+    embeddings ever reach the driver — never the corpus column."""
     import pyarrow.parquet as pq
 
-    t = pq.read_table(embeddings_path, columns=["vec_id", "embedding"])
-    ids = num_col(t.column("vec_id"), np.int64)
-    mask = ids < N_QUERIES
-    vecs = np.array(
-        [v for v, m in zip(t.column("embedding").to_pylist(), mask) if m],
-        dtype=np.float64,
+    t = pq.read_table(
+        embeddings_path, columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", N_QUERIES)],
     )
-    qids = ids[mask]
+    qids = num_col(t.column("vec_id"), np.int64)
+    vecs = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
     order = np.argsort(qids)
     return qids[order], vecs[order]
 
