@@ -1597,3 +1597,26 @@ def test_hash_embed_knn_serial_mirror(ray_session):
         assert sub["doc_id"].tolist() == ids[want].tolist()
         assert sub["score"].tolist() == s[want].tolist()
         assert sub["rank"].tolist() == list(range(1, len(want) + 1))
+
+def test_fingerprint_join_path_equals_broadcast(ray_session):
+    """fingerprint_dup_pairs' attach (join) path — forced by a zero
+    broadcast gate — produces the identical pair set and scores as the
+    broadcast kept-count map (the dual-path contract)."""
+    from web_content_extraction_benchmark_ray.pipelines.dataops import (
+        _aug_docs,
+    )
+    from web_content_extraction_benchmark_ray.stages.dedup import (
+        fingerprint_dup_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    key = ["doc_id_a", "doc_id_b"]
+    a = (
+        fingerprint_dup_pairs(_aug_docs(sf))
+        .to_pandas().sort_values(key).reset_index(drop=True)
+    )
+    b = (
+        fingerprint_dup_pairs(_aug_docs(sf), broadcast_max_docs=0)
+        .to_pandas().sort_values(key).reset_index(drop=True)
+    )
+    assert len(a) and a.equals(b)

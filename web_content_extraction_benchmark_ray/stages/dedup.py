@@ -1021,21 +1021,28 @@ def _fp_pair_scores(group, nk_map, min_shared: int):
     )
 
 
+FP_BROADCAST_MAX_DOCS = 2_000_000  # kept-count map broadcast gate
+
+
 def fingerprint_dup_pairs(ds, min_shared: int = FP_MIN_SHARED,
-                          max_df: int = FP_MAX_DF):
+                          max_df: int = FP_MAX_DF,
+                          broadcast_max_docs: int = FP_BROADCAST_MAX_DOCS):
     """MOSS-style near-dup pairs: documents whose shared kept
     fingerprints cover >= 80% of the smaller kept set and number
     >= ``min_shared``.  Shape: distinct (fp, doc) rows -> ONE
     wide-bucket co-location sort, materialized and read by two cheap
     consumers (pair explode under the df cut; per-doc kept counts) ->
     pair-key co-location -> vectorized per-pair count + the
-    integer-exact overlap gate against the broadcast kept-count map.
+    integer-exact overlap gate over kept-count sizes.
 
-    Scale notes: pair-row volume is bounded by the FP_MAX_DF universe
-    cut (measured 52.6M -> 1.7M rows at sf0.1); the kept-count map is
-    one int per DOCUMENT — at corpus sizes where that map outgrows
-    worker heaps, swap the broadcast for a doc_id join (the
-    unigram_logprob dual-path discipline; same gate either way)."""
+    Pair-row volume is bounded by the FP_MAX_DF universe cut (measured
+    52.6M -> 1.7M rows at sf0.1).  The kept-count side is DUAL-PATH (the
+    unigram_logprob discipline): one int per document broadcasts while
+    the corpus is below ``broadcast_max_docs``; above it the counts
+    ATTACH through two keyed co-groups (requests by doc, delivery by
+    pair bucket — the embedding_dup attach shape) and no per-doc map
+    ever reaches the driver or a worker heap.  Same gate either way;
+    pinned equal by tests/test_dataops.py."""
     import ray
 
     from .vecagg import bucketed_groupby
@@ -1049,21 +1056,118 @@ def fingerprint_dup_pairs(ds, min_shared: int = FP_MIN_SHARED,
         ),
         "doc_id", ["k"], ["sum"],
     )
-    nk_map = {
-        int(r["doc_id"]): int(r["k"]) for r in nk.take_all()
-    }
-    nk_ref = ray.put(nk_map)
     pairs = located.map_batches(
         lambda g: fp_bucket_pairs(g, WIDE_PAIR_SPACE, max_df),
         batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
     )
 
-    def score(g):
-        from .simsearch import _get_broadcast
+    if nk.count() <= broadcast_max_docs:
+        nk_map = {
+            int(r["doc_id"]): int(r["k"]) for r in nk.take_all()
+        }
+        nk_ref = ray.put(nk_map)
 
-        return _fp_pair_scores(g, _get_broadcast(nk_ref), min_shared)
+        def score(g):
+            from .simsearch import _get_broadcast
 
-    return _bucket_sorted(pairs, column="pbucket").map_batches(
-        score, batch_format="pyarrow", batch_size=None,
+            return _fp_pair_scores(g, _get_broadcast(nk_ref), min_shared)
+
+        return _bucket_sorted(pairs, column="pbucket").map_batches(
+            score, batch_format="pyarrow", batch_size=None,
+            zero_copy_batch=True,
+        )
+
+    # ---- attach path: co-group requests with counts by doc, deliver
+    # (pbucket, doc, k) rows into the pair buckets
+    pairs = pairs.materialize()  # read twice: requests + the score union
+
+    def requests(b: pa.Table) -> pa.Table:
+        a = np.asarray(b.column("doc_id_a").to_pylist(), dtype=np.int64)
+        bb = np.asarray(b.column("doc_id_b").to_pylist(), dtype=np.int64)
+        pb = np.asarray(b.column("pbucket").to_pylist(), dtype=np.int64)
+        doc = np.concatenate([a, bb])
+        pbs = np.concatenate([pb, pb])
+        u = np.unique(doc * np.int64(WIDE_PAIR_SPACE) + pbs)
+        doc, pbs = u // WIDE_PAIR_SPACE, u % WIDE_PAIR_SPACE
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (doc % WIDE_PAIR_SPACE).astype(np.int32)
+                ),
+                "doc_id": pa.array(doc, pa.int64()),
+                "pbucket": pa.array(pbs.astype(np.int32), pa.int32()),
+                "k": pa.array(np.full(len(doc), -1, dtype=np.int64)),
+            }
+        )
+
+    def count_rows(b: pa.Table) -> pa.Table:
+        doc = np.asarray(b.column("doc_id").to_pylist(), dtype=np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (doc % WIDE_PAIR_SPACE).astype(np.int32)
+                ),
+                "doc_id": pa.array(doc, pa.int64()),
+                "pbucket": pa.array(
+                    np.full(len(doc), -1, dtype=np.int32), pa.int32()
+                ),
+                "k": pa.array(
+                    np.asarray(b.column("k").to_pylist(), dtype=np.int64)
+                ),
+            }
+        )
+
+    def deliver(part: pa.Table) -> pa.Table:
+        doc = np.asarray(part.column("doc_id").to_pylist(), dtype=np.int64)
+        pb = np.asarray(part.column("pbucket").to_pylist(), dtype=np.int32)
+        k = np.asarray(part.column("k").to_pylist(), dtype=np.int64)
+        kmap = {int(d): int(v) for d, v in zip(doc[k >= 0], k[k >= 0])}
+        req = k < 0
+        return pa.table(
+            {
+                "doc_id_a": pa.array(doc[req], pa.int64()),
+                "doc_id_b": pa.array(
+                    np.full(int(req.sum()), -1, dtype=np.int64)
+                ),
+                "pbucket": pa.array(pb[req], pa.int32()),
+                # strict indexing: every requested doc has kept counts by
+                # construction (same KeyError contract as the broadcast
+                # path's nk_map lookup)
+                "k": pa.array(
+                    np.asarray(
+                        [kmap[int(d)] for d in doc[req]], dtype=np.int64
+                    )
+                ),
+            }
+        )
+
+    krows = _bucket_sorted(
+        pairs.map_batches(requests, batch_format="pyarrow")
+        .union(nk.map_batches(count_rows, batch_format="pyarrow"))
+    ).map_batches(
+        deliver, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True,
+    )
+
+    def pair_rows(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "k", pa.array(np.full(b.num_rows, -1, dtype=np.int64))
+        )
+
+    def score_join(part: pa.Table) -> pa.Table:
+        k = np.asarray(part.column("k").to_pylist(), dtype=np.int64)
+        doc_a = np.asarray(
+            part.column("doc_id_a").to_pylist(), dtype=np.int64
+        )
+        kmap = {int(d): int(v) for d, v in zip(doc_a[k >= 0], k[k >= 0])}
+        return _fp_pair_scores(
+            part.filter(pa.array(k < 0)), kmap, min_shared
+        )
+
+    return _bucket_sorted(
+        pairs.map_batches(pair_rows, batch_format="pyarrow").union(krows),
+        column="pbucket",
+    ).map_batches(
+        score_join, batch_format="pyarrow", batch_size=None,
         zero_copy_batch=True,
     )
