@@ -115,3 +115,39 @@ def test_bpe_pairs_matches_counter(ray_session):
     assert [(p, int(n)) for p, n in got_pairs] == expected
     # single-char tokens contribute nothing; every pair has length 2
     assert all(len(p) == 2 for p in got["pair"])
+
+
+def test_bpe_merges_matches_serial_loop(ray_session):
+    """bpe_merges against a serial BPE trainer mirror: three rounds of
+    count -> argmax(count desc, pair asc) -> left-to-right replace with
+    a private-use placeholder.  Pins that round r's counts really are
+    computed over the corpus re-symbolized by rounds 1..r-1."""
+    from web_content_extraction_benchmark_ray.functions.text import tokenize_ws
+    from web_content_extraction_benchmark_ray.pipelines.analytics import (
+        BPE_MERGE_ROUNDS,
+        BPE_PLACEHOLDER_BASE,
+        bpe_merges,
+    )
+
+    texts = pq.read_table(f"{SF}/documents.parquet", columns=["text"])
+    wc = collections.Counter(
+        t for row in texts.column("text").to_pylist()
+        for t in tokenize_ws(row)
+    )
+    merges = []
+    expect = []
+    for r in range(BPE_MERGE_ROUNDS):
+        counts = collections.Counter()
+        for tok, c in wc.items():
+            for p, m in merges:
+                tok = tok.replace(p, m)
+            for i in range(len(tok) - 1):
+                counts[tok[i:i + 2]] += c
+        pair, n = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        expect.append((r + 1, pair, n))
+        merges.append((pair, chr(BPE_PLACEHOLDER_BASE + r)))
+    got = [
+        (int(r.round), r.pair, int(r.n))
+        for r in bpe_merges(SF).to_pandas().itertuples()
+    ]
+    assert got == expect

@@ -188,6 +188,70 @@ def bpe_pairs(sf_dir: str):
     return _counted_topk(sf_dir, pair_counts, "pair", BPE_TOPK)
 
 
+BPE_MERGE_ROUNDS = 3
+# merged symbols become single PRIVATE-USE chars, so every symbol stays
+# one character and round r's "pairs" are again 2-char substrings — the
+# representation that makes the merge step itself expressible as plain
+# left-to-right non-overlapping replace() in BOTH engines (str.replace
+# and SQL replace share those semantics exactly)
+BPE_PLACEHOLDER_BASE = 0xE000
+
+
+def bpe_merges(sf_dir: str, rounds: int = BPE_MERGE_ROUNDS):
+    """The BPE TRAINING LOOP, distributed and hash-verified: ``rounds``
+    full merge iterations (Sennrich et al. 2016 alg. 1) — each round
+    counts adjacent symbol pairs over the corpus re-symbolized by all
+    previous merges, takes the global argmax (count desc, pair asc), and
+    records it as the round's merge rule.  Output: one (round, pair, n)
+    row per learned merge.
+
+    The kmeans_iterate discipline applied to tokenizer training: the
+    iterative global argmax is exact in both engines (integer counts,
+    deterministic tie-break), so the SQL twin unrolls the loop into CTE
+    rounds and the driver's per-round state is ONE row (the winning
+    pair) — the corpus is re-counted per round through a stateless map
+    with the accumulated merge list broadcast in the closure, never
+    rewritten or materialized."""
+    merges: list[tuple[str, str]] = []
+    out_r, out_p, out_n = [], [], []
+    for r in range(rounds):
+        reps = list(merges)
+
+        def pair_counts(texts: list[str], reps=reps) -> dict[str, int]:
+            wc: dict[str, int] = {}
+            for text in texts:
+                for tok in tokenize_ws(text):
+                    wc[tok] = wc.get(tok, 0) + 1
+            counts: dict[str, int] = {}
+            for tok, c in wc.items():
+                for p, mark in reps:
+                    tok = tok.replace(p, mark)
+                for i in range(len(tok) - 1):
+                    pr = tok[i:i + 2]
+                    counts[pr] = counts.get(pr, 0) + c
+            return counts
+
+        top = _counted_topk(sf_dir, pair_counts, "pair", 1).take_all()
+        if not top:
+            break
+        pair, n = top[0]["pair"], int(top[0]["n"])
+        out_r.append(r + 1)
+        out_p.append(pair)
+        out_n.append(n)
+        merges.append((pair, chr(BPE_PLACEHOLDER_BASE + r)))
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "round": pa.array(out_r, pa.int64()),
+                "pair": pa.array(out_p, pa.string()),
+                "n": pa.array(out_n, pa.int64()),
+            }
+        )
+    )
+
+
 # ------------------------------------------------------------- M1: k-means
 def _load_centroids(sf_dir: str, k: int = KMEANS_K) -> np.ndarray:
     """The k lowest-vec_id embeddings (the deterministic seed rule),
@@ -472,6 +536,7 @@ def analytics_queries() -> dict:
         "kmeans_assign": kmeans_assign,
         "kmeans_iterate": kmeans_iterate,
         "bpe_pairs": bpe_pairs,
+        "bpe_merges": bpe_merges,
         "sample_split": sample_split,
         "sample_stratified": sample_stratified,
         "dataset_stats": dataset_stats,
@@ -538,6 +603,43 @@ p AS (
 )
 SELECT pair, CAST(n AS BIGINT) AS n FROM p
 ORDER BY n DESC, pair LIMIT {BPE_TOPK}"""
+
+    # bpe_merges: the training loop unrolled into CTE rounds (the
+    # kmeans_iterate discipline).  Each wc{r} re-symbolizes by replacing
+    # round r's winning pair (a scalar subquery) with that round's
+    # single private-use char; replace() is left-to-right
+    # non-overlapping in both engines, so the merge step is exact.
+    _parts = ["""
+WITH w0 AS (
+  SELECT u.tok FROM (
+    SELECT regexp_split_to_array(trim(text), '\\s+') AS l FROM documents
+  ) t, UNNEST(l) AS u(tok)
+),
+wc0 AS (SELECT tok, count(*) AS c FROM w0 GROUP BY tok)"""]
+    for r in range(BPE_MERGE_ROUNDS):
+        _parts.append(f""",
+p{r + 1} AS (
+  SELECT substr(tok, u.i, 2) AS pair, sum(c) AS n
+  FROM wc{r}, UNNEST(generate_series(1, len(tok) - 1)) AS u(i)
+  GROUP BY substr(tok, u.i, 2)
+),
+t{r + 1} AS (SELECT pair, n FROM p{r + 1} ORDER BY n DESC, pair LIMIT 1)""")
+        if r + 1 < BPE_MERGE_ROUNDS:
+            _parts.append(f""",
+wc{r + 1} AS (
+  SELECT replace(tok, (SELECT pair FROM t{r + 1}),
+                 chr({BPE_PLACEHOLDER_BASE + r})) AS tok, c
+  FROM wc{r}
+)""")
+    _parts.append(
+        "\n"
+        + "\nUNION ALL\n".join(
+            f"SELECT CAST({r + 1} AS BIGINT) AS round, pair, "
+            f"CAST(n AS BIGINT) AS n FROM t{r + 1}"
+            for r in range(BPE_MERGE_ROUNDS)
+        )
+    )
+    sqls["bpe_merges"] = "".join(_parts)
 
     sqls["kmeans_assign"] = f"""
 WITH cent AS (
