@@ -189,6 +189,7 @@ def dedup_incremental(sf_dir: str, bloom_bits: int | None = None):
         BLOOM_BITS_DEFAULT,
         bloom_contains,
         bloom_from_hashes,
+        distinct_int_values,
     )
     from ..stages.vecagg import DEFAULT_BUCKETS
 
@@ -267,28 +268,12 @@ def dedup_incremental(sf_dir: str, bloom_bits: int | None = None):
 
     # distinct hit buckets: bounded by nb, tiny when hits are few — the
     # broadcast that lets the confirm skip untouched reference buckets
-    def hit_bucket_rows(b: pa.Table) -> pa.Table:
-        t = b.filter(b.column("hit").combine_chunks())
-        h = np.asarray(t.column("h").to_pylist(), dtype=np.int64)
-        return pa.table(
-            {
-                "bucket": pa.array(
-                    np.unique((h % nb + nb) % nb), pa.int32()
-                )
-            }
-        )
-
-    hit_buckets = np.unique(
-        np.asarray(
-            [
-                r["bucket"]
-                for r in classified.map_batches(
-                    hit_bucket_rows, batch_format="pyarrow"
-                ).take_all()
-            ],
-            dtype=np.int64,
-        )
-    )
+    # (hits are pinned: the bucket collection and the confirm union both
+    # read them)
+    hits = classified.map_batches(
+        hit_rows, batch_format="pyarrow"
+    ).materialize()
+    hit_buckets = distinct_int_values(hits, "bucket")
     if len(hit_buckets) == 0:
         return misses
     hb_ref = ray.put(hit_buckets)
@@ -324,8 +309,7 @@ def dedup_incremental(sf_dir: str, bloom_bits: int | None = None):
         )
 
     confirmed_new = (
-        classified.map_batches(hit_rows, batch_format="pyarrow")
-        .union(ref_hashes.map_batches(ref_rows, batch_format="pyarrow"))
+        hits.union(ref_hashes.map_batches(ref_rows, batch_format="pyarrow"))
         .groupby("bucket")
         .map_groups(anti, batch_format="pyarrow")
     )
@@ -374,6 +358,7 @@ def dedup_incremental_minhash(sf_dir: str, bloom_bits: int | None = None):
         BLOOM_BITS_DEFAULT,
         bloom_contains,
         bloom_from_hashes,
+        distinct_int_values,
     )
     from ..stages.dedup import (
         MINHASH_THRESHOLD,
@@ -425,13 +410,16 @@ def dedup_incremental_minhash(sf_dir: str, bloom_bits: int | None = None):
     bloom_ref = ray.put(bloom)
 
     def probe(b: pa.Table) -> pa.Table:
+        # keep HIT rows only: miss rows (the dominant fraction when the
+        # increment is mostly novel) are consumed by nothing downstream
+        # — novelty comes from the arithmetic inc_ids anti-join — so
+        # pinning their signatures would waste the object store
         bits = ss._get_broadcast(bloom_ref)
         hs = np.asarray(
             [int(k[:15], 16) for k in b.column("band_key").to_pylist()],
             dtype=np.int64,
         )
-        hit = bloom_contains(bits, hs, m)
-        return b.append_column("hit", pa.array(hit, pa.bool_()))
+        return b.filter(pa.array(bloom_contains(bits, hs, m)))
 
     # incoming band rows: the planted additions come straight from the
     # wide memo; only the reversed novel family needs fresh signatures
@@ -455,39 +443,14 @@ def dedup_incremental_minhash(sf_dir: str, bloom_bits: int | None = None):
         .map_batches(_incoming_id_rows_fn(nb), batch_format="pyarrow")
     )
 
-    def hit_bucket_rows(b: pa.Table) -> pa.Table:
-        t = b.filter(b.column("hit").combine_chunks())
-        return pa.table(
-            {
-                "bucket": pa.array(
-                    np.unique(
-                        np.asarray(
-                            t.column("bucket").to_pylist(), dtype=np.int64
-                        )
-                    ).astype(np.int32)
-                )
-            }
-        )
-
-    hit_buckets = np.unique(
-        np.asarray(
-            [
-                r["bucket"]
-                for r in classified.map_batches(
-                    hit_bucket_rows, batch_format="pyarrow"
-                ).take_all()
-            ],
-            dtype=np.int64,
-        )
-    )
+    hit_buckets = distinct_int_values(classified, "bucket")
     if len(hit_buckets) == 0:
         return inc_ids.select_columns(["doc_id"])
     hb_ref = ray.put(hit_buckets)
 
     def hit_side(b: pa.Table) -> pa.Table:
-        t = b.filter(b.column("hit").combine_chunks()).drop_columns(["hit"])
-        return t.append_column(
-            "side", pa.array(np.zeros(t.num_rows, dtype=np.int32))
+        return b.append_column(
+            "side", pa.array(np.zeros(b.num_rows, dtype=np.int32))
         )
 
     def ref_side(b: pa.Table) -> pa.Table:
@@ -584,12 +547,25 @@ _MH_BAND_MEMO: dict = {}
 def _aug_band_rows(sf_dir: str):
     """Materialized wide-space MinHash band rows of the augmented view,
     memoized per documents file (the PQ-codebook-memo discipline):
-    pairs, survivors and the cluster-size histogram all start from the
-    same signature pass, which dominates the family's cost — one
-    process computes it once.  ~200 B/band-row, object-store resident."""
-    key = os.path.realpath(os.path.join(sf_dir, "documents.parquet"))
+    pairs, survivors, the cluster-size histogram and the incremental
+    screen all start from the same signature pass, which dominates the
+    family's cost — one process computes it once.  ~200 B/band-row,
+    object-store resident.  The key carries the file's mtime (stale
+    corpus -> recompute, the _pq_train rule) AND the Ray job id: the
+    memoized value is a materialized Dataset whose object refs die with
+    the Ray session, so a shutdown/re-init must not serve dead refs."""
+    import ray as _ray
+
+    path = os.path.realpath(os.path.join(sf_dir, "documents.parquet"))
+    job = (
+        _ray.get_runtime_context().get_job_id()
+        if _ray.is_initialized()
+        else None
+    )
+    key = (path, os.path.getmtime(path), job)
     ds = _MH_BAND_MEMO.get(key)
     if ds is None:
+        _MH_BAND_MEMO.clear()  # at most one corpus x session pinned
         ds = _MH_BAND_MEMO[key] = _aug_docs(sf_dir).map_batches(
             dd.minhash_band_rows,
             fn_kwargs={"num_buckets": dd.WIDE_PAIR_SPACE},

@@ -154,3 +154,29 @@ def bloom_contains(packed: np.ndarray, h: np.ndarray, m: int) -> np.ndarray:
         packed[pos >> 6] >> (pos & 63).astype(np.uint64)
     ) & np.uint64(1)
     return (bit == 1).all(axis=0)
+
+
+def distinct_int_values(ds, col: str) -> np.ndarray:
+    """Distinct values of an int column: per-batch ``np.unique`` partials,
+    one driver ``np.unique`` over the collected partials.  The shared
+    hit-bucket collection of both incremental screens
+    (pipelines/dataops.py dedup_incremental / dedup_incremental_minhash)
+    — bounded by the bucket space, never by the row count."""
+
+    def uniq(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                col: pa.array(
+                    np.unique(
+                        np.asarray(b.column(col).to_pylist(), dtype=np.int64)
+                    ),
+                    pa.int64(),
+                )
+            }
+        )
+
+    vals = [
+        r[col]
+        for r in ds.map_batches(uniq, batch_format="pyarrow").take_all()
+    ]
+    return np.unique(np.asarray(vals, dtype=np.int64))

@@ -308,6 +308,10 @@ def dedup_minhash_pairs(ds, pair_buckets: int | None = None,
     (typically memoized) wide-space band-row dataset — the signature
     Python loop dominates the family's cost, and pairs / survivors /
     cluster-size consumers all start from the same rows."""
+    assert band_rows is None or pair_buckets is None, (
+        "band_rows fixes the bucket space at build time; "
+        "pair_buckets would silently no-op"
+    )
     pb = pair_buckets or WIDE_PAIR_SPACE
     rows = band_rows if band_rows is not None else ds.map_batches(
         minhash_band_rows, fn_kwargs={"num_buckets": pb},
@@ -1049,13 +1053,16 @@ def fingerprint_dup_pairs(ds, min_shared: int = FP_MIN_SHARED,
 
     rows = ds.map_batches(fp_rows, batch_format="pyarrow")
     located = _bucket_sorted(rows).materialize()
+    # pinned: the count() gate below and the consumer (take_all or the
+    # attach co-group) would otherwise each execute the kept-counts
+    # pipeline from scratch
     nk = bucketed_groupby(
         located.map_batches(
             lambda g: fp_kept_counts(g, max_df),
             batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
         ),
         "doc_id", ["k"], ["sum"],
-    )
+    ).materialize()
     pairs = located.map_batches(
         lambda g: fp_bucket_pairs(g, WIDE_PAIR_SPACE, max_df),
         batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
