@@ -79,6 +79,37 @@ _HLL_REM_BITS = 60 - HLL_P  # hash60 yields 60-bit values
 
 
 # ------------------------------------------------------------ gopher_filter
+def gopher_mask(t: str, stop: frozenset) -> tuple[int, int]:
+    """(n_words, fail_mask) of one document under the six Gopher rules."""
+    toks = tokenize_ws(t)
+    n_ws = len(toks)
+    sum_len = sum(len(w) for w in toks)
+    n_chars = len(t)
+    n_punct = len(_PUNCT_RE.findall(t))
+    n_stop = sum(1 for w in toks if w.lower() in stop)
+    grams = Counter(
+        toks[j] + " " + toks[j + 1] for j in range(n_ws - 1)
+    )
+    n_g = sum(grams.values())
+    nd, mx = len(grams), (max(grams.values()) if grams else 0)
+    mask = 0
+    if not (GOPHER_MIN_WORDS <= n_ws <= GOPHER_MAX_WORDS):
+        mask |= 1
+    if n_ws > 0 and not (
+        GOPHER_MIN_MWL * n_ws <= sum_len <= GOPHER_MAX_MWL * n_ws
+    ):
+        mask |= 2
+    if n_chars > 0 and 10 * n_punct > n_chars:
+        mask |= 4
+    if n_stop < GOPHER_MIN_STOP:
+        mask |= 8
+    if n_g > 0 and 10 * (n_g - nd) > 3 * n_g:
+        mask |= 16
+    if n_g > 0 and 5 * mx > n_g:
+        mask |= 32
+    return n_ws, mask
+
+
 def gopher_filter(sf_dir: str):
     """Gopher-style composite quality gate.  Output per doc:
     ``(doc_id, n_words, fail_mask, keep)`` with one mask bit per rule —
@@ -99,32 +130,7 @@ def gopher_filter(sf_dir: str):
             batch.column("doc_id").to_pylist(),
             batch.column("text").to_pylist(),
         ):
-            toks = tokenize_ws(t)
-            n_ws = len(toks)
-            sum_len = sum(len(w) for w in toks)
-            n_chars = len(t)
-            n_punct = len(_PUNCT_RE.findall(t))
-            n_stop = sum(1 for w in toks if w.lower() in stop)
-            grams = Counter(
-                toks[j] + " " + toks[j + 1] for j in range(n_ws - 1)
-            )
-            n_g = sum(grams.values())
-            nd, mx = len(grams), (max(grams.values()) if grams else 0)
-            mask = 0
-            if not (GOPHER_MIN_WORDS <= n_ws <= GOPHER_MAX_WORDS):
-                mask |= 1
-            if n_ws > 0 and not (
-                GOPHER_MIN_MWL * n_ws <= sum_len <= GOPHER_MAX_MWL * n_ws
-            ):
-                mask |= 2
-            if n_chars > 0 and 10 * n_punct > n_chars:
-                mask |= 4
-            if n_stop < GOPHER_MIN_STOP:
-                mask |= 8
-            if n_g > 0 and 10 * (n_g - nd) > 3 * n_g:
-                mask |= 16
-            if n_g > 0 and 5 * mx > n_g:
-                mask |= 32
+            n_ws, mask = gopher_mask(t, stop)
             ids_out.append(int(i))
             n_out.append(n_ws)
             m_out.append(mask)
@@ -965,7 +971,7 @@ def qualityops_oracle_sql() -> dict[str, str]:
     stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
     sqls: dict[str, str] = {}
 
-    sqls["gopher_filter"] = f"""WITH t AS (
+    _g_body = f"""t AS (
   SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS l
   FROM documents
 ),
@@ -1013,7 +1019,8 @@ m AS (
                THEN 32 ELSE 0 END) AS mask
   FROM ws JOIN ch ON ws.doc_id = ch.doc_id
           LEFT JOIN ga ON ws.doc_id = ga.doc_id
-)
+)"""
+    sqls["gopher_filter"] = f"""WITH {_g_body}
 SELECT doc_id, n_ws AS n_words, CAST(mask AS BIGINT) AS fail_mask,
        CAST(CASE WHEN mask = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
 FROM m"""
