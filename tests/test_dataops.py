@@ -1620,3 +1620,88 @@ def test_fingerprint_join_path_equals_broadcast(ray_session):
         .to_pandas().sort_values(key).reset_index(drop=True)
     )
     assert len(a) and a.equals(b)
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)),
+        min_size=1, max_size=60,
+    )
+)
+def test_cc_bucket_labels_equals_union_find(ray_session, edges):
+    """Property: on random pair graphs, the distributed min-label
+    propagation assigns every node its component's MINIMUM id — checked
+    against a serial union-find ground truth."""
+    import ray
+
+    from web_content_extraction_benchmark_ray.stages.dedup import (
+        cc_bucket_labels,
+    )
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    pairs = pa.table(
+        {
+            "doc_id_a": pa.array([a for a, _ in edges], pa.int64()),
+            "doc_id_b": pa.array([b for _, b in edges], pa.int64()),
+        }
+    )
+    labels = cc_bucket_labels(ray.data.from_arrow(pairs), max_iters=100)
+    df = labels.to_pandas()
+    got = dict(zip(df["key"].astype(int), df["val"].astype(int)))
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp: dict = {}
+    for n in parent:
+        comp.setdefault(find(n), []).append(n)
+    want = {n: min(m) for m in comp.values() for n in m}
+    assert got == want
+
+
+def test_band_row_memo_invalidates_on_rewrite(ray_session, tmp_path):
+    """The minhash band-row memo keys on file mtime: rewriting
+    documents.parquet at the same path must recompute, not serve the old
+    corpus's rows."""
+    import os
+    import time
+
+    import pyarrow.parquet as pqm
+
+    from web_content_extraction_benchmark_ray.pipelines.dataops import (
+        _aug_band_rows,
+    )
+
+    d = str(tmp_path)
+
+    def write(texts):
+        pqm.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(
+                        list(range(len(texts))), pa.int64()
+                    ),
+                    "text": pa.array(texts, pa.string()),
+                }
+            ),
+            os.path.join(d, "documents.parquet"),
+        )
+
+    write(["alpha beta gamma delta epsilon zeta"] * 3)
+    n1 = _aug_band_rows(d).count()
+    assert _aug_band_rows(d).count() == n1  # memo hit, same answer
+    time.sleep(0.02)
+    write(["alpha beta gamma delta epsilon zeta"] * 7)
+    n2 = _aug_band_rows(d).count()
+    assert n2 > n1  # rewritten corpus -> fresh band rows
