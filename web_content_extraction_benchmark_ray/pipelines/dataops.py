@@ -544,16 +544,13 @@ def dedup_fingerprint_survivors(sf_dir: str):
 _MH_BAND_MEMO: dict = {}
 
 
-def _aug_band_rows(sf_dir: str):
-    """Materialized wide-space MinHash band rows of the augmented view,
-    memoized per documents file (the PQ-codebook-memo discipline):
-    pairs, survivors, the cluster-size histogram and the incremental
-    screen all start from the same signature pass, which dominates the
-    family's cost — one process computes it once.  ~200 B/band-row,
-    object-store resident.  The key carries the file's mtime (stale
-    corpus -> recompute, the _pq_train rule) AND the Ray job id: the
-    memoized value is a materialized Dataset whose object refs die with
-    the Ray session, so a shutdown/re-init must not serve dead refs."""
+def _corpus_memo(sf_dir: str, memo: dict, build):
+    """Per-corpus materialized-dataset memo (the PQ-codebook-memo
+    discipline): the key carries the documents file's realpath + mtime
+    (stale corpus -> recompute, the _pq_train rule) AND the Ray job id —
+    the memoized value is a materialized Dataset whose object refs die
+    with the Ray session, so a shutdown/re-init must not serve dead
+    refs.  At most one (corpus x session) entry stays pinned."""
     import ray as _ray
 
     path = os.path.realpath(os.path.join(sf_dir, "documents.parquet"))
@@ -563,15 +560,27 @@ def _aug_band_rows(sf_dir: str):
         else None
     )
     key = (path, os.path.getmtime(path), job)
-    ds = _MH_BAND_MEMO.get(key)
+    ds = memo.get(key)
     if ds is None:
-        _MH_BAND_MEMO.clear()  # at most one corpus x session pinned
-        ds = _MH_BAND_MEMO[key] = _aug_docs(sf_dir).map_batches(
+        memo.clear()
+        ds = memo[key] = build().materialize()
+    return ds
+
+
+def _aug_band_rows(sf_dir: str):
+    """Materialized wide-space MinHash band rows of the augmented view,
+    memoized per documents file: pairs, survivors, the cluster-size
+    histogram and the incremental screen all start from the same
+    signature pass, which dominates the family's cost — one process
+    computes it once.  ~200 B/band-row, object-store resident."""
+    return _corpus_memo(
+        sf_dir, _MH_BAND_MEMO,
+        lambda: _aug_docs(sf_dir).map_batches(
             dd.minhash_band_rows,
             fn_kwargs={"num_buckets": dd.WIDE_PAIR_SPACE},
             batch_format="pyarrow",
-        ).materialize()
-    return ds
+        ),
+    )
 
 
 def dedup_minhash_pairs(sf_dir: str):
@@ -629,12 +638,31 @@ def dup_cluster_sizes(sf_dir: str):
     return hist.sort("size")
 
 
+_SIMHASH_MEMO: dict = {}
+
+
+def _aug_simhash_rows(sf_dir: str):
+    """Materialized simhash rows of the augmented view — the
+    _aug_band_rows memo for the simhash family (signature and pair
+    queries share one hash pass)."""
+    return _corpus_memo(
+        sf_dir, _SIMHASH_MEMO,
+        lambda: _aug_docs(sf_dir).map_batches(
+            dd.simhash_rows, batch_format="pyarrow"
+        ),
+    )
+
+
 def dedup_simhash(sf_dir: str):
-    return dd.dedup_simhash(_aug_docs(sf_dir))
+    return dd.dedup_simhash(
+        _aug_docs(sf_dir), sig_rows=_aug_simhash_rows(sf_dir)
+    )
 
 
 def dedup_simhash_pairs(sf_dir: str):
-    return dd.dedup_simhash_pairs(_aug_docs(sf_dir))
+    return dd.dedup_simhash_pairs(
+        _aug_docs(sf_dir), sig_rows=_aug_simhash_rows(sf_dir)
+    )
 
 
 def dedup_ngram_jaccard(sf_dir: str):

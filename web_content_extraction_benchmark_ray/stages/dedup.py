@@ -395,17 +395,25 @@ def simhash_bucket_pairs(group: pa.Table) -> pa.Table:
     )
 
 
-def dedup_simhash(ds):
-    """Dataset(doc_id, text) -> per-doc signatures (doc_id, simhash hex)."""
-    return ds.map_batches(simhash_rows, batch_format="pyarrow").drop_columns(
-        ["sim_v"]
+def dedup_simhash(ds, sig_rows=None):
+    """Dataset(doc_id, text) -> per-doc signatures (doc_id, simhash hex).
+
+    ``sig_rows`` short-circuits the signature pass with precomputed
+    (typically memoized) simhash rows, like dedup_minhash_pairs'
+    band_rows."""
+    sigs = sig_rows if sig_rows is not None else ds.map_batches(
+        simhash_rows, batch_format="pyarrow"
     )
+    return sigs.drop_columns(["sim_v"])
 
 
-def dedup_simhash_pairs(ds, pair_buckets: int | None = None):
+def dedup_simhash_pairs(ds, pair_buckets: int | None = None,
+                        sig_rows=None):
     """Dataset(doc_id, text) -> (doc_id_a, doc_id_b, hamming) pairs with
     hamming <= 4 — exact under the 5-band pigeonhole decomposition."""
-    sigs = ds.map_batches(simhash_rows, batch_format="pyarrow")
+    sigs = sig_rows if sig_rows is not None else ds.map_batches(
+        simhash_rows, batch_format="pyarrow"
+    )
     rows = sigs.map_batches(
         simhash_band_rows,
         fn_kwargs={"num_buckets": pair_buckets or WIDE_PAIR_SPACE},
