@@ -176,6 +176,8 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
             timed("dedup_incremental_minhash",
                   lambda: _consume(d.dedup_incremental_minhash(sf_dir)))
             timed("dedup_minhash", lambda: _consume(d.dedup_minhash_pairs(sf_dir)))
+            timed("decontaminate_fuzzy",
+                  lambda: _consume(d.decontaminate_fuzzy(sf_dir)))
             timed("dedup_simhash", lambda: _consume(d.dedup_simhash_pairs(sf_dir)))
             timed("dedup_jaccard", lambda: _consume(d.dedup_ngram_jaccard(sf_dir)))
             timed("dedup_fingerprint",
@@ -237,6 +239,8 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
                   lambda: _consume(qo.length_quantiles(sf_dir)))
             timed("score_correlation",
                   lambda: _consume(qo.score_correlation(sf_dir)))
+            timed("source_overlap",
+                  lambda: _consume(qo.source_overlap(sf_dir)))
         except ImportError:
             pass
         try:

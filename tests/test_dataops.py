@@ -1705,3 +1705,40 @@ def test_band_row_memo_invalidates_on_rewrite(ray_session, tmp_path):
     write(["alpha beta gamma delta epsilon zeta"] * 7)
     n2 = _aug_band_rows(d).count()
     assert n2 > n1  # rewritten corpus -> fresh band rows
+
+
+def test_decontaminate_fuzzy_catches_planted_bench_dups(ray_session):
+    """Every planted exact copy of a benchmark doc must be flagged at
+    est_jaccard 1.0 against that doc; every flagged pair points at a
+    benchmark doc and clears the 0.5 threshold; the pair set is
+    band-distinct (no per-band duplicates)."""
+    import pyarrow.parquet as pq
+
+    from web_content_extraction_benchmark_ray.pipelines.curation import (
+        DECON_EVERY,
+    )
+    from web_content_extraction_benchmark_ray.pipelines.dataops import (
+        EXACT_COPY_EVERY,
+        EXACT_COPY_OFFSET,
+        decontaminate_fuzzy,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    df = decontaminate_fuzzy(sf).to_pandas()
+    ids = pq.read_table(
+        f"{sf}/documents.parquet", columns=["doc_id"]
+    ).column("doc_id").to_pylist()
+
+    assert not df.duplicated(["doc_id", "bench_id"]).any()
+    assert (df["est_jaccard"] >= 0.5).all()
+    assert (df["bench_id"] % DECON_EVERY == 0).all()
+
+    pairs = set(zip(df["doc_id"], df["bench_id"]))
+    for i in ids:
+        if i % DECON_EVERY == 0 and i % EXACT_COPY_EVERY == 0:
+            assert (i + EXACT_COPY_OFFSET, i) in pairs
+            row = df[
+                (df["doc_id"] == i + EXACT_COPY_OFFSET)
+                & (df["bench_id"] == i)
+            ]
+            assert float(row["est_jaccard"].iloc[0]) == 1.0

@@ -393,3 +393,42 @@ def test_score_correlation_matches_serial_pearson(ray_session):
         assert df.loc[src, "n"] == n
         assert df.loc[src, "corr6"] == corr6
         assert -1_000_000 <= corr6 <= 1_000_000
+
+
+def test_source_overlap_matches_serial_bottom_k(ray_session):
+    """The distributed bottom-k sketch estimate equals a serial
+    recomputation from raw shingle sets for every source pair, and the
+    estimator's invariants hold (n_inter <= k_union <= k)."""
+    import pyarrow.parquet as pq
+
+    from web_content_extraction_benchmark_ray.functions.hashing import (
+        hash60,
+        shingles,
+    )
+    from web_content_extraction_benchmark_ray.pipelines.qualityops import (
+        SRC_SKETCH_K,
+        source_overlap,
+    )
+
+    df = source_overlap(SF).to_pandas()
+    assert (df["n_inter"] <= df["k_union"]).all()
+    assert (df["k_union"] <= SRC_SKETCH_K).all()
+    assert ((df["jaccard_est"] >= 0) & (df["jaccard_est"] <= 1)).all()
+
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["source", "text"])
+    per: dict = {}
+    for src, text in zip(t.column("source").to_pylist(),
+                         t.column("text").to_pylist()):
+        per.setdefault(src, set()).update(
+            hash60(s) for s in shingles(text)
+        )
+    sk = {s: np.sort(np.fromiter(v, dtype=np.int64))[:SRC_SKETCH_K]
+          for s, v in per.items()}
+    assert len(df) == len(per) * (len(per) - 1) // 2
+    for row in df.itertuples():
+        a, b = sk[row.source_a], sk[row.source_b]
+        union = np.union1d(a, b)[:SRC_SKETCH_K]
+        inter = int((np.isin(union, a) & np.isin(union, b)).sum())
+        assert row.k_union == union.size
+        assert row.n_inter == inter

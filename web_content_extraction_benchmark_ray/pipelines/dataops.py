@@ -21,7 +21,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from ..functions.text import tokenize_ws
+from ..functions.arrownp import list_matrix
+from ..functions.text import round6, tokenize_ws
 from ..sources.storage import read_table
 from ..functions.textstats import lang_id, quality_features, token_counts
 from ..stages import dedup as dd
@@ -636,6 +637,99 @@ def dup_cluster_sizes(sf_dir: str):
         sizes, "size", ["size"], ["count"], out_names=["n_clusters"],
     )
     return hist.sort("size")
+
+
+def decontaminate_fuzzy(sf_dir: str):
+    """NEAR-DUP benchmark decontamination (the fuzzy complement of
+    curation.decontaminate's exact shingle-overlap scan; GPT-3 appendix C
+    / Brown et al. 2020 deduplicate eval sets from training data by
+    n-gram overlap, Lee et al. 2022 §4 do it by MinHash): corpus docs
+    that share an LSH band with a benchmark doc AND signature-verify at
+    est_jaccard >= MINHASH_THRESHOLD are flagged as contamination, even
+    when edits defeat the exact check.
+
+    Corpus = the augmented view (its planted exact copies / last-word
+    near-dups of every DECON_EVERY-th doc are the contamination to
+    catch); benchmark = every DECON_EVERY-th BASE doc, as in the exact
+    op.  Scale shape: the benchmark side is small by construction
+    (curation.py:46), so its band postings collect once and BROADCAST
+    (``ray.put`` + per-worker cache) — the corpus streams through ONE
+    stateless probe over the memoized ``_aug_band_rows`` signature pass
+    with ZERO shuffles, unlike the in-corpus dedup family's bucket sort;
+    nothing here is per-corpus-size state.  Benchmark posting lists over
+    ``LSH_POSTING_CAP`` drop with a logged count (stages/dedup.py:186
+    discipline).  Output: (doc_id, bench_id, est_jaccard) per flagged
+    pair; survivors are one anti-join away.
+    """
+    from .curation import DECON_EVERY
+
+    rows = _aug_band_rows(sf_dir)
+
+    def bench_rows(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=np.int64)
+        keep = (ids % DECON_EVERY == 0) & (ids < NEAR_DUP_OFFSET)
+        return batch.filter(pa.array(keep))
+
+    posting: dict = {}
+    for b in rows.map_batches(
+        bench_rows, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        sig_mat = list_matrix(b.column("sig"), np.int64)
+        for i, (band, key, bid) in enumerate(
+            zip(
+                b.column("band_id").to_pylist(),
+                b.column("band_key").to_pylist(),
+                b.column("doc_id").to_pylist(),
+            )
+        ):
+            posting.setdefault((band, key), []).append(
+                (int(bid), sig_mat[i])
+            )
+    posting = dd._cap_posting(posting, "decontaminate_fuzzy")
+    post_ref = ray.put(posting)
+
+    def probe(batch: pa.Table, post_ref=post_ref) -> pa.Table:
+        post = ss._get_broadcast(post_ref)
+        sig_mat = list_matrix(batch.column("sig"), np.int64)
+        a_out, b_out, j_out = [], [], []
+        for i, (band, key, did) in enumerate(
+            zip(
+                batch.column("band_id").to_pylist(),
+                batch.column("band_key").to_pylist(),
+                batch.column("doc_id").to_pylist(),
+            )
+        ):
+            for bid, bsig in post.get((band, key), ()):
+                if bid == did:
+                    continue
+                m = int((sig_mat[i] == bsig).sum())
+                # m/K >= 0.5 as an integer compare (no float threshold)
+                if 2 * m >= dd.MINHASH_K:
+                    a_out.append(int(did))
+                    b_out.append(bid)
+                    j_out.append(round6(m / dd.MINHASH_K))
+        return pa.table(
+            {
+                "doc_id_a": pa.array(a_out, pa.int64()),
+                "doc_id_b": pa.array(b_out, pa.int64()),
+                "est_jaccard": pa.array(j_out, pa.float64()),
+            }
+        )
+
+    pairs = dd._distinct_pairs(
+        rows.map_batches(probe, batch_format="pyarrow"), "est_jaccard"
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id_a"),
+                "bench_id": batch.column("doc_id_b"),
+                "est_jaccard": batch.column("est_jaccard"),
+            }
+        )
+
+    return pairs.map_batches(rename, batch_format="pyarrow")
 
 
 _SIMHASH_MEMO: dict = {}
@@ -2620,6 +2714,7 @@ def dataops_queries() -> dict:
         "dedup_fingerprint_survivors": dedup_fingerprint_survivors,
         "dedup_minhash_pairs": dedup_minhash_pairs,
         "dedup_minhash_survivors": dedup_minhash_survivors,
+        "decontaminate_fuzzy": decontaminate_fuzzy,
         "dedup_simhash": dedup_simhash,
         "dedup_simhash_pairs": dedup_simhash_pairs,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,

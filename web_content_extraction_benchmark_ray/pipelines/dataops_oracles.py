@@ -197,7 +197,9 @@ norm AS (
 )
 SELECT min(doc_id) AS doc_id FROM norm GROUP BY md5(ntext)"""
 
-    _mh_tail = f"""{_SHINGLES.strip()},
+    # signature + banding CTEs, shared by the in-corpus pair oracle and
+    # the benchmark decontamination oracle (one definition, zero drift)
+    _mh_bands = f"""{_SHINGLES.strip()},
 {_seeds_values()},
 mh AS (
   SELECT doc_id, i, min((a * hp + b) % {MERSENNE_P}) AS mh
@@ -209,7 +211,8 @@ bands AS (
                     string_agg(CAST(mh AS VARCHAR), '-' ORDER BY i)), 1, 16)
            AS band_key
   FROM mh GROUP BY doc_id, i // {MINHASH_ROWS}
-),
+)"""
+    _mh_tail = f"""{_mh_bands},
 cand AS (
   SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
   FROM bands a JOIN bands b
@@ -229,6 +232,36 @@ matches AS (
 SELECT da AS doc_id_a, db AS doc_id_b,
        floor((m / {float(MINHASH_K)}) * 1000000 + 0.5) / 1000000 AS est_jaccard
 FROM matches WHERE m / {float(MINHASH_K)} >= {MINHASH_THRESHOLD}"""
+
+    # decontaminate_fuzzy: corpus x BENCHMARK banding over the same
+    # signature CTEs (bench = every DECON_EVERY-th base doc), integer
+    # threshold 2*m >= K <=> est >= 0.5, self-pairs excluded.
+    from .curation import DECON_EVERY
+
+    sqls["decontaminate_fuzzy"] = f"""WITH {_AUG.strip()},
+{_mh_bands},
+bench AS (
+  SELECT band_id, band_key, doc_id FROM bands
+  WHERE doc_id % {DECON_EVERY} = 0 AND doc_id < {NEAR_DUP_OFFSET}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d, b.doc_id AS bench_id
+  FROM bands a JOIN bench b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id <> b.doc_id
+),
+matches AS (
+  SELECT c.d, c.bench_id,
+         sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS m
+  FROM cand c
+  JOIN mh x ON x.doc_id = c.d
+  JOIN mh y ON y.doc_id = c.bench_id AND y.i = x.i
+  GROUP BY c.d, c.bench_id
+)
+SELECT d AS doc_id, bench_id,
+       floor((m / {float(MINHASH_K)}) * 1000000 + 0.5) / 1000000
+         AS est_jaccard
+FROM matches WHERE 2 * m >= {MINHASH_K}"""
 
     # same candidate/verify pipeline, then connected components via a
     # recursive transitive closure (engine: stages/dedup.cc_bucket_labels)

@@ -45,7 +45,7 @@ import pyarrow.compute as pc
 import ray
 
 from ..functions.hashing import hash60, shingles
-from ..functions.text import tokenize_ws
+from ..functions.text import round6, tokenize_ws
 from ..functions.textstats import STOPWORDS, _PUNCT_RE
 from ..stages.vecagg import bucketed_groupby
 from .dataops import (
@@ -949,6 +949,119 @@ def score_correlation(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------- source_overlap
+SRC_SKETCH_K = 128  # bottom-k sketch size per source
+
+
+def source_overlap(sf_dir: str, k: int = SRC_SKETCH_K):
+    """Pairwise CONTENT OVERLAP between sources via bottom-k sketches
+    (Broder 1997 min-wise estimation; Cohen & Kaplan 2007 bottom-k) —
+    the data-card 'how much do my crawl snapshots/mirrors share?' row,
+    estimating shingle-set Jaccard for every source pair without ever
+    comparing documents.
+
+    Scale shape: bottom-k is a MERGEABLE sketch
+    (bottomk(A∪B) = bottomk(bottomk(A) ∪ bottomk(B))), so the per-batch
+    combiner losslessly collapses each block to <= k rows per source; the
+    merge groups on the SOURCE key — cardinality = number of corpora
+    mixed, inherently tiny, the one place per-key map_groups dispatch is
+    fine (stages/dedup.py:21 discipline is about HIGH-cardinality keys);
+    the pairwise fold touches n_sources x k ints on the driver
+    (kmeans-centroid-scale state, disclosed).  Shingles/hash60 match the
+    dedup family exactly, so the estimate is comparable across operators
+    and the SQL twin is bit-identical: est = |bottomk(A∪B) ∩ botk(A) ∩
+    botk(B)| / |bottomk(A∪B)|, all-integer until one rounded division.
+    Output: (source_a, source_b, k_union, n_inter, jaccard_est).
+    """
+    import os
+
+    from ..sources.storage import read_table as _rt
+
+    ds = _rt(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["source", "text"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        per: dict[str, set] = {}
+        for src, text in zip(
+            batch.column("source").to_pylist(),
+            batch.column("text").to_pylist(),
+        ):
+            per.setdefault(src, set()).update(
+                hash60(s) for s in shingles(text)
+            )
+        srcs: list[str] = []
+        hs: list[np.ndarray] = []
+        for src in sorted(per):
+            arr = np.fromiter(per[src], dtype=np.int64, count=len(per[src]))
+            if arr.size > k:
+                arr = np.partition(arr, k - 1)[:k]
+            srcs.extend([src] * arr.size)
+            hs.append(arr)
+        flat = (
+            np.concatenate(hs) if hs else np.empty(0, dtype=np.int64)
+        )
+        return pa.table(
+            {
+                "source": pa.array(srcs, pa.string()),
+                "h": pa.array(flat, pa.int64()),
+            }
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        src = group.column("source")[0].as_py()
+        arr = np.unique(
+            np.asarray(group.column("h").to_pylist(), dtype=np.int64)
+        )[:k]  # np.unique sorts ascending -> first k ARE the bottom-k
+        return pa.table(
+            {
+                "source": pa.array([src] * arr.size, pa.string()),
+                "h": pa.array(arr, pa.int64()),
+            }
+        )
+
+    sk_rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+    lists: dict[str, list] = {}
+    for b in sk_rows.iter_batches(batch_format="pyarrow"):
+        for src, h in zip(
+            b.column("source").to_pylist(), b.column("h").to_pylist()
+        ):
+            lists.setdefault(src, []).append(h)
+    sketches = {
+        s: np.sort(np.asarray(v, dtype=np.int64))
+        for s, v in lists.items()
+    }
+    srcs = sorted(sketches)
+    sa, sb, ku, ni, je = [], [], [], [], []
+    for i in range(len(srcs)):
+        for j in range(i + 1, len(srcs)):
+            a, b = sketches[srcs[i]], sketches[srcs[j]]
+            union = np.union1d(a, b)[:k]
+            k_u = int(union.size)
+            inter = int(
+                (np.isin(union, a) & np.isin(union, b)).sum()
+            )
+            sa.append(srcs[i])
+            sb.append(srcs[j])
+            ku.append(k_u)
+            ni.append(inter)
+            je.append(round6(inter / k_u) if k_u else 0.0)
+    return pa.table(
+        {
+            "source_a": pa.array(sa, pa.string()),
+            "source_b": pa.array(sb, pa.string()),
+            "k_union": pa.array(ku, pa.int64()),
+            "n_inter": pa.array(ni, pa.int64()),
+            "jaccard_est": pa.array(je, pa.float64()),
+        }
+    )
+
+
 # ------------------------------------------------------------------ oracles
 def qualityops_queries() -> dict:
     return {
@@ -961,6 +1074,7 @@ def qualityops_queries() -> dict:
         "distinct_by_source": distinct_by_source,
         "length_quantiles": length_quantiles,
         "score_correlation": score_correlation,
+        "source_overlap": source_overlap,
     }
 
 
@@ -1224,5 +1338,59 @@ SELECT source, CAST(n AS BIGINT) AS n,
                     * sqrt(CAST(n * sll - sl * sl AS DOUBLE)))) + 0.5)
             ELSE 0 END AS BIGINT) AS corr6
 FROM s"""
+
+    # source_overlap: the decontaminate oracle's shingle CTE carried per
+    # SOURCE; bottom-k via row_number, the union sketch re-bottom-k'd
+    # (the mergeability identity the engine's combiner relies on), one
+    # rounded division at the end.
+    sqls["source_overlap"] = f"""WITH toks AS (
+  SELECT source, l, len(l) AS nt
+  FROM (SELECT source, regexp_split_to_array(trim(text), '\\s+') AS l
+        FROM documents)
+),
+sh AS (
+  SELECT DISTINCT source,
+         CASE WHEN nt < {SHINGLE_W} THEN array_to_string(l, ' ')
+              ELSE l[i] || ' ' || l[i + 1] || ' ' || l[i + 2] END AS s
+  FROM toks,
+       UNNEST(generate_series(1, greatest(nt - {SHINGLE_W - 1}, 1))) AS u(i)
+),
+hh AS (SELECT DISTINCT source, {_H60.format('s')} AS h FROM sh),
+sk AS (
+  SELECT source, h FROM (
+    SELECT source, h,
+           row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+    FROM hh)
+  WHERE rn <= {SRC_SKETCH_K}
+),
+srcs AS (SELECT DISTINCT source FROM documents),
+p AS (SELECT a.source AS sa, b.source AS sb
+      FROM srcs a JOIN srcs b ON a.source < b.source),
+u AS (
+  SELECT p.sa, p.sb, s.h FROM p JOIN sk s ON s.source = p.sa
+  UNION
+  SELECT p.sa, p.sb, s.h FROM p JOIN sk s ON s.source = p.sb
+),
+ub AS (
+  SELECT sa, sb, h FROM (
+    SELECT sa, sb, h,
+           row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn
+    FROM u)
+  WHERE rn <= {SRC_SKETCH_K}
+),
+ku AS (SELECT sa, sb, CAST(count(*) AS BIGINT) AS k_union
+       FROM ub GROUP BY 1, 2),
+i AS (
+  SELECT ub.sa, ub.sb, CAST(count(*) AS BIGINT) AS n_inter
+  FROM ub
+  JOIN sk x ON x.source = ub.sa AND x.h = ub.h
+  JOIN sk y ON y.source = ub.sb AND y.h = ub.h
+  GROUP BY 1, 2
+)
+SELECT ku.sa AS source_a, ku.sb AS source_b, ku.k_union,
+       coalesce(i.n_inter, 0) AS n_inter,
+       floor(coalesce(i.n_inter, 0) / CAST(ku.k_union AS DOUBLE)
+             * 1000000 + 0.5) / 1000000 AS jaccard_est
+FROM ku LEFT JOIN i ON i.sa = ku.sa AND i.sb = ku.sb"""
 
     return sqls
