@@ -265,6 +265,7 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
             timed("vocab_topk", lambda: _consume(an.vocab_topk(sf_dir)))
             timed("bpe_pairs", lambda: _consume(an.bpe_pairs(sf_dir)))
             timed("bpe_merges", lambda: _consume(an.bpe_merges(sf_dir)))
+            timed("bpe_encode", lambda: _consume(an.bpe_encode(sf_dir)))
             timed("kmeans_iterate", lambda: _consume(an.kmeans_iterate(sf_dir)))
         except ImportError:
             pass

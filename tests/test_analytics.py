@@ -151,3 +151,43 @@ def test_bpe_merges_matches_serial_loop(ray_session):
         for r in bpe_merges(SF).to_pandas().itertuples()
     ]
     assert got == expect
+
+
+def test_bpe_encode_matches_serial_replace(ray_session):
+    """bpe_encode against a serial mirror: squeeze, apply the trained
+    merges in rank order via str.replace, count non-space symbols, and
+    hash the encoded stream.  Also pins the compression invariant
+    (n_sym <= n_base, with strict shrinkage wherever a merge fired)."""
+    import pyarrow.parquet as pq
+
+    from web_content_extraction_benchmark_ray.functions.hashing import hash60
+    from web_content_extraction_benchmark_ray.functions.text import (
+        tokenize_ws,
+    )
+    from web_content_extraction_benchmark_ray.pipelines.analytics import (
+        BPE_PLACEHOLDER_BASE,
+        _train_merges,
+        bpe_encode,
+    )
+
+    df = bpe_encode(SF).to_pandas().set_index("doc_id").sort_index()
+    assert (df["n_sym"] <= df["n_base"]).all()
+    assert (df["n_sym"] < df["n_base"]).any()  # merges fired somewhere
+
+    reps = [
+        (pair, chr(BPE_PLACEHOLDER_BASE + r))
+        for r, (pair, _n) in enumerate(_train_merges(SF))
+    ]
+    assert len(reps) == 3
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text"])
+    for doc_id, text in list(zip(t.column("doc_id").to_pylist(),
+                                 t.column("text").to_pylist()))[:100]:
+        s = " ".join(tokenize_ws(text))
+        n_base = len(s) - s.count(" ")
+        for p, mark in reps:
+            s = s.replace(p, mark)
+        row = df.loc[doc_id]
+        assert row["n_base"] == n_base
+        assert row["n_sym"] == len(s) - s.count(" ")
+        assert row["enc_hash"] == hash60(s)

@@ -197,23 +197,27 @@ BPE_MERGE_ROUNDS = 3
 BPE_PLACEHOLDER_BASE = 0xE000
 
 
-def bpe_merges(sf_dir: str, rounds: int = BPE_MERGE_ROUNDS):
-    """The BPE TRAINING LOOP, distributed and hash-verified: ``rounds``
-    full merge iterations (Sennrich et al. 2016 alg. 1) — each round
-    counts adjacent symbol pairs over the corpus re-symbolized by all
-    previous merges, takes the global argmax (count desc, pair asc), and
-    records it as the round's merge rule.  Output: one (round, pair, n)
-    row per learned merge.
+_BPE_MERGE_MEMO: dict = {}
 
-    The kmeans_iterate discipline applied to tokenizer training: the
-    iterative global argmax is exact in both engines (integer counts,
-    deterministic tie-break), so the SQL twin unrolls the loop into CTE
-    rounds and the driver's per-round state is ONE row (the winning
-    pair) — the corpus is re-counted per round through a stateless map
-    with the accumulated merge list broadcast in the closure, never
-    rewritten or materialized."""
+
+def _train_merges(sf_dir: str,
+                  rounds: int = BPE_MERGE_ROUNDS) -> list[tuple[str, int]]:
+    """The BPE TRAINING LOOP, distributed: ``rounds`` full merge
+    iterations (Sennrich et al. 2016 alg. 1) — each round counts
+    adjacent symbol pairs over the corpus re-symbolized by all previous
+    merges, takes the global argmax (count desc, pair asc), and records
+    it as the round's merge rule.  Returns [(pair, count)] in rank
+    order.  Memoized per documents file (the PQ-codebook-memo
+    discipline: (realpath, mtime) staleness key; the value is a tiny
+    plain list with no object-store refs, so it survives Ray session
+    turnover) — the merge-table and encode consumers share one run."""
+    path = os.path.realpath(os.path.join(sf_dir, "documents.parquet"))
+    key = (path, os.path.getmtime(path), rounds)
+    got = _BPE_MERGE_MEMO.get(key)
+    if got is not None:
+        return got
     merges: list[tuple[str, str]] = []
-    out_r, out_p, out_n = [], [], []
+    out: list[tuple[str, int]] = []
     for r in range(rounds):
         reps = list(merges)
 
@@ -235,21 +239,84 @@ def bpe_merges(sf_dir: str, rounds: int = BPE_MERGE_ROUNDS):
         if not top:
             break
         pair, n = top[0]["pair"], int(top[0]["n"])
-        out_r.append(r + 1)
-        out_p.append(pair)
-        out_n.append(n)
+        out.append((pair, n))
         merges.append((pair, chr(BPE_PLACEHOLDER_BASE + r)))
+    _BPE_MERGE_MEMO.clear()
+    _BPE_MERGE_MEMO[key] = out
+    return out
+
+
+def bpe_merges(sf_dir: str, rounds: int = BPE_MERGE_ROUNDS):
+    """Learned merge table as a dataset: one (round, pair, n) row per
+    ``_train_merges`` rule, hash-verified.
+
+    The kmeans_iterate discipline applied to tokenizer training: the
+    iterative global argmax is exact in both engines (integer counts,
+    deterministic tie-break), so the SQL twin unrolls the loop into CTE
+    rounds and the driver's per-round state is ONE row (the winning
+    pair) — the corpus is re-counted per round through a stateless map
+    with the accumulated merge list broadcast in the closure, never
+    rewritten or materialized."""
+    out = _train_merges(sf_dir, rounds)
     import ray.data as rd
 
     return rd.from_arrow(
         pa.table(
             {
-                "round": pa.array(out_r, pa.int64()),
-                "pair": pa.array(out_p, pa.string()),
-                "n": pa.array(out_n, pa.int64()),
+                "round": pa.array(
+                    list(range(1, len(out) + 1)), pa.int64()
+                ),
+                "pair": pa.array([p for p, _ in out], pa.string()),
+                "n": pa.array([n for _, n in out], pa.int64()),
             }
         )
     )
+
+
+def bpe_encode(sf_dir: str, rounds: int = BPE_MERGE_ROUNDS):
+    """Tokenizer APPLICATION, completing the pairs -> merges -> encode
+    family: rewrite each doc's whitespace-squeezed text by the trained
+    merge rules in rank order.  Merged symbols are single private-use
+    chars (see BPE_PLACEHOLDER_BASE), so applying a merge is plain
+    left-to-right non-overlapping ``str.replace`` — identical semantics
+    to SQL ``replace()``, and since no pair ever contains a space,
+    applying it to the space-joined text equals applying it per token.
+
+    Output per doc: (doc_id, n_base, n_sym, enc_hash) — symbol counts
+    before/after merging plus hash60 of the encoded stream, which pins
+    the full encoding without shipping it.  Scale shape: the only
+    training state in the map closure is the memoized ~``rounds``-entry
+    merge list; the encode itself is a stateless streaming map, zero
+    shuffles."""
+    reps = [
+        (pair, chr(BPE_PLACEHOLDER_BASE + r))
+        for r, (pair, _n) in enumerate(_train_merges(sf_dir, rounds))
+    ]
+
+    def enc(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        n_base, n_sym, hashes = [], [], []
+        for text in batch.column("text").to_pylist():
+            s = " ".join(tokenize_ws(text))
+            n_base.append(len(s) - s.count(" "))
+            for p, mark in reps:
+                s = s.replace(p, mark)
+            n_sym.append(len(s) - s.count(" "))
+            hashes.append(hash60(s))
+        return pa.table(
+            {
+                "doc_id": pa.array([int(i) for i in ids], pa.int64()),
+                "n_base": pa.array(n_base, pa.int64()),
+                "n_sym": pa.array(n_sym, pa.int64()),
+                "enc_hash": pa.array(hashes, pa.int64()),
+            }
+        )
+
+    ds = read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    return ds.map_batches(enc, batch_format="pyarrow")
 
 
 # ------------------------------------------------------------- M1: k-means
@@ -537,6 +604,7 @@ def analytics_queries() -> dict:
         "kmeans_iterate": kmeans_iterate,
         "bpe_pairs": bpe_pairs,
         "bpe_merges": bpe_merges,
+        "bpe_encode": bpe_encode,
         "sample_split": sample_split,
         "sample_stratified": sample_stratified,
         "dataset_stats": dataset_stats,
@@ -604,11 +672,12 @@ p AS (
 SELECT pair, CAST(n AS BIGINT) AS n FROM p
 ORDER BY n DESC, pair LIMIT {BPE_TOPK}"""
 
-    # bpe_merges: the training loop unrolled into CTE rounds (the
-    # kmeans_iterate discipline).  Each wc{r} re-symbolizes by replacing
-    # round r's winning pair (a scalar subquery) with that round's
-    # single private-use char; replace() is left-to-right
-    # non-overlapping in both engines, so the merge step is exact.
+    # bpe_merges / bpe_encode: the training loop unrolled into CTE
+    # rounds (the kmeans_iterate discipline), ONE chain shared by both
+    # oracles.  Each wc{r} re-symbolizes by replacing round r's winning
+    # pair (a scalar subquery) with that round's single private-use
+    # char; replace() is left-to-right non-overlapping in both engines,
+    # so merge training AND application are exact.
     _parts = ["""
 WITH w0 AS (
   SELECT u.tok FROM (
@@ -631,7 +700,8 @@ wc{r + 1} AS (
                  chr({BPE_PLACEHOLDER_BASE + r})) AS tok, c
   FROM wc{r}
 )""")
-    _parts.append(
+    _bpe_ctes = "".join(_parts)
+    sqls["bpe_merges"] = _bpe_ctes + (
         "\n"
         + "\nUNION ALL\n".join(
             f"SELECT CAST({r + 1} AS BIGINT) AS round, pair, "
@@ -639,7 +709,28 @@ wc{r + 1} AS (
             for r in range(BPE_MERGE_ROUNDS)
         )
     )
-    sqls["bpe_merges"] = "".join(_parts)
+
+    # encode: apply the trained rules in rank order to each doc's
+    # whitespace-squeezed text (coalesce guards an exhausted round —
+    # chr(2) never occurs in text, so that replace is a no-op, matching
+    # the engine's early loop break).
+    _enc_expr = "s"
+    for r in range(BPE_MERGE_ROUNDS):
+        _enc_expr = (
+            f"replace({_enc_expr}, coalesce((SELECT pair FROM t{r + 1}), "
+            f"chr(2)), chr({BPE_PLACEHOLDER_BASE + r}))"
+        )
+    sqls["bpe_encode"] = _bpe_ctes + f""",
+d AS (
+  SELECT doc_id, regexp_replace(trim(text), '\\s+', ' ', 'g') AS s
+  FROM documents
+),
+e AS (SELECT doc_id, s, {_enc_expr} AS enc FROM d)
+SELECT doc_id,
+       CAST(length(replace(s, ' ', '')) AS BIGINT) AS n_base,
+       CAST(length(replace(enc, ' ', '')) AS BIGINT) AS n_sym,
+       {_H60.format('enc')} AS enc_hash
+FROM e"""
 
     sqls["kmeans_assign"] = f"""
 WITH cent AS (
