@@ -217,6 +217,15 @@ _SAMPLE_FIRST = [
     "extract_spans_signature",
 ]
 
+# Round-4 session-9 newcomers (decontaminate_fuzzy, source_overlap,
+# bpe_encode, curate_corpus) deliberately sit OUTSIDE the full window — evicting any
+# in-window entry would un-verify a first-timer.  Rotate them into the
+# round-5 window; until then each is oracle-checked at sf0.001/sf0.01
+# by scripts/check_oracles.py and pinned by a serial-mirror pytest, and
+# their primitives are in-window via kin (minhash banding+verify via
+# dedup_minhash_pairs/embedding_dup_pairs, the merge trainer via
+# bpe_pairs' counting plan, shingle hash60 via line_dedup/tfidf).
+
 # thrice-green stateless ops + the long-green extraction family sit after
 # the sample window this round (still pytest-covered every run)
 _SAMPLE_LAST = [

@@ -257,6 +257,8 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
             timed("pack_sequences",
                   lambda: _consume(cu.pack_sequences(sf_dir)))
             timed("pii_scrub", lambda: _consume(cu.pii_scrub(sf_dir)))
+            timed("curate_corpus",
+                  lambda: _consume(cu.curate_corpus(sf_dir)))
         except ImportError:
             pass
         try:

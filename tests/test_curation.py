@@ -324,3 +324,48 @@ def test_pack_sequences_matches_serial_shuffled_scan(ray_session):
     # sequence carries at least one doc start
     assert df["seq_id"].min() == 0
     assert set(range(int(df["seq_id"].max()))) <= set(df["seq_id"])
+
+
+def test_curate_corpus_composes_member_operators(ray_session):
+    """curate_corpus's mask bits must agree with the standalone member
+    operators on the same corpus (gopher_filter for bit 1, dedup_exact
+    survivors for bit 2, decontaminate for bit 4 on base docs), and the
+    kept docs' shard ids must equal the serial kept-token prefix scan."""
+    from web_content_extraction_benchmark_ray.pipelines.curation import (
+        PACK_BUDGET,
+        curate_corpus,
+        decontaminate,
+    )
+    from web_content_extraction_benchmark_ray.pipelines.dataops import (
+        NEAR_DUP_OFFSET,
+        dedup_exact,
+    )
+    from web_content_extraction_benchmark_ray.pipelines.qualityops import (
+        gopher_filter,
+    )
+
+    df = curate_corpus(SF).to_pandas().set_index("doc_id").sort_index()
+    assert (df["keep"] == (df["reason_mask"] == 0).astype(int)).all()
+    assert ((df["shard_id"] == -1) == (df["keep"] == 0)).all()
+
+    survivors = set(dedup_exact(SF).to_pandas()["doc_id"])
+    assert (
+        (df["reason_mask"] & 2 != 0) == ~df.index.isin(sorted(survivors))
+    ).all()
+
+    gf = gopher_filter(SF).to_pandas().set_index("doc_id")
+    base = df.index[df.index < NEAR_DUP_OFFSET]
+    assert (
+        (df.loc[base, "reason_mask"] & 1 != 0)
+        == (gf.loc[base, "fail_mask"] != 0)
+    ).all()
+
+    dc = decontaminate(SF).to_pandas().set_index("doc_id")
+    assert (
+        (df.loc[base, "reason_mask"] & 4 != 0)
+        == (dc.loc[base, "contaminated"] == 1)
+    ).all()
+
+    kept = df[df["keep"] == 1].sort_index()
+    excl = np.concatenate([[0], np.cumsum(kept["n_tokens"].to_numpy())[:-1]])
+    assert (kept["shard_id"].to_numpy() == excl // PACK_BUDGET).all()

@@ -663,6 +663,157 @@ def pii_scrub(sf_dir: str):
     return _docs(sf_dir).map_batches(scrub, batch_format="pyarrow")
 
 
+# ------------------------------------------------------------ curate_corpus
+def curate_corpus(sf_dir: str, range_size: int = PACK_RANGE,
+                  budget: int = PACK_BUDGET):
+    """END-TO-END corpus curation as ONE query — the composed production
+    pipeline a training-data team actually runs: Gopher quality gate +
+    exact-dup tombstoning + benchmark decontamination over the augmented
+    corpus view, survivors packed into token-budget shards in doc_id
+    order.  reason_mask bits: 1 = Gopher rule failure (qualityops rules),
+    2 = exact duplicate (a lower doc_id carries identical text), 4 =
+    benchmark contamination (>= 50% shingle overlap with the eval set).
+    keep = 1 iff mask = 0; kept docs get shard_id from the exclusive
+    kept-token prefix scan, dropped docs get -1.
+
+    Scale shape — three composed disciplines, no new machinery:
+
+    1. ONE stateless map computes every per-doc signal in a single
+       tokenize pass (Gopher mask, token count, content hash60,
+       contamination vs the broadcast benchmark shingle set).
+    2. ONE content all-to-all: the dedup family's wide-bucket sorted
+       co-group (stages/dedup._bucket_sorted) marks non-minimal docs per
+       content hash — the text itself never shuffles, only the signal
+       rows.
+    3. The pack_shards two-level prefix scan over INDEX rows only
+       (doc_id, n_tokens), kept docs first filtered so dropped rows
+       never enter the scan.
+
+    Output: (doc_id, n_tokens, reason_mask, keep, shard_id).
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.textstats import STOPWORDS
+    from ..stages import dedup as dd
+    from ..stages.simsearch import _get_broadcast
+    from .dataops import _aug_docs
+    from .qualityops import gopher_mask
+
+    stop = frozenset(STOPWORDS)
+    bench_ref = ray.put(_bench_shingle_set(sf_dir))
+
+    def signals(batch: pa.Table, bench_ref=bench_ref) -> pa.Table:
+        bench = _get_broadcast(bench_ref)
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        hs, ntoks, masks = [], [], []
+        for t in texts:
+            n_ws, gm = gopher_mask(t, stop)
+            sh = np.array(
+                [hash60(s) for s in shingles(t)], dtype=np.int64
+            )
+            if sh.size and bench.size:
+                idx = np.searchsorted(bench, sh)
+                idx[idx == len(bench)] = len(bench) - 1
+                ov = int((bench[idx] == sh).sum())
+            else:
+                ov = 0
+            cont = sh.size > 0 and 2 * ov >= sh.size
+            hs.append(hash60(t))
+            ntoks.append(n_ws)
+            masks.append((1 if gm != 0 else 0) | (4 if cont else 0))
+        h_arr = np.asarray(hs, dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.asarray(ids, dtype=np.int64)
+                ),
+                "h": pa.array(h_arr),
+                "bucket": pa.array(
+                    (h_arr % dd.WIDE_PAIR_SPACE).astype(np.int32)
+                ),
+                "n_tokens": pa.array(ntoks, pa.int64()),
+                "pmask": pa.array(masks, pa.int64()),
+            }
+        )
+
+    def mark_dups(part: pa.Table) -> pa.Table:
+        ids = np.asarray(part.column("doc_id").to_pylist(), dtype=np.int64)
+        hs = np.asarray(part.column("h").to_pylist(), dtype=np.int64)
+        pm = np.asarray(part.column("pmask").to_pylist(), dtype=np.int64)
+        nt = np.asarray(part.column("n_tokens").to_pylist(), dtype=np.int64)
+        order = np.lexsort((ids, hs))  # h asc, doc_id asc within h
+        ids, hs, pm, nt = ids[order], hs[order], pm[order], nt[order]
+        first = np.ones(len(hs), dtype=bool)
+        first[1:] = hs[1:] != hs[:-1]  # group head == min doc_id
+        mask = pm | np.where(first, 0, 2)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "n_tokens": pa.array(nt),
+                "reason_mask": pa.array(mask),
+                "keep": pa.array((mask == 0).astype(np.int64)),
+                "bucket": pa.array(ids // range_size),
+            }
+        )
+
+    marked = dd._bucket_sorted(
+        _aug_docs(sf_dir).map_batches(signals, batch_format="pyarrow")
+    ).map_batches(
+        mark_dups, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True,
+    ).materialize()  # index rows only; read twice (kept scan + dropped)
+
+    kept_idx = marked.map_batches(
+        lambda b: b.filter(pc.equal(b.column("keep"), 1)),
+        batch_format="pyarrow",
+    )
+    off_ref, _ = _bucket_offsets(kept_idx, "n_tokens")
+
+    def assign(group: pa.Table, off_ref=off_ref) -> pa.Table:
+        offs = _cached_offsets(off_ref)
+        ids = np.asarray(group.column("doc_id").to_pylist(), dtype=np.int64)
+        tok = np.asarray(
+            group.column("n_tokens").to_pylist(), dtype=np.int64
+        )
+        order = np.argsort(ids)
+        ids, tok = ids[order], tok[order]
+        base = int(offs[int(group.column("bucket")[0].as_py())])
+        excl = base + np.concatenate([[0], np.cumsum(tok)[:-1]])
+        n = len(ids)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "n_tokens": pa.array(tok),
+                "reason_mask": pa.array(np.zeros(n, dtype=np.int64)),
+                "keep": pa.array(np.ones(n, dtype=np.int64)),
+                "shard_id": pa.array(excl // budget),
+            }
+        )
+
+    packed = kept_idx.groupby("bucket").map_groups(
+        assign, batch_format="pyarrow"
+    )
+
+    def dropped(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b.column("keep"), 0))
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_tokens": t.column("n_tokens"),
+                "reason_mask": t.column("reason_mask"),
+                "keep": t.column("keep"),
+                "shard_id": pa.array(
+                    np.full(t.num_rows, -1, dtype=np.int64)
+                ),
+            }
+        )
+
+    return packed.union(
+        marked.map_batches(dropped, batch_format="pyarrow")
+    )
+
+
 # ------------------------------------------------------------------ oracles
 def curation_queries() -> dict:
     return {
@@ -674,6 +825,7 @@ def curation_queries() -> dict:
         "shuffle_order": shuffle_order,
         "pack_sequences": pack_sequences,
         "pii_scrub": pii_scrub,
+        "curate_corpus": curate_corpus,
     }
 
 
@@ -848,5 +1000,73 @@ SELECT doc_id,
            f"regexp_replace(text, '{PII_PATTERN}', '{PII_TOKEN}', 'g')"
        )} AS clean_hash
 FROM aug"""
+
+    # curate_corpus: the composed pipeline's twin reuses the member ops'
+    # oracle fragments verbatim — the Gopher CTE chain (qualityops.
+    # gopher_sql_body over the aug view), dedup_exact's hash-min as a
+    # window, decontaminate's shingle-overlap CTEs, and pack_shards'
+    # kept-token running sum.
+    from .dataops import NEAR_DUP_OFFSET
+    from .dataops_oracles import _AUG
+    from .qualityops import gopher_sql_body
+
+    sqls["curate_corpus"] = f"""WITH {_AUG.strip()},
+{gopher_sql_body('aug')},
+dmin AS (
+  SELECT doc_id,
+         min(doc_id) OVER (PARTITION BY {_H60.format('text')}) AS mn
+  FROM aug
+),
+tk2 AS (
+  SELECT doc_id, l AS l2, len(l) AS nt
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS l
+        FROM aug)
+),
+sh2 AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN nt < {SHINGLE_W} THEN array_to_string(l2, ' ')
+              ELSE l2[i] || ' ' || l2[i + 1] || ' ' || l2[i + 2] END AS s
+  FROM tk2,
+       UNNEST(generate_series(1, greatest(nt - {SHINGLE_W - 1}, 1))) AS u(i)
+),
+shh2 AS (SELECT DISTINCT doc_id, {_H60.format('s')} AS h FROM sh2),
+bench AS (
+  SELECT DISTINCT h FROM shh2
+  WHERE doc_id % {DECON_EVERY} = 0 AND doc_id < {NEAR_DUP_OFFSET}
+),
+ov AS (
+  SELECT shh2.doc_id, CAST(count(*) AS BIGINT) AS n_sh,
+         CAST(sum(CASE WHEN bench.h IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_ov
+  FROM shh2 LEFT JOIN bench ON shh2.h = bench.h
+  GROUP BY shh2.doc_id
+),
+r AS (
+  SELECT m.doc_id, m.n_ws AS n_tokens,
+         (CASE WHEN m.mask <> 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN d.doc_id <> d.mn THEN 2 ELSE 0 END)
+       + (CASE WHEN 2 * ov.n_ov >= ov.n_sh THEN 4 ELSE 0 END)
+           AS reason_mask
+  FROM m JOIN dmin d ON d.doc_id = m.doc_id
+         JOIN ov ON ov.doc_id = m.doc_id
+),
+k AS (
+  SELECT doc_id, n_tokens, reason_mask,
+         CASE WHEN reason_mask = 0 THEN 1 ELSE 0 END AS keep
+  FROM r
+),
+s AS (
+  SELECT *, sum(CASE WHEN keep = 1 THEN n_tokens ELSE 0 END)
+              OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS cum
+  FROM k
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(reason_mask AS BIGINT) AS reason_mask,
+       CAST(keep AS BIGINT) AS keep,
+       CAST(CASE WHEN keep = 1 THEN (cum - n_tokens) // {PACK_BUDGET}
+                 ELSE -1 END AS BIGINT) AS shard_id
+FROM s"""
 
     return sqls

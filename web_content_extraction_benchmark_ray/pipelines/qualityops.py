@@ -1078,16 +1078,15 @@ def qualityops_queries() -> dict:
     }
 
 
-def qualityops_oracle_sql() -> dict[str, str]:
-    from ..functions.hashing import SHINGLE_W
-    from .dataops_oracles import _AUG, _H60
-
+def gopher_sql_body(table: str = "documents") -> str:
+    """The Gopher rule CTE chain (t/tok/ws/ch/g2/gc/ga -> m with the
+    composite fail mask) over ``table`` — shared by the gopher_filter
+    oracle and the composed curate_corpus oracle (curation.py), one
+    definition so the rule arithmetic cannot drift."""
     stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
-    sqls: dict[str, str] = {}
-
-    _g_body = f"""t AS (
+    return f"""t AS (
   SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS l
-  FROM documents
+  FROM {table}
 ),
 tok AS (SELECT doc_id, u.tok FROM t, UNNEST(l) AS u(tok)),
 ws AS (
@@ -1134,6 +1133,16 @@ m AS (
   FROM ws JOIN ch ON ws.doc_id = ch.doc_id
           LEFT JOIN ga ON ws.doc_id = ga.doc_id
 )"""
+
+
+def qualityops_oracle_sql() -> dict[str, str]:
+    from ..functions.hashing import SHINGLE_W
+    from .dataops_oracles import _AUG, _H60
+
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    sqls: dict[str, str] = {}
+
+    _g_body = gopher_sql_body()
     sqls["gopher_filter"] = f"""WITH {_g_body}
 SELECT doc_id, n_ws AS n_words, CAST(mask AS BIGINT) AS fail_mask,
        CAST(CASE WHEN mask = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
