@@ -178,6 +178,8 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
             timed("dedup_minhash", lambda: _consume(d.dedup_minhash_pairs(sf_dir)))
             timed("decontaminate_fuzzy",
                   lambda: _consume(d.decontaminate_fuzzy(sf_dir)))
+            timed("decontaminate_fuzzy_survivors",
+                  lambda: _consume(d.decontaminate_fuzzy_survivors(sf_dir)))
             timed("dedup_simhash", lambda: _consume(d.dedup_simhash_pairs(sf_dir)))
             timed("dedup_jaccard", lambda: _consume(d.dedup_ngram_jaccard(sf_dir)))
             timed("dedup_fingerprint",

@@ -1742,3 +1742,22 @@ def test_decontaminate_fuzzy_catches_planted_bench_dups(ray_session):
                 & (df["bench_id"] == i)
             ]
             assert float(row["est_jaccard"].iloc[0]) == 1.0
+
+
+def test_decontaminate_fuzzy_survivors_is_exact_complement(ray_session):
+    """Survivors must equal the augmented id universe minus the flagged
+    side of decontaminate_fuzzy, with no duplicates — pins the factored
+    anti_join_doc_ids co-group against a driver-side set difference."""
+    from web_content_extraction_benchmark_ray.pipelines.dataops import (
+        _aug_docs,
+        decontaminate_fuzzy,
+        decontaminate_fuzzy_survivors,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    all_ids = set(_aug_docs(sf).to_pandas()["doc_id"])
+    flagged = set(decontaminate_fuzzy(sf).to_pandas()["doc_id"])
+    got = decontaminate_fuzzy_survivors(sf).to_pandas()["doc_id"]
+    assert not got.duplicated().any()
+    assert set(got) == all_ids - flagged
+    assert len(flagged) > 0

@@ -732,6 +732,19 @@ def decontaminate_fuzzy(sf_dir: str):
     return pairs.map_batches(rename, batch_format="pyarrow")
 
 
+def decontaminate_fuzzy_survivors(sf_dir: str):
+    """The clean-corpus view: augmented docs minus every
+    fuzzy-contaminated doc (decontaminate_fuzzy's flagged side), via the
+    dedup family's keyed co-group anti-join
+    (stages/dedup.anti_join_doc_ids) — no flagged-id set on the driver,
+    so the stage holds even when contamination is pervasive.  Benchmark
+    docs themselves band-match their own planted copies, not themselves
+    (self-pairs are excluded), so they survive unless independently
+    near-dup of another benchmark doc."""
+    flagged = decontaminate_fuzzy(sf_dir).select_columns(["doc_id"])
+    return dd.anti_join_doc_ids(_aug_docs(sf_dir), flagged)
+
+
 _SIMHASH_MEMO: dict = {}
 
 
@@ -2715,6 +2728,7 @@ def dataops_queries() -> dict:
         "dedup_minhash_pairs": dedup_minhash_pairs,
         "dedup_minhash_survivors": dedup_minhash_survivors,
         "decontaminate_fuzzy": decontaminate_fuzzy,
+        "decontaminate_fuzzy_survivors": decontaminate_fuzzy_survivors,
         "dedup_simhash": dedup_simhash,
         "dedup_simhash_pairs": dedup_simhash_pairs,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,

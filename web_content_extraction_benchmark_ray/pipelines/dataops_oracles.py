@@ -238,7 +238,7 @@ FROM matches WHERE m / {float(MINHASH_K)} >= {MINHASH_THRESHOLD}"""
     # threshold 2*m >= K <=> est >= 0.5, self-pairs excluded.
     from .curation import DECON_EVERY
 
-    sqls["decontaminate_fuzzy"] = f"""WITH {_AUG.strip()},
+    _fz_body = f"""{_AUG.strip()},
 {_mh_bands},
 bench AS (
   SELECT band_id, band_key, doc_id FROM bands
@@ -257,11 +257,16 @@ matches AS (
   JOIN mh x ON x.doc_id = c.d
   JOIN mh y ON y.doc_id = c.bench_id AND y.i = x.i
   GROUP BY c.d, c.bench_id
-)
+)"""
+    sqls["decontaminate_fuzzy"] = f"""WITH {_fz_body}
 SELECT d AS doc_id, bench_id,
        floor((m / {float(MINHASH_K)}) * 1000000 + 0.5) / 1000000
          AS est_jaccard
 FROM matches WHERE 2 * m >= {MINHASH_K}"""
+
+    sqls["decontaminate_fuzzy_survivors"] = f"""WITH {_fz_body}
+SELECT doc_id FROM aug
+WHERE doc_id NOT IN (SELECT d FROM matches WHERE 2 * m >= {MINHASH_K})"""
 
     # same candidate/verify pipeline, then connected components via a
     # recursive transitive closure (engine: stages/dedup.cc_bucket_labels)

@@ -850,46 +850,78 @@ def neardup_survivors(docs_ds, pairs_ds, num_buckets: int | None = None,
     # anti-join: doc rows (kind=2) co-grouped with non-canonical label
     # rows (kind=0, key != val) on the same bucket key; a doc survives iff
     # its bucket group contains no tombstone for its id
-    def doc_rows(batch: pa.Table) -> pa.Table:
-        ids = [int(i) for i in batch.column("doc_id").to_pylist()]
-        return pa.table(
-            {
-                "bucket": pa.array(
-                    [i % num_buckets for i in ids], pa.int32()
-                ),
-                "key": pa.array(ids, pa.int64()),
-                "kind": pa.array([2] * len(ids), pa.int32()),
-                "val": pa.array(ids, pa.int64()),
-            }
-        )
-
     def tombstones(batch: pa.Table) -> pa.Table:
         keep_mask = pc.not_equal(batch["key"], batch["val"])
         return batch.filter(keep_mask)
 
-    docs_keyed = docs_ds.map_batches(doc_rows, batch_format="pyarrow")
+    docs_keyed = docs_ds.map_batches(
+        _keyed_id_rows, fn_kwargs={"num_buckets": num_buckets, "kind": 2},
+        batch_format="pyarrow",
+    )
     noncanon = labels.map_batches(tombstones, batch_format="pyarrow")
 
-    def keep_group(group: pa.Table) -> pa.Table:
-        dead = set()
-        doc_ids = []
-        for k, kind in zip(
-            group.column("key").to_pylist(), group.column("kind").to_pylist()
-        ):
-            if kind == 0:
-                dead.add(k)
-            else:
-                doc_ids.append(k)
-        return pa.table(
-            {
-                "doc_id": pa.array(
-                    [d for d in doc_ids if d not in dead], pa.int64()
-                )
-            }
-        )
-
     return docs_keyed.union(noncanon).groupby("bucket").map_groups(
-        keep_group, batch_format="pyarrow"
+        _antijoin_keep, batch_format="pyarrow"
+    )
+
+
+def _keyed_id_rows(batch: pa.Table, num_buckets: int, kind: int,
+                   id_col: str = "doc_id") -> pa.Table:
+    """(ids) -> co-group key rows (bucket, key, kind, val) for the
+    anti-join shape shared by neardup_survivors and anti_join_doc_ids."""
+    ids = [int(i) for i in batch.column(id_col).to_pylist()]
+    return pa.table(
+        {
+            "bucket": pa.array([i % num_buckets for i in ids], pa.int32()),
+            "key": pa.array(ids, pa.int64()),
+            "kind": pa.array([kind] * len(ids), pa.int32()),
+            "val": pa.array(ids, pa.int64()),
+        }
+    )
+
+
+def _antijoin_keep(group: pa.Table) -> pa.Table:
+    """One co-group bucket: keep kind=2 doc ids with no kind=0 tombstone."""
+    dead = set()
+    doc_ids = []
+    for k, kind in zip(
+        group.column("key").to_pylist(), group.column("kind").to_pylist()
+    ):
+        if kind == 0:
+            dead.add(k)
+        else:
+            doc_ids.append(k)
+    return pa.table(
+        {
+            "doc_id": pa.array(
+                [d for d in doc_ids if d not in dead], pa.int64()
+            )
+        }
+    )
+
+
+def anti_join_doc_ids(docs_ds, dead_ds, dead_col: str = "doc_id",
+                      num_buckets: int | None = None):
+    """docs MINUS a tombstone id stream, as the same keyed co-group
+    anti-join neardup_survivors uses (no id set ever materializes on
+    the driver) — the survivor filter factored for any removal list:
+    fuzzy decontamination, blocklists, manual takedowns.  Duplicate
+    tombstones are harmless (set semantics per bucket group)."""
+    if num_buckets is None:
+        num_buckets = derived_pair_buckets()
+    docs_keyed = docs_ds.map_batches(
+        _keyed_id_rows, fn_kwargs={"num_buckets": num_buckets, "kind": 2},
+        batch_format="pyarrow",
+    )
+    dead_keyed = dead_ds.map_batches(
+        _keyed_id_rows,
+        fn_kwargs={
+            "num_buckets": num_buckets, "kind": 0, "id_col": dead_col,
+        },
+        batch_format="pyarrow",
+    )
+    return docs_keyed.union(dead_keyed).groupby("bucket").map_groups(
+        _antijoin_keep, batch_format="pyarrow"
     )
 
 
