@@ -218,8 +218,8 @@ _SAMPLE_FIRST = [
 ]
 
 # Round-4 session-9 newcomers (decontaminate_fuzzy + its survivors view,
-# source_overlap, bpe_encode, curate_corpus) deliberately sit OUTSIDE
-# the full window — evicting any
+# source_overlap, bpe_encode, curate_corpus, importance_resample)
+# deliberately sit OUTSIDE the full window — evicting any
 # in-window entry would un-verify a first-timer.  Rotate them into the
 # round-5 window; until then each is oracle-checked at sf0.001/sf0.01
 # by scripts/check_oracles.py and pinned by a serial-mirror pytest, and

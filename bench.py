@@ -219,6 +219,8 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
                   lambda: _consume(d.dup_span_scrub(sf_dir)))
             timed("importance_weights",
                   lambda: _consume(d.importance_weights(sf_dir)))
+            timed("importance_resample",
+                  lambda: _consume(d.importance_resample(sf_dir)))
         except ImportError:
             pass
         try:

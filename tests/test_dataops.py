@@ -1761,3 +1761,37 @@ def test_decontaminate_fuzzy_survivors_is_exact_complement(ray_session):
     assert not got.duplicated().any()
     assert set(got) == all_ids - flagged
     assert len(flagged) > 0
+
+
+def test_importance_resample_is_exact_systematic(ray_session):
+    """Systematic-resampler invariants: total copies == N exactly, each
+    doc gets floor or ceil of its expectation N*w/W, and the counts
+    equal a serial lattice sweep over the same cumulative axis."""
+    from web_content_extraction_benchmark_ray.pipelines.dataops import (
+        importance_resample,
+        importance_weights,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    df = importance_resample(sf).to_pandas().set_index("doc_id").sort_index()
+    iw = importance_weights(sf).to_pandas().set_index("doc_id").sort_index()
+    assert (df["weight"] == iw["sum_ratio"].clip(lower=0) + 1).all()
+
+    n = len(df)
+    w_total = int(df["weight"].sum())
+    assert int(df["n_copies"].sum()) == n
+
+    exp = df["weight"].to_numpy() * n / w_total
+    got = df["n_copies"].to_numpy()
+    assert (got >= np.floor(exp) - 1e-9).all()
+    assert (got <= np.ceil(exp) + 1e-9).all()
+
+    # serial lattice sweep: points (k + 1/2) * W / N in doc_id order
+    cum = 0
+    for doc_id, row in df.iterrows():
+        lo, cum = cum, cum + int(row["weight"])
+        n_in = sum(
+            1 for k in range(n) if lo * 2 * n <= (2 * k + 1) * w_total
+            and (2 * k + 1) * w_total < cum * 2 * n
+        )
+        assert n_in == row["n_copies"], doc_id

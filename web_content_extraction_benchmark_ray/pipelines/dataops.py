@@ -1922,6 +1922,83 @@ def importance_weights(sf_dir: str, broadcast_max_types: int | None = None):
     return per_doc.map_batches(finish, batch_format="pyarrow")
 
 
+def importance_resample(sf_dir: str, range_size: int | None = None):
+    """DSIR step 2 — SYSTEMATIC importance resampling over the
+    importance_weights scores (Xie et al. 2023 §2 resample the raw
+    corpus proportionally to the importance weights; Kitagawa 1996's
+    systematic resampler): draw N = |corpus| lattice points
+    p_k = (k + 1/2)·W/N over the doc_id-ordered cumulative weight axis
+    (W = Σ weights) and give each doc one copy per lattice point inside
+    its weight interval.  Deterministic, variance-optimal among
+    unbiased resamplers, and integer-exact — the count compares
+    2·cum·N against (2k+1)·W, no float lattice, so each doc gets
+    exactly floor or ceil of its expectation N·w_d/W and
+    Σ n_copies = N by construction.  Weight w_d = max(sum_ratio, 0)+1:
+    target-enriched docs oversample, depleted docs keep baseline mass 1
+    so the support never vanishes.
+
+    Shape: importance_weights' streaming pass -> the pack_shards
+    two-level prefix scan over index rows (doc_id, weight); the only
+    driver state is the bucket-sum offsets dict plus the two scalars
+    (W, N).  Output: (doc_id, weight, n_copies) — materializing the
+    copies is one flat_map away and deliberately not done here (the
+    counts are the verifiable artifact; copies would inflate the
+    corpus x1 for nothing).  Overflow: the per-group counts use Python
+    ints (exact at any scale); the SQL twin casts to HUGEINT.
+    """
+    from .curation import PACK_RANGE, _bucket_offsets, _cached_offsets
+
+    if range_size is None:
+        range_size = PACK_RANGE
+
+    def widx(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=np.int64)
+        sr = np.asarray(
+            batch.column("sum_ratio").to_pylist(), dtype=np.int64
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "bucket": pa.array(ids // range_size),
+                "w": pa.array(np.maximum(sr, 0) + 1),
+            }
+        )
+
+    idx = importance_weights(sf_dir).map_batches(
+        widx, batch_format="pyarrow"
+    ).materialize()  # index rows only (doc_id, bucket, w), read twice
+    off_ref, total_w = _bucket_offsets(idx, "w")
+    n_docs = idx.count()
+
+    def n_below(x: int, n: int, w: int) -> int:
+        # |{k >= 0 : (2k+1)·W < 2·x·N}| — lattice points strictly below x
+        t = 2 * x * n - w
+        return 0 if t <= 0 else (t - 1) // (2 * w) + 1
+
+    def assign(group: pa.Table, off_ref=off_ref, n=n_docs,
+               tw=total_w) -> pa.Table:
+        offs = _cached_offsets(off_ref)
+        ids = np.asarray(group.column("doc_id").to_pylist(), dtype=np.int64)
+        w = np.asarray(group.column("w").to_pylist(), dtype=np.int64)
+        order = np.argsort(ids)
+        ids, w = ids[order], w[order]
+        base = int(offs[int(group.column("bucket")[0].as_py())])
+        hi = base + np.cumsum(w)
+        copies = [
+            n_below(int(h), n, tw) - n_below(int(h) - int(wd), n, tw)
+            for h, wd in zip(hi, w)
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "weight": pa.array(w),
+                "n_copies": pa.array(copies, pa.int64()),
+            }
+        )
+
+    return idx.groupby("bucket").map_groups(assign, batch_format="pyarrow")
+
+
 def doc_fingerprint(sf_dir: str):
     from ..functions.hashing import fingerprint_digest, winnow_fingerprints
 
@@ -2758,6 +2835,7 @@ def dataops_queries() -> dict:
         "pq_search": pq_search,
         "ann_recall": ann_recall,
         "importance_weights": importance_weights,
+        "importance_resample": importance_resample,
         "chunk_windows": chunk_windows,
         "dup_span_stats": dup_span_stats,
         "dup_span_scrub": dup_span_scrub,

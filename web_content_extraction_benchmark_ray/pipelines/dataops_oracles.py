@@ -914,7 +914,7 @@ FROM t LEFT JOIN d USING (doc_id), n"""
     # target slice = every DSIR_TARGET_EVERY-th doc, target counts scaled
     # by the slice ratio R so corpus-typical tokens weigh ~0 (bin() bit
     # length mirrors Python bit_length(); +1 smooths both sides).
-    sqls["importance_weights"] = rf"""WITH t AS (
+    _iw_ctes = rf"""t AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS l
   FROM documents
 ),
@@ -924,11 +924,38 @@ c AS (
          CAST(count(*) FILTER (WHERE doc_id % {DSIR_TARGET_EVERY} = 0)
               AS BIGINT) AS c_tgt
   FROM w GROUP BY tok
-)
-SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+)"""
+    _iw_sel = f"""SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
        CAST(sum(length(bin({DSIR_TARGET_EVERY} * c.c_tgt + 1))
                 - length(bin(c.c_raw + 1))) AS BIGINT) AS sum_ratio
 FROM w JOIN c USING (tok) GROUP BY w.doc_id"""
+    sqls["importance_weights"] = f"WITH {_iw_ctes}\n{_iw_sel}"
+
+    # importance_resample: systematic lattice resampling over the same
+    # score — n_copies counts lattice points (k+1/2)·W/N inside each
+    # doc's cumulative-weight interval, in pure (HUGEINT) integer
+    # arithmetic, mirroring the engine's n_below().
+    _f_lo = ("CASE WHEN 2 * CAST(s.hi - s.w AS HUGEINT) * tot.n - tot.tw"
+             " <= 0 THEN 0 ELSE (2 * CAST(s.hi - s.w AS HUGEINT) * tot.n"
+             " - tot.tw - 1) // (2 * tot.tw) + 1 END")
+    _f_hi = ("CASE WHEN 2 * CAST(s.hi AS HUGEINT) * tot.n - tot.tw <= 0"
+             " THEN 0 ELSE (2 * CAST(s.hi AS HUGEINT) * tot.n - tot.tw"
+             " - 1) // (2 * tot.tw) + 1 END")
+    sqls["importance_resample"] = f"""WITH {_iw_ctes},
+iw AS ({_iw_sel}),
+wt AS (SELECT doc_id, greatest(sum_ratio, 0) + 1 AS w FROM iw),
+tot AS (SELECT CAST(sum(w) AS HUGEINT) AS tw,
+               CAST(count(*) AS HUGEINT) AS n FROM wt),
+s AS (
+  SELECT doc_id, w,
+         sum(w) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS hi
+  FROM wt
+)
+SELECT s.doc_id, CAST(s.w AS BIGINT) AS weight,
+       CAST(({_f_hi}) - ({_f_lo}) AS BIGINT) AS n_copies
+FROM s, tot"""
 
     sqls["repetition_stats"] = r"""WITH t AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS l
