@@ -369,3 +369,63 @@ def test_curate_corpus_composes_member_operators(ray_session):
     kept = df[df["keep"] == 1].sort_index()
     excl = np.concatenate([[0], np.cumsum(kept["n_tokens"].to_numpy())[:-1]])
     assert (kept["shard_id"].to_numpy() == excl // PACK_BUDGET).all()
+
+
+def test_curate_corpus_empty_neardup_copy_matches_oracle(
+    ray_session, tmp_path
+):
+    """A one-token doc at doc_id % NEAR_DUP_EVERY == 0 synthesizes an
+    EMPTY near-dup copy in the augmented view; the engine counts 0
+    tokens for it (tokenize_ws('') == []) and the oracle must agree —
+    regression for the regexp_split_to_array('') -> [''] divergence."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+    from web_content_extraction_benchmark_ray.pipelines.curation import (
+        curate_corpus,
+    )
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "solo",
+                    "the quick brown fox jumps over the lazy dog today "
+                    "and every day it is a fine day for running about",
+                    "a different second document with plenty of common "
+                    "words so that the gopher stopword rule can pass",
+                    "yet another third document the and is to of with "
+                    "some more filler words for quality checks here",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+
+    got = (
+        curate_corpus(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(
+        "create view documents as select * from "
+        f"'{tmp_path}/documents.parquet'"
+    )
+    want = (
+        con.sql(e.oracle_sql()["curate_corpus"])
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    cols = sorted(got.columns)
+    assert list(want.sort_index(axis=1).columns) == cols
+    assert got[cols].astype("int64").equals(want[cols].astype("int64"))
+    # the empty near-dup copy of doc 0 exists, counts 0 tokens, dropped
+    empty = got.set_index("doc_id").loc[1_000_000]
+    assert empty["n_tokens"] == 0 and empty["keep"] == 0

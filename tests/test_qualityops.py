@@ -432,3 +432,53 @@ def test_source_overlap_matches_serial_bottom_k(ray_session):
         inter = int((np.isin(union, a) & np.isin(union, b)).sum())
         assert row.k_union == union.size
         assert row.n_inter == inter
+
+
+def test_source_overlap_all_empty_source_excluded(ray_session, tmp_path):
+    """A source whose docs are all empty/whitespace yields no shingles
+    and participates in neither engine — engine and oracle agree on the
+    reduced pair universe (regression for the '' shingle divergence)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+    from web_content_extraction_benchmark_ray.pipelines.qualityops import (
+        source_overlap,
+    )
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(list(range(6)), pa.int64()),
+            "source": pa.array(
+                ["a", "a", "b", "b", "empty", "empty"], pa.string()
+            ),
+            "text": pa.array(
+                [
+                    "shared words one two three four five",
+                    "more shared words one two three four",
+                    "shared words one two three four five",
+                    "entirely different content in source b here",
+                    "",
+                    "   ",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+
+    got = source_overlap(str(tmp_path)).to_pandas()
+    assert set(got["source_a"]) | set(got["source_b"]) == {"a", "b"}
+    assert len(got) == 1
+
+    con = duckdb.connect()
+    con.sql(
+        "create view documents as select * from "
+        f"'{tmp_path}/documents.parquet'"
+    )
+    want = con.sql(e.oracle_sql()["source_overlap"]).df()
+    cols = sorted(got.columns)
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True)
+    assert g.equals(w)

@@ -94,6 +94,26 @@ def _bench_shingle_set(sf_dir: str):
 _BCAST_CACHE: dict = {}
 
 
+def _shingle_overlap(text: str, bench: np.ndarray) -> tuple[int, int]:
+    """(n_shingles, n_overlap) of one doc against the pre-SORTED bench
+    hash array — searchsorted membership is O(n_sh log B) per doc
+    (np.isin re-sorts bench per call).  The contamination rule itself is
+    ``_contaminated``; both are shared by decontaminate and the composed
+    curate_corpus so the rule arithmetic cannot drift."""
+    h = np.array([hash60(s) for s in shingles(text)], dtype=np.int64)
+    if h.size and bench.size:
+        idx = np.searchsorted(bench, h)
+        idx[idx == len(bench)] = len(bench) - 1
+        ov = int((bench[idx] == h).sum())
+    else:
+        ov = 0
+    return len(h), ov
+
+
+def _contaminated(n_sh: int, n_ov: int) -> bool:
+    return n_sh > 0 and 2 * n_ov >= n_sh
+
+
 def decontaminate(sf_dir: str):
     """Flag corpus docs sharing >= 50% of their distinct shingles with the
     benchmark set.  Output: (doc_id, n_shingles, n_overlap, contaminated).
@@ -110,21 +130,11 @@ def decontaminate(sf_dir: str):
             batch.column("doc_id").to_pylist(),
             batch.column("text").to_pylist(),
         ):
-            h = np.array(
-                [hash60(s) for s in shingles(text)], dtype=np.int64
-            )
-            if h.size and bench.size:
-                # bench is pre-sorted: searchsorted membership is
-                # O(n_sh log B) per doc (np.isin re-sorts bench per call)
-                idx = np.searchsorted(bench, h)
-                idx[idx == len(bench)] = len(bench) - 1
-                ov = int((bench[idx] == h).sum())
-            else:
-                ov = 0
+            n, ov = _shingle_overlap(text, bench)
             ids.append(doc_id)
-            n_sh.append(len(h))
+            n_sh.append(n)
             n_ov.append(ov)
-            flag.append(1 if 2 * ov >= len(h) and len(h) > 0 else 0)
+            flag.append(1 if _contaminated(n, ov) else 0)
         return pa.table(
             {
                 "doc_id": pa.array(ids, pa.int64()),
@@ -709,19 +719,13 @@ def curate_corpus(sf_dir: str, range_size: int = PACK_RANGE,
         hs, ntoks, masks = [], [], []
         for t in texts:
             n_ws, gm = gopher_mask(t, stop)
-            sh = np.array(
-                [hash60(s) for s in shingles(t)], dtype=np.int64
-            )
-            if sh.size and bench.size:
-                idx = np.searchsorted(bench, sh)
-                idx[idx == len(bench)] = len(bench) - 1
-                ov = int((bench[idx] == sh).sum())
-            else:
-                ov = 0
-            cont = sh.size > 0 and 2 * ov >= sh.size
+            n_sh, ov = _shingle_overlap(t, bench)
             hs.append(hash60(t))
             ntoks.append(n_ws)
-            masks.append((1 if gm != 0 else 0) | (4 if cont else 0))
+            masks.append(
+                (1 if gm != 0 else 0)
+                | (4 if _contaminated(n_sh, ov) else 0)
+            )
         h_arr = np.asarray(hs, dtype=np.int64)
         return pa.table(
             {
@@ -830,27 +834,15 @@ def curation_queries() -> dict:
 
 
 def curation_oracle_sql() -> dict[str, str]:
-    from ..functions.hashing import SHINGLE_W
-
     sqls: dict[str, str] = {}
 
     # decontaminate: same shingle definition as the dedup oracles (distinct
-    # word 3-grams; short docs -> one whole-text shingle), raw hash60.
-    sqls["decontaminate"] = f"""WITH toks AS (
-  SELECT doc_id, l, len(l) AS nt
-  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS l
-        FROM documents)
-),
-sh AS (
-  SELECT DISTINCT doc_id,
-         CASE WHEN nt < {SHINGLE_W} THEN array_to_string(l, ' ')
-              ELSE l[i] || ' ' || l[i + 1] || ' ' || l[i + 2] END AS s
-  FROM toks,
-       UNNEST(generate_series(1, greatest(nt - {SHINGLE_W - 1}, 1))) AS u(i)
-),
-shh AS (
-  SELECT DISTINCT doc_id, {_H60.format('s')} AS h FROM sh
-),
+    # word 3-grams; short docs -> one whole-text shingle), raw hash60 —
+    # the shared shingle_hash_ctes builder (dataops_oracles).
+    from .dataops_oracles import shingle_hash_ctes
+
+    sqls["decontaminate"] = f"""WITH {shingle_hash_ctes(
+        "documents", names=("toks", "sh", "shh"))},
 bench AS (
   SELECT DISTINCT h FROM shh WHERE doc_id % {DECON_EVERY} = 0
 )
@@ -1017,19 +1009,7 @@ dmin AS (
          min(doc_id) OVER (PARTITION BY {_H60.format('text')}) AS mn
   FROM aug
 ),
-tk2 AS (
-  SELECT doc_id, l AS l2, len(l) AS nt
-  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS l
-        FROM aug)
-),
-sh2 AS (
-  SELECT DISTINCT doc_id,
-         CASE WHEN nt < {SHINGLE_W} THEN array_to_string(l2, ' ')
-              ELSE l2[i] || ' ' || l2[i + 1] || ' ' || l2[i + 2] END AS s
-  FROM tk2,
-       UNNEST(generate_series(1, greatest(nt - {SHINGLE_W - 1}, 1))) AS u(i)
-),
-shh2 AS (SELECT DISTINCT doc_id, {_H60.format('s')} AS h FROM sh2),
+{shingle_hash_ctes("aug")},
 bench AS (
   SELECT DISTINCT h FROM shh2
   WHERE doc_id % {DECON_EVERY} = 0 AND doc_id < {NEAR_DUP_OFFSET}

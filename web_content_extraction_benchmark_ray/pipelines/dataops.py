@@ -70,6 +70,27 @@ def _aug_docs(sf_dir: str):
     return _docs(sf_dir).map_batches(_augment_docs, batch_format="pyarrow")
 
 
+def _aug_ids(sf_dir: str):
+    """The augmented view's doc_id universe WITHOUT any text work (the
+    copy ids are arithmetic on the base ids — the _incoming_id_rows_fn
+    discipline): for consumers that only need ids, reading the text
+    column and synthesizing near-dup strings is pure waste."""
+    def rows(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=np.int64)
+        out = np.concatenate(
+            [
+                ids,
+                ids[ids % EXACT_COPY_EVERY == 0] + EXACT_COPY_OFFSET,
+                ids[ids % NEAR_DUP_EVERY == 0] + NEAR_DUP_OFFSET,
+            ]
+        )
+        return pa.table({"doc_id": pa.array(out, pa.int64())})
+
+    return read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    ).map_batches(rows, batch_format="pyarrow")
+
+
 # dedup_incremental_minhash's incoming batch: the augmented additions
 # (expected near-dups of the standing corpus) plus a token-REVERSED
 # variant of every INC_NOVEL_EVERY-th doc (expected novel: reversal
@@ -742,7 +763,7 @@ def decontaminate_fuzzy_survivors(sf_dir: str):
     (self-pairs are excluded), so they survive unless independently
     near-dup of another benchmark doc."""
     flagged = decontaminate_fuzzy(sf_dir).select_columns(["doc_id"])
-    return dd.anti_join_doc_ids(_aug_docs(sf_dir), flagged)
+    return dd.anti_join_doc_ids(_aug_ids(sf_dir), flagged)
 
 
 _SIMHASH_MEMO: dict = {}

@@ -64,6 +64,33 @@ aug AS (
   WHERE doc_id % {NEAR_DUP_EVERY} = 0
 )"""
 
+def shingle_hash_ctes(table: str, key: str = "doc_id",
+                      names: tuple = ("tk", "sh2", "shh2"),
+                      nonempty: bool = False) -> str:
+    """Distinct word-SHINGLE_W-gram hash60 CTE chain over ``table``,
+    keyed by ``key`` — ONE definition of the shingle rule (short docs ->
+    one whole-text shingle) shared by the decontaminate, curate_corpus
+    and source_overlap oracles so it cannot drift from
+    functions/hashing.shingles.  ``nonempty`` filters empty/whitespace
+    docs (Python ``shingles('') == []``; SQL would otherwise yield the
+    '' shingle) for consumers whose key universe must exclude them."""
+    t, s, h = names
+    where = "WHERE trim(text) <> ''" if nonempty else ""
+    return f"""{t} AS (
+  SELECT {key}, l, len(l) AS nt
+  FROM (SELECT {key}, regexp_split_to_array(trim(text), '\\s+') AS l
+        FROM {table} {where})
+),
+{s} AS (
+  SELECT DISTINCT {key},
+         CASE WHEN nt < {SHINGLE_W} THEN array_to_string(l, ' ')
+              ELSE l[i] || ' ' || l[i + 1] || ' ' || l[i + 2] END AS s
+  FROM {t},
+       UNNEST(generate_series(1, greatest(nt - {SHINGLE_W - 1}, 1))) AS u(i)
+),
+{h} AS (SELECT DISTINCT {key}, {_H60.format('s')} AS h FROM {s})"""
+
+
 # Distinct word-SHINGLE_W-grams of the augmented view, with reduced hash.
 _SHINGLES = f"""
 toks AS (

@@ -971,7 +971,11 @@ def source_overlap(sf_dir: str, k: int = SRC_SKETCH_K):
     dedup family exactly, so the estimate is comparable across operators
     and the SQL twin is bit-identical: est = |bottomk(A∪B) ∩ botk(A) ∩
     botk(B)| / |bottomk(A∪B)|, all-integer until one rounded division.
-    Output: (source_a, source_b, k_union, n_inter, jaccard_est).
+    A source whose documents yield no shingles at all (every doc empty)
+    participates in neither engine — the pair universe is sources with
+    >= 1 shingle, and the SQL twin mirrors that by keying off the
+    shingle-hash CTE.  Output: (source_a, source_b, k_union, n_inter,
+    jaccard_est).
     """
     import os
 
@@ -1050,7 +1054,7 @@ def source_overlap(sf_dir: str, k: int = SRC_SKETCH_K):
             sb.append(srcs[j])
             ku.append(k_u)
             ni.append(inter)
-            je.append(round6(inter / k_u) if k_u else 0.0)
+            je.append(round6(inter / k_u))  # k_u >= 1: sketches non-empty
     return pa.table(
         {
             "source_a": pa.array(sa, pa.string()),
@@ -1082,13 +1086,18 @@ def gopher_sql_body(table: str = "documents") -> str:
     """The Gopher rule CTE chain (t/tok/ws/ch/g2/gc/ga -> m with the
     composite fail mask) over ``table`` — shared by the gopher_filter
     oracle and the composed curate_corpus oracle (curation.py), one
-    definition so the rule arithmetic cannot drift."""
+    definition so the rule arithmetic cannot drift.  Empty/whitespace
+    docs count 0 tokens exactly like Python tokenize_ws (the '' token
+    from regexp_split_to_array('') is filtered and the ws stats rejoin
+    via LEFT JOIN), so the mask agrees bit for bit even on augmented
+    views that can synthesize empty near-dup copies."""
     stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
     return f"""t AS (
   SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS l
   FROM {table}
 ),
-tok AS (SELECT doc_id, u.tok FROM t, UNNEST(l) AS u(tok)),
+tok AS (SELECT doc_id, u.tok FROM t, UNNEST(l) AS u(tok)
+        WHERE u.tok <> ''),
 ws AS (
   SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ws,
          CAST(sum(length(tok)) AS BIGINT) AS sum_len,
@@ -1113,25 +1122,30 @@ ga AS (
          CAST(count(*) AS BIGINT) AS nd, CAST(max(c) AS BIGINT) AS mx
   FROM gc GROUP BY doc_id
 ),
+ws0 AS (
+  SELECT ch.doc_id, coalesce(ws.n_ws, 0) AS n_ws,
+         coalesce(ws.sum_len, 0) AS sum_len,
+         coalesce(ws.n_stop, 0) AS n_stop, ch.n_chars, ch.n_punct
+  FROM ch LEFT JOIN ws ON ws.doc_id = ch.doc_id
+),
 m AS (
-  SELECT ws.doc_id, ws.n_ws,
-         (CASE WHEN ws.n_ws BETWEEN {GOPHER_MIN_WORDS}
+  SELECT ws0.doc_id, ws0.n_ws,
+         (CASE WHEN ws0.n_ws BETWEEN {GOPHER_MIN_WORDS}
                                AND {GOPHER_MAX_WORDS}
                THEN 0 ELSE 1 END)
-       + (CASE WHEN ws.n_ws > 0 AND NOT
-                    ({GOPHER_MIN_MWL} * ws.n_ws <= ws.sum_len
-                     AND ws.sum_len <= {GOPHER_MAX_MWL} * ws.n_ws)
+       + (CASE WHEN ws0.n_ws > 0 AND NOT
+                    ({GOPHER_MIN_MWL} * ws0.n_ws <= ws0.sum_len
+                     AND ws0.sum_len <= {GOPHER_MAX_MWL} * ws0.n_ws)
                THEN 2 ELSE 0 END)
-       + (CASE WHEN ch.n_chars > 0 AND 10 * ch.n_punct > ch.n_chars
+       + (CASE WHEN ws0.n_chars > 0 AND 10 * ws0.n_punct > ws0.n_chars
                THEN 4 ELSE 0 END)
-       + (CASE WHEN ws.n_stop < {GOPHER_MIN_STOP} THEN 8 ELSE 0 END)
+       + (CASE WHEN ws0.n_stop < {GOPHER_MIN_STOP} THEN 8 ELSE 0 END)
        + (CASE WHEN coalesce(ga.n, 0) > 0
                     AND 10 * (ga.n - ga.nd) > 3 * ga.n
                THEN 16 ELSE 0 END)
        + (CASE WHEN coalesce(ga.n, 0) > 0 AND 5 * ga.mx > ga.n
                THEN 32 ELSE 0 END) AS mask
-  FROM ws JOIN ch ON ws.doc_id = ch.doc_id
-          LEFT JOIN ga ON ws.doc_id = ga.doc_id
+  FROM ws0 LEFT JOIN ga ON ws0.doc_id = ga.doc_id
 )"""
 
 
@@ -1348,23 +1362,18 @@ SELECT source, CAST(n AS BIGINT) AS n,
             ELSE 0 END AS BIGINT) AS corr6
 FROM s"""
 
-    # source_overlap: the decontaminate oracle's shingle CTE carried per
-    # SOURCE; bottom-k via row_number, the union sketch re-bottom-k'd
-    # (the mergeability identity the engine's combiner relies on), one
-    # rounded division at the end.
-    sqls["source_overlap"] = f"""WITH toks AS (
-  SELECT source, l, len(l) AS nt
-  FROM (SELECT source, regexp_split_to_array(trim(text), '\\s+') AS l
-        FROM documents)
-),
-sh AS (
-  SELECT DISTINCT source,
-         CASE WHEN nt < {SHINGLE_W} THEN array_to_string(l, ' ')
-              ELSE l[i] || ' ' || l[i + 1] || ' ' || l[i + 2] END AS s
-  FROM toks,
-       UNNEST(generate_series(1, greatest(nt - {SHINGLE_W - 1}, 1))) AS u(i)
-),
-hh AS (SELECT DISTINCT source, {_H60.format('s')} AS h FROM sh),
+    # source_overlap: the shared shingle CTE builder keyed by SOURCE
+    # (empty/whitespace docs filtered — Python shingles('') == []);
+    # bottom-k via row_number, the union sketch re-bottom-k'd (the
+    # mergeability identity the engine's combiner relies on), one
+    # rounded division at the end.  The pair universe is sources WITH
+    # >= 1 shingle (hh), matching the engine's sketches dict exactly —
+    # an all-empty source participates in neither engine.
+    from .dataops_oracles import shingle_hash_ctes
+
+    sqls["source_overlap"] = f"""WITH {shingle_hash_ctes(
+        "documents", key="source", names=("toks", "sh", "hh"),
+        nonempty=True)},
 sk AS (
   SELECT source, h FROM (
     SELECT source, h,
@@ -1372,7 +1381,7 @@ sk AS (
     FROM hh)
   WHERE rn <= {SRC_SKETCH_K}
 ),
-srcs AS (SELECT DISTINCT source FROM documents),
+srcs AS (SELECT DISTINCT source FROM hh),
 p AS (SELECT a.source AS sa, b.source AS sb
       FROM srcs a JOIN srcs b ON a.source < b.source),
 u AS (
