@@ -1763,6 +1763,50 @@ def _ngram_logprob(sf_dir: str, grams_of, key_col: str, n_col: str,
 DSIR_TARGET_EVERY = 10
 
 
+_DSIR_VOCAB_MEMO: dict = {}
+
+
+def _dsir_vocab(sf_dir: str):
+    """Materialized (tok, c_raw, c_tgt) vocab table for the DSIR family,
+    memoized per documents file (the _aug_band_rows discipline): the
+    wordcount pass dominates the family's cost and importance_weights /
+    importance_resample both start from it — one process computes it
+    once per corpus."""
+    from collections import Counter
+
+    from ..stages.vecagg import bucketed_groupby
+
+    def wc(batch: pa.Table) -> pa.Table:
+        raw: Counter = Counter()
+        tgt: Counter = Counter()
+        for i, t in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("text").to_pylist(),
+        ):
+            toks = tokenize_ws(t)
+            raw.update(toks)
+            if int(i) % DSIR_TARGET_EVERY == 0:
+                tgt.update(toks)
+        keys = list(raw.keys())
+        return pa.table(
+            {
+                "tok": pa.array(keys, pa.string()),
+                "c_raw": pa.array([raw[k] for k in keys], pa.int64()),
+                "c_tgt": pa.array(
+                    [tgt.get(k, 0) for k in keys], pa.int64()
+                ),
+            }
+        )
+
+    return _corpus_memo(
+        sf_dir, _DSIR_VOCAB_MEMO,
+        lambda: bucketed_groupby(
+            _docs(sf_dir).map_batches(wc, batch_format="pyarrow"),
+            "tok", ["c_raw", "c_tgt"], ["sum", "sum"],
+        ),
+    )
+
+
 def importance_weights(sf_dir: str, broadcast_max_types: int | None = None):
     """DSIR-style importance weight per document (Xie et al. 2023, "Data
     Selection for Language Models via Importance Resampling"): rank raw
@@ -1794,32 +1838,7 @@ def importance_weights(sf_dir: str, broadcast_max_types: int | None = None):
     if broadcast_max_types is None:
         broadcast_max_types = UNIGRAM_BROADCAST_MAX_TYPES
 
-    def wc(batch: pa.Table) -> pa.Table:
-        raw: Counter = Counter()
-        tgt: Counter = Counter()
-        for i, t in zip(
-            batch.column("doc_id").to_pylist(),
-            batch.column("text").to_pylist(),
-        ):
-            toks = tokenize_ws(t)
-            raw.update(toks)
-            if int(i) % DSIR_TARGET_EVERY == 0:
-                tgt.update(toks)
-        keys = list(raw.keys())
-        return pa.table(
-            {
-                "tok": pa.array(keys, pa.string()),
-                "c_raw": pa.array([raw[k] for k in keys], pa.int64()),
-                "c_tgt": pa.array([tgt.get(k, 0) for k in keys], pa.int64()),
-            }
-        )
-
-    from ..stages.vecagg import bucketed_groupby
-
-    vocab = bucketed_groupby(
-        _docs(sf_dir).map_batches(wc, batch_format="pyarrow"),
-        "tok", ["c_raw", "c_tgt"], ["sum", "sum"],
-    ).materialize()
+    vocab = _dsir_vocab(sf_dir)
 
     def _w(c_tgt: int, c_raw: int) -> int:
         return (DSIR_TARGET_EVERY * int(c_tgt) + 1).bit_length() - (
