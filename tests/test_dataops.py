@@ -1795,3 +1795,30 @@ def test_importance_resample_is_exact_systematic(ray_session):
             and (2 * k + 1) * w_total < cum * 2 * n
         )
         assert n_in == row["n_copies"], doc_id
+
+
+def test_decontaminate_fuzzy_respects_posting_cap(
+    ray_session, monkeypatch, caplog
+):
+    """The benchmark posting dict honors LSH_POSTING_CAP: with the cap
+    forced to 0 every benchmark list drops (with the loud log), the op
+    still completes, and its output is empty — bounded-time behavior on
+    a degenerate bench side, mirroring the other LSH cap tests."""
+    import logging
+
+    from web_content_extraction_benchmark_ray.pipelines.dataops import (
+        decontaminate_fuzzy,
+    )
+    from web_content_extraction_benchmark_ray.stages import dedup as dd
+
+    sf = "/root/testdata/sf0.001"
+    full = decontaminate_fuzzy(sf).to_pandas()
+    assert len(full) > 0
+    monkeypatch.setattr(dd, "LSH_POSTING_CAP", 0)
+    with caplog.at_level(logging.WARNING):
+        capped = decontaminate_fuzzy(sf).to_pandas()
+    assert len(capped) == 0
+    assert any(
+        "decontaminate_fuzzy" in r.message and "dropped" in r.message
+        for r in caplog.records
+    )
