@@ -70,9 +70,22 @@ def _docs(sf_dir: str):
 
 
 # ---------------------------------------------------------- decontaminate
+_BENCH_SET_MEMO: dict = {}
+
+
 def _bench_shingle_set(sf_dir: str):
     """Distinct shingle hashes of the benchmark docs, built distributed
-    and collected once (the benchmark side is small by construction)."""
+    and collected once (the benchmark side is small by construction).
+    Memoized per documents file — decontaminate and the composed
+    curate_corpus share one build (the value is a plain sorted int64
+    array, no object-store refs, so it survives Ray session turnover)."""
+    import os
+
+    path = os.path.realpath(os.path.join(sf_dir, "documents.parquet"))
+    key = (path, os.path.getmtime(path))
+    got = _BENCH_SET_MEMO.get(key)
+    if got is not None:
+        return got
 
     def bench_hashes(batch: pa.Table) -> pa.Table:
         out: set[int] = set()
@@ -88,7 +101,10 @@ def _bench_shingle_set(sf_dir: str):
     hs: set[int] = set()
     for b in parts.iter_batches(batch_format="pyarrow"):
         hs.update(b.column("h").to_pylist())
-    return np.array(sorted(hs), dtype=np.int64)
+    out = np.array(sorted(hs), dtype=np.int64)
+    _BENCH_SET_MEMO.clear()
+    _BENCH_SET_MEMO[key] = out
+    return out
 
 
 _BCAST_CACHE: dict = {}
