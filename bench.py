@@ -415,7 +415,54 @@ def main() -> None:
         import ray
 
         ray.shutdown()
-    print(json.dumps(out))
+    print(_final_line(out))
+
+
+# The driver records only the last 2000 characters of stdout and parses a
+# JSON line out of that tail; the full 74-query detail line is ~3 KB, so
+# printing it last left round 4's official record with "parsed": null.
+# Keep stdout's FINAL line under the tail window: when the full record
+# fits, print it verbatim (one JSON line, as documented); when it does
+# not, persist the full record to BENCH/BENCH_last_full.json and print a
+# compact summary (totals + the slowest queries) as the final line.
+_TAIL_BUDGET = 1800
+
+
+def _final_line(out: dict) -> str:
+    full = json.dumps(out)
+    if len(full) <= _TAIL_BUDGET:
+        return full
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH",
+        "BENCH_last_full.json",
+    )
+    try:
+        os.makedirs(os.path.dirname(detail_path), exist_ok=True)
+        with open(detail_path, "w") as f:
+            f.write(full + "\n")
+    except OSError:
+        detail_path = None
+    compact = {
+        k: out[k]
+        for k in ("metric", "value", "unit", "sf", "num_cpus", "n_docs",
+                  "docs_per_sec_extract")
+        if k in out
+    }
+    queries = out.get("queries", {})
+    compact["n_queries"] = len(queries)
+    if detail_path:
+        compact["detail"] = os.path.relpath(
+            detail_path, os.path.dirname(os.path.abspath(__file__))
+        )
+    # slowest queries first, as many as fit in the tail budget
+    ranked = sorted(queries.items(), key=lambda kv: -kv[1])
+    compact["queries"] = {}
+    for name, sec in ranked:
+        compact["queries"][name] = sec
+        if len(json.dumps(compact)) > _TAIL_BUDGET - 100:
+            del compact["queries"][name]
+            break
+    return json.dumps(compact)
 
 
 if __name__ == "__main__":
