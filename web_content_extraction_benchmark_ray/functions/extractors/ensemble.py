@@ -14,13 +14,18 @@ Difference by design (Ray-Data-first): the reference joins member answers
 from JSONL side files via a per-process cache (ensemble.py:24-37, a join in
 our table model — SURVEY.md §2.3 N1); this engine computes member answers
 inline in the same per-document pass, so the ensemble stage needs no
-shuffle at all.
+shuffle at all.  Member answers are NOT recomputed from raw HTML per
+member: the document is parsed/segmented ONCE and every member consumes
+its shared-input form (SHARED_FORMS), mirroring the reference's
+consume-precomputed-answers shape; when the extraction stage runs members
+alongside the ensemble in the same job, their already-computed answers are
+reused outright (stages/extract.py).
 """
 from __future__ import annotations
 
 from ..text import tokenize_ws
-from . import register_extractor
-from .baselines import body_text
+from . import SHARED_FORMS, register_extractor
+from .baselines import body_text_from_root
 from .bte import bte
 from .density import density
 from .justext import justext
@@ -70,15 +75,56 @@ def majority_vote(
     return " ".join(t for t, v in zip(body, body_votes) if v >= vote_threshold)
 
 
-def _run_ensemble(html: str, members) -> str:
-    """Member binding + threshold rule: threshold = int(0.66 * total
-    weight), where a weight-w member counts as w duplicated entries
-    (reference ``_get_ensemble_model_list``, extractors.py:174-209)."""
-    page_text = body_text(html)
-    answers = [fn(html) for _, fn, _ in members]
+def member_answer(name, fn, html, root, blocks, cached=None):
+    """One member's answer through the shared-input fast path.
+
+    ``cached`` maps member name -> already-computed answer (an extraction
+    stage running the member model in the same job); a cached answer is
+    reused outright — the reference's consume-precomputed-answers shape
+    (ensemble.py:24-37).  Otherwise the member's SHARED_FORMS entry
+    consumes the per-document ``root``/``blocks`` parsed once for all
+    members; only members without a shared form (bte tokenizes raw HTML,
+    tagclean mutates its tree) re-read ``html``.
+    """
+    if cached is not None and name in cached:
+        return cached[name]
+    form = SHARED_FORMS.get(name) if root is not None else None
+    if form is not None:
+        kind, sfn = form
+        return sfn(blocks) if kind == "blocks" else sfn(root)
+    return fn(html)
+
+
+def ensemble_from_parsed(html, root, blocks, members, cached=None) -> str:
+    """Vote with one shared parse: threshold = int(0.66 * total weight),
+    where a weight-w member counts as w duplicated entries (reference
+    ``_get_ensemble_model_list``, extractors.py:174-209)."""
+    page_text = body_text_from_root(root)
+    answers = [
+        member_answer(name, fn, html, root, blocks, cached)
+        for name, fn, _ in members
+    ]
     weights = [w for _, _, w in members]
     threshold = int(sum(weights) * 0.66)
     return majority_vote(page_text, answers, weights, threshold)
+
+
+def _needs_blocks(members) -> bool:
+    return any(
+        SHARED_FORMS.get(name, ("", None))[0] == "blocks"
+        for name, _, _ in members
+    )
+
+
+def _run_ensemble(html: str, members) -> str:
+    """Standalone (direct-call) form: parse/segment once, then vote."""
+    from ..htmlparse import body_or_root, parse, segment_blocks
+
+    root = parse(html)
+    blocks = (
+        segment_blocks(body_or_root(root)) if _needs_blocks(members) else None
+    )
+    return ensemble_from_parsed(html, root, blocks, members)
 
 
 @register_extractor("ensemble")
@@ -103,3 +149,13 @@ def ensemble_best(html: str) -> str:
 @register_extractor("ensemble_weighted")
 def ensemble_weighted(html: str) -> str:
     return _run_ensemble(html, WEIGHTED_MEMBERS)
+
+
+# Member binding per ensemble model, consumed by the extraction stage
+# (stages/extract.py) so a job running members alongside the ensemble
+# computes each member ONCE per document.
+ENSEMBLE_MEMBERS = {
+    "ensemble": MEMBERS,
+    "ensemble_best": BEST_MEMBERS,
+    "ensemble_weighted": WEIGHTED_MEMBERS,
+}

@@ -77,6 +77,10 @@ def extract_batch(batch: pa.Table, models=DEFAULT_MODELS) -> pa.Table:
 class ExtractStage:
     def __init__(self, models=DEFAULT_MODELS):
         from ..functions.extractors import SHARED_FORMS
+        from ..functions.extractors.ensemble import (
+            ENSEMBLE_MEMBERS,
+            _needs_blocks,
+        )
 
         # entries are registry names or explicit (name, callable) pairs —
         # names resolve in the worker process, callables ship by value
@@ -84,6 +88,15 @@ class ExtractStage:
             (m, get_extractor(m)) if isinstance(m, str) else (m[0], m[1])
             for m in models
         ]
+        # ensemble models consume member answers computed in this same
+        # stage (reference ensemble.py:24-37 consumes precomputed member
+        # answers); members not co-running in the job are computed once
+        # per document through the shared parse below
+        self.ensembles = {
+            name: ENSEMBLE_MEMBERS[name]
+            for name, _ in self.models
+            if isinstance(name, str) and name in ENSEMBLE_MEMBERS
+        }
         # shared-input fast path: parse (and segment) each document ONCE
         # for all read-only consumers instead of once per model (~30% of
         # extraction time was redundant re-parsing)
@@ -92,10 +105,13 @@ class ExtractStage:
             for name, _ in self.models
             if isinstance(name, str) and name in SHARED_FORMS
         }
-        self.shared = shared if len(shared) >= 2 else {}
-        self.need_blocks = any(k == "blocks" for k, _ in self.shared.values())
+        self.shared = shared if len(shared) >= 2 or self.ensembles else {}
+        self.need_blocks = any(
+            k == "blocks" for k, _ in self.shared.values()
+        ) or any(_needs_blocks(m) for m in self.ensembles.values())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.extractors.ensemble import ensemble_from_parsed
         from ..functions.htmlparse import body_or_root, parse, segment_blocks
 
         doc_ids = batch.column("doc_id").to_pylist()
@@ -115,7 +131,12 @@ class ExtractStage:
                         blocks = segment_blocks(body_or_root(root))
                 except Exception:
                     root = blocks = None  # fall back to per-model fn(html)
-            for name, fn in self.models:
+            # pass 1: plain models (their answers feed co-running
+            # ensembles); pass 2: ensembles over the cached answers
+            results: list[tuple[str, str] | None] = [None] * len(self.models)
+            for i, (name, fn) in enumerate(self.models):
+                if name in self.ensembles:
+                    continue
                 try:
                     form = self.shared.get(name) if root is not None else None
                     if form is not None:
@@ -129,6 +150,31 @@ class ExtractStage:
                 except Exception as exc:  # never fail the job for one doc
                     plaintext = ""
                     err = f"{type(exc).__name__}: {exc}"[:500]
+                results[i] = (plaintext, err)
+            if self.ensembles:
+                cached = {
+                    name: res[0]
+                    for (name, _), res in zip(self.models, results)
+                    if isinstance(name, str) and res is not None and not res[1]
+                }
+                for i, (name, fn) in enumerate(self.models):
+                    members = self.ensembles.get(name)
+                    if members is None:
+                        continue
+                    try:
+                        if root is not None:
+                            plaintext = ensemble_from_parsed(
+                                html, root, blocks, members, cached
+                            ) or ""
+                        else:  # parse failed: per-model path (re-raises)
+                            plaintext = fn(html) or ""
+                        err = ""
+                    except Exception as exc:
+                        plaintext = ""
+                        err = f"{type(exc).__name__}: {exc}"[:500]
+                    results[i] = (plaintext, err)
+            for (name, _), res in zip(self.models, results):
+                plaintext, err = res
                 out_id.append(doc_id)
                 out_model.append(name)
                 out_text.append(plaintext)
