@@ -262,34 +262,56 @@ def rhp_candidate_pairs(group: pa.Table) -> pa.Table:
     co-group verify stage, where the vectors live).  A crowded band value
     (e.g. zero/near-constant embeddings all sharing the all-ones sign
     pattern) would emit O(m^2) rows into two more all-to-alls, so lists
-    over ``dedup.LSH_POSTING_CAP`` are dropped with a logged count."""
-    from .dedup import _cap_posting
+    over ``dedup.LSH_POSTING_CAP`` are dropped with a logged count.
 
-    posting: dict = {}
-    for b, bv, d in zip(
-        group.column("band_id").to_pylist(),
-        group.column("band_val").to_pylist(),
-        group.column("vec_id").to_pylist(),
-    ):
-        posting.setdefault((b, bv), set()).add(d)
-    posting = _cap_posting(posting, "rhp_candidate_pairs")
-    seen = set()
-    a_out, b_out = [], []
-    for members in posting.values():
-        if len(members) < 2:
-            continue
-        ms = sorted(members)
-        for i in range(len(ms)):
-            for j in range(i + 1, len(ms)):
-                p = (ms[i], ms[j])
-                if p not in seen:
-                    seen.add(p)
-                    a_out.append(ms[i])
-                    b_out.append(ms[j])
+    Fully vectorized (the fp_bucket_pairs triu-run discipline,
+    stages/dedup.py): one lexsort groups the posting lists, runs are
+    enumerated per DISTINCT list length with precomputed triu pair
+    offsets, and cross-list duplicate pairs collapse in one np.unique —
+    no per-pair Python."""
+    from . import dedup as _dedup
+
+    band = num_col(group.column("band_id"), np.int64)
+    val = num_col(group.column("band_val"), np.int64)
+    vid = num_col(group.column("vec_id"), np.int64)
+    empty = pa.table(
+        {
+            "doc_id_a": pa.array([], pa.int64()),
+            "doc_id_b": pa.array([], pa.int64()),
+        }
+    )
+    if len(vid) == 0:
+        return empty
+    key = band * np.int64(1 << RHP_BAND_BITS) + val  # unique per list
+    order = np.lexsort((vid, key))
+    key, vid = key[order], vid[order]
+    starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+    lens = np.diff(np.r_[starts, len(key)])
+    cap = _dedup.LSH_POSTING_CAP  # read at call time (env/test override)
+    over = lens > cap
+    if over.any():
+        _dedup._log.warning(
+            "rhp_candidate_pairs: dropped %d posting list(s) over cap %d "
+            "(%d rows)", int(over.sum()), cap, int(lens[over].sum()),
+        )
+    keep = (lens >= 2) & ~over
+    a_parts, b_parts = [], []
+    kstarts, klens = starts[keep], lens[keep]
+    for ln in np.unique(klens):
+        base = kstarts[klens == ln][:, None]
+        iu, ju = np.triu_indices(int(ln), k=1)
+        a_parts.append((base + iu[None, :]).ravel())
+        b_parts.append((base + ju[None, :]).ravel())
+    if not a_parts:
+        return empty
+    ab = np.stack(
+        [vid[np.concatenate(a_parts)], vid[np.concatenate(b_parts)]], axis=1
+    )
+    ab = np.unique(ab, axis=0)  # the old per-pair `seen` set
     return pa.table(
         {
-            "doc_id_a": pa.array(a_out, pa.int64()),
-            "doc_id_b": pa.array(b_out, pa.int64()),
+            "doc_id_a": pa.array(ab[:, 0], pa.int64()),
+            "doc_id_b": pa.array(ab[:, 1], pa.int64()),
         }
     )
 
