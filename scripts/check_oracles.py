@@ -31,7 +31,14 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 def main() -> None:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    # query names: space- and/or comma-separated ("--only" tolerated)
+    only = {
+        n
+        for arg in sys.argv[2:]
+        if arg != "--only"
+        for n in arg.split(",")
+        if n
+    }
 
     import ray
 
@@ -44,9 +51,18 @@ def main() -> None:
     import __ray_entry__ as e
 
     qs, sqls = e.queries(), e.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        print(f"UNKNOWN query name(s): {sorted(unknown)}")
+        sys.exit(2)
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"create view {t} as select * from '{sf}/{t}.parquet'")
+
+    # A posting-list cap drop is a bounded-recall trade the no-cap SQL
+    # oracles cannot mirror — during an oracle run it is a hard failure,
+    # not a warning (ADVICE r4: silent engine/oracle divergence).
+    from web_content_extraction_benchmark_ray.stages import dedup as _dedup
 
     failures = []
     for name in sorted(qs):
@@ -55,10 +71,17 @@ def main() -> None:
         if name not in sqls:
             print(f"{name:28s} NO-ORACLE (rows-only check)")
             continue
+        drops_before = _dedup.CAP_DROP_COUNT
         try:
             res = qs[name](sf)
             df = res.to_pandas() if hasattr(res, "to_pandas") else pd.DataFrame(res)
             odf = con.sql(sqls[name]).df()
+            if _dedup.CAP_DROP_COUNT != drops_before:
+                print(f"{name:28s} CAP-DROP (posting list over "
+                      f"LSH_POSTING_CAP dropped — engine diverges from "
+                      f"the no-cap oracle)")
+                failures.append(name)
+                continue
             a, b = normalize(df), normalize(odf)
             if list(a.columns) != list(b.columns):
                 print(f"{name:28s} COLS-MISMATCH ray={list(a.columns)} sql={list(b.columns)}")

@@ -1815,6 +1815,7 @@ def test_decontaminate_fuzzy_respects_posting_cap(
     full = decontaminate_fuzzy(sf).to_pandas()
     assert len(full) > 0
     monkeypatch.setattr(dd, "LSH_POSTING_CAP", 0)
+    drops_before = dd.CAP_DROP_COUNT
     with caplog.at_level(logging.WARNING):
         capped = decontaminate_fuzzy(sf).to_pandas()
     assert len(capped) == 0
@@ -1822,3 +1823,6 @@ def test_decontaminate_fuzzy_respects_posting_cap(
         "decontaminate_fuzzy" in r.message and "dropped" in r.message
         for r in caplog.records
     )
+    # driver-visible cap-drop telemetry: oracle harnesses hard-fail on
+    # this counter moving during a checked query (ADVICE r4)
+    assert dd.CAP_DROP_COUNT > drops_before

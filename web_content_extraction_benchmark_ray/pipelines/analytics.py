@@ -211,8 +211,9 @@ def _train_merges(sf_dir: str,
     discipline: (realpath, mtime) staleness key; the value is a tiny
     plain list with no object-store refs, so it survives Ray session
     turnover) — the merge-table and encode consumers share one run."""
-    path = os.path.realpath(os.path.join(sf_dir, "documents.parquet"))
-    key = (path, os.path.getmtime(path), rounds)
+    from . import file_key
+
+    key = (*file_key(os.path.join(sf_dir, "documents.parquet")), rounds)
     got = _BPE_MERGE_MEMO.get(key)
     if got is not None:
         return got

@@ -81,8 +81,9 @@ def _bench_shingle_set(sf_dir: str):
     array, no object-store refs, so it survives Ray session turnover)."""
     import os
 
-    path = os.path.realpath(os.path.join(sf_dir, "documents.parquet"))
-    key = (path, os.path.getmtime(path))
+    from . import file_key
+
+    key = file_key(os.path.join(sf_dir, "documents.parquet"))
     got = _BENCH_SET_MEMO.get(key)
     if got is not None:
         return got

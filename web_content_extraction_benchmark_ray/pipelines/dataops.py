@@ -566,22 +566,29 @@ def dedup_fingerprint_survivors(sf_dir: str):
 _MH_BAND_MEMO: dict = {}
 
 
-def _corpus_memo(sf_dir: str, memo: dict, build):
-    """Per-corpus materialized-dataset memo (the PQ-codebook-memo
-    discipline): the key carries the documents file's realpath + mtime
-    (stale corpus -> recompute, the _pq_train rule) AND the Ray job id —
-    the memoized value is a materialized Dataset whose object refs die
-    with the Ray session, so a shutdown/re-init must not serve dead
-    refs.  At most one (corpus x session) entry stays pinned."""
+def _session_key(sf_dir: str) -> tuple:
+    """(documents-file fingerprint, Ray job id): stale corpus OR a new
+    Ray session invalidates (object refs die with the session)."""
     import ray as _ray
 
-    path = os.path.realpath(os.path.join(sf_dir, "documents.parquet"))
+    from . import file_key
+
     job = (
         _ray.get_runtime_context().get_job_id()
         if _ray.is_initialized()
         else None
     )
-    key = (path, os.path.getmtime(path), job)
+    return (*file_key(os.path.join(sf_dir, "documents.parquet")), job)
+
+
+def _corpus_memo(sf_dir: str, memo: dict, build):
+    """Per-corpus materialized-dataset memo (the PQ-codebook-memo
+    discipline): the key carries the documents file's fingerprint
+    (stale corpus -> recompute, the _pq_train rule) AND the Ray job id —
+    the memoized value is a materialized Dataset whose object refs die
+    with the Ray session, so a shutdown/re-init must not serve dead
+    refs.  At most one (corpus x session) entry stays pinned."""
+    key = _session_key(sf_dir)
     ds = memo.get(key)
     if ds is None:
         memo.clear()
@@ -660,6 +667,50 @@ def dup_cluster_sizes(sf_dir: str):
     return hist.sort("size")
 
 
+_DECON_POST_MEMO: dict = {}
+
+
+def _decon_posting_ref(sf_dir: str):
+    """Capped benchmark band-posting dict as a broadcast ObjectRef,
+    memoized per (corpus, Ray session) exactly like ``_aug_band_rows`` —
+    decontaminate_fuzzy and its survivors view share one driver-side
+    posting collection + one ``ray.put`` instead of rebuilding per
+    invocation."""
+    from .curation import DECON_EVERY
+
+    # the cap is part of the key: a changed WCEB_LSH_POSTING_CAP (or a
+    # test monkeypatch) must not be served a posting built under the old cap
+    key = (*_session_key(sf_dir), dd.LSH_POSTING_CAP)
+    ref = _DECON_POST_MEMO.get(key)
+    if ref is not None:
+        return ref
+
+    def bench_rows(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=np.int64)
+        keep = (ids % DECON_EVERY == 0) & (ids < NEAR_DUP_OFFSET)
+        return batch.filter(pa.array(keep))
+
+    posting: dict = {}
+    for b in _aug_band_rows(sf_dir).map_batches(
+        bench_rows, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        sig_mat = list_matrix(b.column("sig"), np.int64)
+        for i, (band, k, bid) in enumerate(
+            zip(
+                b.column("band_id").to_pylist(),
+                b.column("band_key").to_pylist(),
+                b.column("doc_id").to_pylist(),
+            )
+        ):
+            posting.setdefault((band, k), []).append(
+                (int(bid), sig_mat[i])
+            )
+    posting = dd._cap_posting(posting, "decontaminate_fuzzy")
+    _DECON_POST_MEMO.clear()
+    ref = _DECON_POST_MEMO[key] = ray.put(posting)
+    return ref
+
+
 def decontaminate_fuzzy(sf_dir: str):
     """NEAR-DUP benchmark decontamination (the fuzzy complement of
     curation.decontaminate's exact shingle-overlap scan; GPT-3 appendix C
@@ -682,32 +733,8 @@ def decontaminate_fuzzy(sf_dir: str):
     discipline).  Output: (doc_id, bench_id, est_jaccard) per flagged
     pair; survivors are one anti-join away.
     """
-    from .curation import DECON_EVERY
-
     rows = _aug_band_rows(sf_dir)
-
-    def bench_rows(batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=np.int64)
-        keep = (ids % DECON_EVERY == 0) & (ids < NEAR_DUP_OFFSET)
-        return batch.filter(pa.array(keep))
-
-    posting: dict = {}
-    for b in rows.map_batches(
-        bench_rows, batch_format="pyarrow"
-    ).iter_batches(batch_format="pyarrow"):
-        sig_mat = list_matrix(b.column("sig"), np.int64)
-        for i, (band, key, bid) in enumerate(
-            zip(
-                b.column("band_id").to_pylist(),
-                b.column("band_key").to_pylist(),
-                b.column("doc_id").to_pylist(),
-            )
-        ):
-            posting.setdefault((band, key), []).append(
-                (int(bid), sig_mat[i])
-            )
-    posting = dd._cap_posting(posting, "decontaminate_fuzzy")
-    post_ref = ray.put(posting)
+    post_ref = _decon_posting_ref(sf_dir)
 
     def probe(batch: pa.Table, post_ref=post_ref) -> pa.Table:
         post = ss._get_broadcast(post_ref)
@@ -1009,9 +1036,11 @@ def _pq_train(ds, sf_dir: str) -> tuple[list, int]:
     and ann_recall share one training run instead of three."""
     import os as _os
 
+    from . import file_key
+
     path = _os.path.join(sf_dir, "embeddings.parquet")
     try:
-        key = (path, _os.path.getmtime(path))
+        key = file_key(path)
     except OSError:
         key = None
     if key is not None and key in _PQ_BOOK_CACHE:

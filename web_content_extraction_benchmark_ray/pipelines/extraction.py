@@ -46,9 +46,11 @@ def _route_fingerprint(spans_path: str):
         if _os.path.isdir(spans_path)
         else [spans_path]
     )
+    from . import file_key
+
     return (
         _os.path.abspath(spans_path),
-        tuple((f, _os.path.getsize(f), _os.path.getmtime(f)) for f in files),
+        tuple(file_key(f) for f in files),
     )
 
 

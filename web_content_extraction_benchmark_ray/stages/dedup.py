@@ -197,13 +197,25 @@ LSH_POSTING_CAP = int(os.environ.get("WCEB_LSH_POSTING_CAP", "8192"))
 
 _log = logging.getLogger(__name__)
 
+# Cap-drop telemetry: incremented whenever a posting list is dropped over
+# LSH_POSTING_CAP IN THIS PROCESS.  A capped drop is a bounded-recall
+# trade the no-cap DuckDB oracles cannot mirror, so oracle harnesses
+# (scripts/check_oracles.py) treat a driver-side drop during a checked
+# query as a hard failure instead of a silent engine/oracle divergence.
+# Worker-side drops (bucket-pair stages) bump only the worker's copy —
+# the driver-built broadcast postings (decontaminate_fuzzy) are the ones
+# whose divergence this guards.
+CAP_DROP_COUNT = 0
+
 
 def _cap_posting(posting: dict, what: str) -> dict:
     import sys
 
-    cap = sys.modules[__name__].LSH_POSTING_CAP
+    mod = sys.modules[__name__]
+    cap = mod.LSH_POSTING_CAP
     over = {k: len(v) for k, v in posting.items() if len(v) > cap}
     if over:
+        mod.CAP_DROP_COUNT += len(over)
         _log.warning(
             "%s: dropped %d posting list(s) over cap %d (%d rows): %s",
             what, len(over), cap, sum(over.values()),

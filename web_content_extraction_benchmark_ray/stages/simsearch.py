@@ -290,6 +290,7 @@ def rhp_candidate_pairs(group: pa.Table) -> pa.Table:
     cap = _dedup.LSH_POSTING_CAP  # read at call time (env/test override)
     over = lens > cap
     if over.any():
+        _dedup.CAP_DROP_COUNT += int(over.sum())
         _dedup._log.warning(
             "rhp_candidate_pairs: dropped %d posting list(s) over cap %d "
             "(%d rows)", int(over.sum()), cap, int(lens[over].sum()),
