@@ -65,8 +65,8 @@ def test_report_figures_and_styled_tables(ray_session, tmp_path):
 
     w1 = write_report(SF, str(tmp_path / "a"))
     w2 = write_report(SF, str(tmp_path / "b"))
-    for key in ("rouge_box.svg", "rouge_bar.svg", "score_matrix.tex",
-                "model_ranking.tex", "score_matrix.html",
+    for key in ("rouge_box.svg", "rouge_bar.svg", "rouge_hist.svg",
+                "score_matrix.tex", "model_ranking.tex", "score_matrix.html",
                 "model_ranking.html"):
         assert key in w1, key
         h1 = hashlib.md5(open(w1[key], "rb").read()).hexdigest()
@@ -81,6 +81,29 @@ def test_report_figures_and_styled_tables(ray_session, tmp_path):
     for s in stats:
         assert s["model"] in svg
     assert svg.count("<rect") == len(stats) + 1  # one box per model + bg
+
+    # histogram figure: panels ranked by median desc, every model named,
+    # the panel counts equal the hash-verified eval_score_histogram rows
+    # and sum to the micro n per model
+    from web_content_extraction_benchmark_ray.pipelines.report import (
+        histogram_panels,
+    )
+
+    tables = score_report(SF)
+    panels = histogram_panels(tables)
+    p_meds = [p["median"] for p in panels]
+    assert p_meds == sorted(p_meds, reverse=True)
+    hsvg = open(w1["rouge_hist.svg"]).read()
+    micro_n = tables["model_ranking"].set_index("model")["n"]
+    for p in panels:
+        assert p["model"] in hsvg
+        assert sum(p["counts"]) == int(micro_n[p["model"]])
+    # the median vline of a bte-like all-1.0 model sits in the last bin
+    hist = tables["score_hist"]
+    for p in panels:
+        if p["median"] == 1.0:
+            g = hist[hist["model"] == p["model"]]
+            assert set(g["bin"]) == {24}
 
     # LaTeX bolds exactly one max per numeric column (ties aside)
     tex = open(w1["model_ranking.tex"]).read()

@@ -277,3 +277,44 @@ def agg_quantiles(scores_ds, scorer: str = "rouge", qs=(0.25, 0.75)):
         batch_format="pyarrow",
     ))
     return filtered.groupby("model").map_groups(agg, batch_format="pandas")
+
+
+def score_histograms(scores_ds, scorer: str = "rouge", bins: int = 25):
+    """Per-model fixed-bin score histogram — the panel data of the
+    reference's ``_plot_score_histograms`` (eval.py:303-327, 25-bin hist
+    per model + median line).  Bins are ``bins`` equal slices of [0, 1]
+    with the right edge inclusive in the last bin (matplotlib's rule for
+    an exact 1.0).  Shape: map-side partial bincounts (<= models x bins
+    rows per block) -> native Sum groupby over the tiny (model, bin) key
+    space; the score rows themselves never shuffle."""
+    col = "f1" if scorer == "rouge" else "dist"
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["scorer"], scorer))
+        models = np.asarray(t["model"].to_pylist(), dtype=object)
+        v = np.asarray(t[col].to_pylist(), dtype=np.float64)
+        b = np.minimum(
+            np.floor(np.clip(v, 0.0, 1.0) * bins).astype(np.int64), bins - 1
+        )
+        m_out, b_out, n_out = [], [], []
+        for m in np.unique(models):
+            cnt = np.bincount(b[models == m], minlength=bins)
+            nz = np.flatnonzero(cnt)
+            m_out.extend([str(m)] * len(nz))
+            b_out.extend(nz.tolist())
+            n_out.extend(cnt[nz].tolist())
+        return pa.table(
+            {
+                "model": pa.array(m_out, pa.string()),
+                "bin": pa.array(b_out, pa.int64()),
+                "n": pa.array(n_out, pa.int64()),
+            }
+        )
+
+    parts = coalesce_small(
+        scores_ds.map_batches(partial, batch_format="pyarrow")
+    )
+    return parts.groupby(["model", "bin"]).sum("n").map_batches(
+        lambda t: t.rename_columns(["model", "bin", "n"]),
+        batch_format="pyarrow",
+    )

@@ -261,6 +261,17 @@ SELECT model, q, value FROM (
   SELECT model, 0.75 AS q, {_R6.format('quantile_cont(f1, 0.75)')} AS value
   FROM {rouge_f1} s GROUP BY model
 )"""
+    # 25 equal [0,1] slices, right edge inclusive in the LAST bin only
+    # (matplotlib's hist rule, which evalpipe.score_histograms mirrors);
+    # floor(f1*25) on identical IEEE doubles is deterministic, so the
+    # engine's numpy bincount and this SQL agree bit-for-bit.
+    sqls["eval_score_histogram"] = _BASE_CTE + f"""
+SELECT model, bin, count(*) AS n FROM (
+  SELECT model,
+         least(CAST(floor(least(greatest(f1, 0.0), 1.0) * 25) AS BIGINT),
+               24) AS bin
+  FROM {rouge_f1} s
+) GROUP BY model, bin"""
     return sqls
 
 

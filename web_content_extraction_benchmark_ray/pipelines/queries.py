@@ -342,6 +342,12 @@ def eval_quantiles(sf_dir: str):
     return agg_quantiles(_scores_ds(sf_dir))
 
 
+def eval_score_histogram(sf_dir: str):
+    from .evalpipe import score_histograms
+
+    return score_histograms(_scores_ds(sf_dir))
+
+
 def complexity(sf_dir: str):
     # cached form: quantiles and the banded aggregation reuse the same
     # per-doc table, so the DOM walk runs once per sf_dir
@@ -370,6 +376,7 @@ def eval_queries() -> dict:
         "eval_agg_micro": eval_agg_micro,
         "eval_agg_macro": eval_agg_macro,
         "eval_quantiles": eval_quantiles,
+        "eval_score_histogram": eval_score_histogram,
         "complexity": complexity,
         "complexity_quantiles": complexity_quantiles,
         "html_features": html_features,

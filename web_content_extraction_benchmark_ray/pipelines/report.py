@@ -41,6 +41,7 @@ def _agg_tables(sf_dir: str, scorer: str = "rouge",
         agg_scores_by_dataset,
         agg_scores_macro,
         agg_scores_micro,
+        score_histograms,
     )
     from .queries import _scores_ds
 
@@ -61,12 +62,14 @@ def _agg_tables(sf_dir: str, scorer: str = "rouge",
         scores, scorer, qs=(0.05, 0.25, 0.5, 0.75, 0.95)
     ).to_pandas()
     banded = eval_agg_by_complexity(sf_dir, scores=banded_scores).to_pandas()
+    hist = score_histograms(scores, scorer).to_pandas()
     return {
         "per_dataset": per_ds,
         "micro": micro,
         "macro": macro,
         "quantiles": quant,
         "banded": banded,
+        "hist": hist,
     }
 
 
@@ -99,11 +102,13 @@ def score_report(sf_dir: str, scorer: str = "rouge",
         t["banded"].sort_values(["model", "dataset"]).reset_index(drop=True)
     )
     quant = t["quantiles"].sort_values(["model", "q"]).reset_index(drop=True)
+    hist = t["hist"].sort_values(["model", "bin"]).reset_index(drop=True)
     return {
         "score_matrix": matrix,
         "model_ranking": ranking,
         "quantile_bars": quant,
         "banded_matrix": banded,
+        "score_hist": hist,
     }
 
 
@@ -132,6 +137,7 @@ def render_markdown(tables: dict[str, pd.DataFrame], sf_dir: str,
         "model_ranking": "Models ranked by micro median (performance plot order)",
         "quantile_bars": "Per-model quartiles (error bars)",
         "banded_matrix": "Mean score inside the global [q25, q75] complexity band",
+        "score_hist": "Per-model score histogram (25 equal bins over [0, 1])",
     }
     parts = [f"# Extraction score report\n\nscorer: `{scorer}` · corpus: `{sf_dir}`\n"]
     for name, df in tables.items():
@@ -159,6 +165,28 @@ def figure_stats(tables: dict[str, pd.DataFrame]) -> list[dict]:
             }
         )
     return sorted(recs, key=lambda r: (-r["median"], r["model"]))
+
+
+def histogram_panels(tables: dict[str, pd.DataFrame],
+                     bins: int = 25) -> list[dict]:
+    """Per-model {model, counts[bins], median} records for the histogram
+    grid, ranked by median desc (the reference's model order in
+    _plot_score_histograms, eval.py:304)."""
+    hist = tables["score_hist"]
+    medians = {s["model"]: s["median"] for s in figure_stats(tables)}
+    panels = []
+    for model, g in hist.groupby("model"):
+        counts = [0] * bins
+        for _, r in g.iterrows():
+            counts[int(r["bin"])] = int(r["n"])
+        panels.append(
+            {
+                "model": model,
+                "counts": counts,
+                "median": float(medians.get(model, 0.0)),
+            }
+        )
+    return sorted(panels, key=lambda p: (-p["median"], p["model"]))
 
 
 def _latex_escape(s: str) -> str:
@@ -266,7 +294,11 @@ def write_report(sf_dir: str, out_dir: str, scorer: str = "rouge",
         emit("report.md", render_markdown(tables, sf_dir, scorer))
         written["report_md"] = written.pop("report.md")
     if "svg" in formats:
-        from .svgplot import performance_bar_svg, performance_box_svg
+        from .svgplot import (
+            performance_bar_svg,
+            performance_box_svg,
+            score_histograms_svg,
+        )
 
         stats = figure_stats(tables)
         ylabel = "ROUGE-LSum F1" if scorer == "rouge" else "Levenshtein sim."
@@ -279,6 +311,14 @@ def write_report(sf_dir: str, out_dir: str, scorer: str = "rouge",
             f"{scorer}_bar.svg",
             performance_bar_svg(stats, f"Models ranked by median ({scorer})",
                                 ylabel),
+        )
+        # the reference's per-model score-distribution panel
+        # (eval.py:303-327 _plot_score_histograms)
+        emit(
+            f"{scorer}_hist.svg",
+            score_histograms_svg(
+                histogram_panels(tables), f"Score distribution ({scorer})"
+            ),
         )
     if "tex" in formats:
         emit(

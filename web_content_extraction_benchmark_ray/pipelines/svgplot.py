@@ -115,6 +115,81 @@ def performance_box_svg(stats: list[dict], title: str, ylabel: str) -> str:
     return "\n".join(parts)
 
 
+def score_histograms_svg(panels: list[dict], title: str,
+                         bins: int = 25) -> str:
+    """Small-multiples score-distribution grid — the analogue of the
+    reference's ``_plot_score_histograms`` (eval.py:303-327): 4 columns,
+    one 25-bin histogram per model with a median vline in the reference's
+    orange, model name as the y-label, x ticks at 0/0.5/1, shared y scale
+    (matplotlib ``sharey=True``), models ranked by median desc upstream.
+
+    ``panels``: [{model, counts: list[bins], median: float}, ...] in
+    display order.  Deterministic byte output for identical inputs."""
+    cols = 4
+    n = len(panels)
+    rows = (n + cols - 1) // cols
+    pw, ph = 190, 150  # panel cell size (~2in x 2in at 96dpi, minus pads)
+    ml, mb, mt, mr = 26, 26, 10, 8  # in-panel margins
+    width = cols * pw
+    height = rows * ph + 28  # + suptitle band
+    ymax = max(
+        (max(p["counts"]) for p in panels if p["counts"]), default=1
+    ) or 1
+    parts = [
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" '
+        f'height="{height}" viewBox="0 0 {width} {height}" '
+        f'font-family="sans-serif" font-size="11">',
+        f'<rect width="{width}" height="{height}" fill="white"/>',
+        f'<text x="{width / 2:.0f}" y="18" text-anchor="middle" '
+        f'font-size="14">{title}</text>',
+    ]
+    for idx, p in enumerate(panels):
+        x0 = (idx % cols) * pw + ml
+        y0 = (idx // cols) * ph + 28 + mt
+        iw, ih = pw - ml - mr, ph - mt - mb
+        # axes frame (reference hides top/right spines; sharey hides
+        # y tick labels — the model name is the y label)
+        parts.append(
+            f'<line x1="{x0}" y1="{y0 + ih}" x2="{x0 + iw}" '
+            f'y2="{y0 + ih}" stroke="black" stroke-width="1"/>'
+        )
+        parts.append(
+            f'<line x1="{x0}" y1="{y0}" x2="{x0}" y2="{y0 + ih}" '
+            f'stroke="black" stroke-width="1"/>'
+        )
+        yl = y0 + ih / 2
+        parts.append(
+            f'<text x="{x0 - 14}" y="{_f(yl)}" text-anchor="middle" '
+            f'transform="rotate(-90 {x0 - 14} {_f(yl)})">{p["model"]}</text>'
+        )
+        for tick, lab in ((0.0, "0"), (0.5, "0.5"), (1.0, "1")):
+            tx = x0 + tick * iw
+            parts.append(
+                f'<line x1="{_f(tx)}" y1="{y0 + ih}" x2="{_f(tx)}" '
+                f'y2="{y0 + ih + 3}" stroke="black" stroke-width="1"/>'
+            )
+            parts.append(
+                f'<text x="{_f(tx)}" y="{y0 + ih + 14}" '
+                f'text-anchor="middle">{lab}</text>'
+            )
+        bw = iw / bins
+        for b, cnt in enumerate(p["counts"]):
+            if cnt <= 0:
+                continue
+            bh = ih * (cnt / ymax)
+            parts.append(
+                f'<rect x="{_f(x0 + b * bw)}" y="{_f(y0 + ih - bh)}" '
+                f'width="{_f(bw)}" height="{_f(bh)}" fill="{BAR_COLOR}"/>'
+            )
+        mx = x0 + min(max(p["median"], 0.0), 1.0) * iw
+        parts.append(
+            f'<line x1="{_f(mx)}" y1="{_f(y0)}" x2="{_f(mx)}" '
+            f'y2="{_f(y0 + ih)}" stroke="{MEDIAN_COLOR}" stroke-width="1"/>'
+        )
+    parts.append("</svg>")
+    return "\n".join(parts)
+
+
 def performance_bar_svg(stats: list[dict], title: str, ylabel: str) -> str:
     """Median bars with q25/q75 error bars (same stats records)."""
     labels = [s["model"] for s in stats]
