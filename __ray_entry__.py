@@ -73,6 +73,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["complexity_classify"] = complexity_classify
     out["cluster_alignment"] = cluster_alignment
     out["feature_project"] = feature_project
+    from web_content_extraction_benchmark_ray.pipelines.scatter import (
+        scatter_queries,
+    )
+
+    out.update(scatter_queries())
     from web_content_extraction_benchmark_ray.pipelines.tsne import (
         tsne_project,
     )
@@ -313,6 +318,11 @@ def oracle_sql() -> dict[str, str]:
     out["complexity_classify"] = classify_oracle_sql()
     out["cluster_alignment"] = cluster_alignment_oracle_sql()
     out["feature_project"] = project_oracle_sql()
+    from web_content_extraction_benchmark_ray.pipelines.scatter import (
+        scatter_oracle_sql,
+    )
+
+    out.update(scatter_oracle_sql())
     from web_content_extraction_benchmark_ray.pipelines.training import (
         leaf_examples_sql,
         leaf_seq_examples_sql,

@@ -102,7 +102,17 @@ def cmd_complexity(args) -> dict:
     c.write_parquet(os.path.join(args.out, "complexity"))
     f = features_pipeline(args.sf_dir)
     f.write_parquet(os.path.join(args.out, "features"))
-    return {"complexity_rows": c.count(), "feature_rows": f.count()}
+    out = {"complexity_rows": c.count(), "feature_rows": f.count()}
+    if getattr(args, "report", False):
+        # the reference's visualize_clusters / visualize_classes /
+        # visualize_datasets figures (complexity.py:256-340)
+        from .pipelines.scatter import write_complexity_figures
+
+        written = write_complexity_figures(
+            args.sf_dir, os.path.join(args.out, "figures")
+        )
+        out["figure_files"] = sorted(written.values())
+    return out
 
 
 def cmd_convert(args) -> dict:
@@ -172,6 +182,8 @@ def main(argv=None) -> None:
     p = sub.add_parser("complexity")
     p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     p.add_argument("--out", required=True)
+    p.add_argument("--report", action="store_true",
+                   help="also render the cluster/class/dataset figures")
     p.set_defaults(fn=cmd_complexity)
 
     p = sub.add_parser("convert")

@@ -257,6 +257,34 @@ def complexity_classify(sf_dir: str):
 
 
 # -------------------------------------------------- M1 cluster alignment
+def cluster_centroids(fx) -> np.ndarray:
+    """k=2 deterministic seeds: the two lowest-doc_id feature vectors
+    (driver reads exactly 2 rows)."""
+    from .complexity import FEATURE_TAGS
+
+    n_feats = len(FEATURE_TAGS) + 1
+    head = fx.sort("doc_id").limit(2).to_pandas()
+    return np.array(
+        [r[:n_feats] for r in head["xq"]], dtype=np.float64
+    ) / SCALE
+
+
+def cos_assign(xq: np.ndarray, cents: np.ndarray,
+               n_feats: int) -> np.ndarray:
+    """Max-rounded-cosine centroid assignment (ties to the lowest
+    centroid index) — shared by cluster_alignment and the cluster
+    scatter figure (pipelines/scatter.py) so the two can never drift."""
+    x = xq[:, :n_feats].astype(np.float64) / SCALE
+
+    def norm(m):
+        d = np.linalg.norm(m, axis=1, keepdims=True)
+        d[d == 0] = 1.0
+        return m / d
+
+    cos = np.floor((norm(x) @ norm(cents).T) * SCALE + 0.5) / SCALE
+    return cos.argmax(axis=1).astype(np.int64)
+
+
 def cluster_alignment(sf_dir: str):
     """The reference's k-means label-alignment step (complexity.py:301-311):
     cluster pages into k=2 over the HTML features (deterministic seeds =
@@ -272,12 +300,7 @@ def cluster_alignment(sf_dir: str):
 
     fx = clf_examples(sf_dir)  # xq carries the quantized features + bias
     n_feats = len(FEATURE_TAGS) + 1
-
-    # centroids: the two lowest-doc_id feature vectors (driver reads 2 rows)
-    head = fx.sort("doc_id").limit(2).to_pandas()
-    cents = np.array(
-        [r[:n_feats] for r in head["xq"]], dtype=np.float64
-    ) / SCALE
+    cents = cluster_centroids(fx)
 
     def match_partial(batch: pa.Table) -> pa.Table:
         xq = list_matrix(batch.column("xq"), np.int64)
@@ -290,15 +313,7 @@ def cluster_alignment(sf_dir: str):
                     "match": pa.array([], pa.int64()),
                 }
             )
-        x = xq[:, :n_feats].astype(np.float64) / SCALE
-
-        def norm(m):
-            d = np.linalg.norm(m, axis=1, keepdims=True)
-            d[d == 0] = 1.0
-            return m / d
-
-        cos = np.floor((norm(x) @ norm(cents).T) * SCALE + 0.5) / SCALE
-        cl = cos.argmax(axis=1).astype(np.int64)
+        cl = cos_assign(xq, cents, n_feats)
         return pa.table(
             {
                 "k": pa.array([0], pa.int64()),
@@ -330,9 +345,12 @@ def cluster_alignment(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
-def cluster_alignment_oracle_sql() -> str:
-    from .dataops_oracles import _H60  # noqa: F401 (parity with classify)
-    from .oracles import _BASE_CTE, _R6, html_feature_exprs
+def cluster_ctes() -> list[str]:
+    """CTE chain of the k=2 cluster assignment + binarized-complexity
+    labels + match totals, reusable by the cluster scatter oracle
+    (pipelines/scatter.py).  Ends with ``asg`` (doc_id, cid), ``lab``
+    (doc_id, y) and ``mt`` (n, match, flipped)."""
+    from .oracles import _R6, html_feature_exprs
 
     # quantized features (xq/1e6), matching the Ray side exactly
     exprs = [
@@ -350,41 +368,52 @@ def cluster_alignment_oracle_sql() -> str:
     cos_r = (
         "floor(list_cosine_similarity(f.xs, c.xs) * 1000000 + 0.5) / 1000000"
     )
-    return _BASE_CTE + f""",
-f AS MATERIALIZED (SELECT doc_id, {xs}::DOUBLE[] AS xs FROM counts),
-cent AS MATERIALIZED (
+    return [
+        f"f AS MATERIALIZED (SELECT doc_id, {xs}::DOUBLE[] AS xs FROM counts)",
+        f"""cent AS MATERIALIZED (
   SELECT row_number() OVER (ORDER BY doc_id) - 1 AS cid, xs
   FROM (SELECT doc_id, xs FROM f ORDER BY doc_id LIMIT 2)
-),
-asg AS MATERIALIZED (
+)""",
+        f"""asg AS MATERIALIZED (
   SELECT doc_id, cid FROM (
     SELECT f.doc_id, c.cid,
            row_number() OVER (PARTITION BY f.doc_id
                               ORDER BY {cos_r} DESC, c.cid) AS rn
     FROM f, cent c
   ) WHERE rn = 1
-),
-cx AS (SELECT doc_id, {compl} AS complexity FROM counts),
-med AS (SELECT {_R6.format('quantile_cont(complexity, 0.5)')} AS v FROM cx),
-lab AS (SELECT cx.doc_id,
+)""",
+        f"cx AS (SELECT doc_id, {compl} AS complexity FROM counts)",
+        f"med AS (SELECT {_R6.format('quantile_cont(complexity, 0.5)')} AS v FROM cx)",
+        """lab AS (SELECT cx.doc_id,
         CASE WHEN cx.complexity >= med.v THEN 1 ELSE 0 END AS y
-        FROM cx, med),
-m AS (SELECT count(*) AS n,
-      CAST(sum(CASE WHEN a.cid = l.y THEN 1 ELSE 0 END) AS BIGINT) AS match
-      FROM asg a JOIN lab l ON l.doc_id = a.doc_id)
-SELECT n, match,
-       CAST(CASE WHEN (n - match) > match THEN 1 ELSE 0 END AS BIGINT) AS flipped,
+        FROM cx, med)""",
+        """mt AS (SELECT n, match,
+      CAST(CASE WHEN (n - match) > match THEN 1 ELSE 0 END AS BIGINT) AS flipped
+      FROM (SELECT count(*) AS n,
+            CAST(sum(CASE WHEN a.cid = l.y THEN 1 ELSE 0 END) AS BIGINT) AS match
+            FROM asg a JOIN lab l ON l.doc_id = a.doc_id))""",
+    ]
+
+
+def cluster_alignment_oracle_sql() -> str:
+    from .oracles import _BASE_CTE, _R6
+
+    return _BASE_CTE + ",\n" + ",\n".join(cluster_ctes()) + f"""
+SELECT n, match, flipped,
        {_R6.format('CAST(greatest(match, n - match) AS DOUBLE) / n')} AS agreement
-FROM m"""
+FROM mt"""
 
 
 # ------------------------------------------------------------------ oracle
-def classify_oracle_sql() -> str:
-    """Unrolled integer-GD twin: same quantization grid, same truncating
-    division (DuckDB ``//``), same fixed iteration count — weights are
-    bit-identical, so the confusion counts and metrics match exactly."""
+def clf_weight_ctes() -> list[str]:
+    """CTE chain of the unrolled integer-GD training, reusable by the
+    classes scatter oracle (pipelines/scatter.py).  Same quantization
+    grid, same truncating division (DuckDB ``//``), same fixed iteration
+    count as train_weights — weights are bit-identical.  Ends with
+    ``lab`` (doc_id, y, split), ``fx`` (doc_id, d, xq) and ``mf``
+    (doc_id, m): the per-doc decision margin under the final weights."""
     from .dataops_oracles import _H60
-    from .oracles import _BASE_CTE, _R6, html_feature_exprs
+    from .oracles import _R6, html_feature_exprs
 
     exprs = [e for _, e in html_feature_exprs()]
     xs = "[" + ", ".join(exprs + ["1.0"]) + "]"
@@ -425,12 +454,20 @@ def classify_oracle_sql() -> str:
             f"w{r + 1} AS MATERIALIZED (SELECT w.d, w.wq - (g.g // ({CLF_LRD} * ntr.n * {SCALE})) AS wq "
             f"FROM w{r} w JOIN g{r} g USING(d), ntr)",
         ]
+    parts.append(
+        f"mf AS MATERIALIZED (SELECT f.doc_id, SUM(f.xq * w.wq) AS m "
+        f"FROM fx f JOIN w{CLF_ITERS} w USING(d) GROUP BY f.doc_id)"
+    )
+    return parts
+
+
+def classify_oracle_sql() -> str:
+    from .oracles import _BASE_CTE, _R6
+
     mcc_den = (
         "CAST((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn) AS DOUBLE)"
     )
-    return _BASE_CTE + ",\n" + ",\n".join(parts) + f""",
-mf AS MATERIALIZED (SELECT f.doc_id, SUM(f.xq * w.wq) AS m
-       FROM fx f JOIN w{CLF_ITERS} w USING(d) GROUP BY f.doc_id),
+    return _BASE_CTE + ",\n" + ",\n".join(clf_weight_ctes()) + f""",
 cm AS MATERIALIZED (SELECT l.split,
        CAST(SUM(CASE WHEN m.m >= {THRESH} AND l.y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
        CAST(SUM(CASE WHEN m.m >= {THRESH} AND l.y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,

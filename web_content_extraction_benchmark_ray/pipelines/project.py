@@ -153,29 +153,32 @@ def feature_project(sf_dir: str):
 
 
 # ------------------------------------------------------------------ oracle
-def project_oracle_sql() -> str:
-    """Unrolled integer power-iteration twin.  All accumulations go
-    through HUGEINT; division is DuckDB's truncating ``//`` (mirrored by
-    ``_tdiv_int``)."""
-    from .oracles import _BASE_CTE, html_feature_exprs
+def project_ctes() -> list[str]:
+    """CTE chain of the integer power-iteration twin, reusable by the
+    scatter-figure oracles (pipelines/scatter.py).  Every CTE name is
+    ``p``-prefixed so the chain composes with the classify/cluster CTE
+    chains (classify.py) without collisions.  Ends with ``pproj`` =
+    per-doc (doc_id, p1, p2).  All accumulations go through HUGEINT;
+    division is DuckDB's truncating ``//`` (mirrored by ``_tdiv_int``)."""
+    from .oracles import html_feature_exprs
 
     exprs = [e for _, e in html_feature_exprs()]
     xs = "[" + ", ".join(exprs) + "]"
 
     parts = [
-        f"f AS MATERIALIZED (SELECT doc_id, {xs} AS xs FROM counts)",
-        f"fx AS MATERIALIZED (SELECT doc_id, u.d AS d, "
+        f"pf AS MATERIALIZED (SELECT doc_id, {xs} AS xs FROM counts)",
+        f"pfx AS MATERIALIZED (SELECT doc_id, u.d AS d, "
         f"CAST(floor(xs[u.d] * {SCALE} + 0.5) AS HUGEINT) AS xq "
-        f"FROM f, UNNEST(generate_series(1, {N_FEATS})) AS u(d))",
-        "nn AS MATERIALIZED (SELECT CAST(count(DISTINCT doc_id) AS HUGEINT)"
-        " AS n FROM fx)",
-        "s1 AS MATERIALIZED (SELECT d, SUM(xq) AS s FROM fx GROUP BY d)",
-        "sxy AS MATERIALIZED (SELECT a.d AS i, b.d AS j, SUM(a.xq * b.xq)"
-        " AS v FROM fx a JOIN fx b USING (doc_id) GROUP BY a.d, b.d)",
-        "m AS MATERIALIZED (SELECT sxy.i, sxy.j,"
-        " nn.n * sxy.v - sa.s * sb.s AS val"
-        " FROM sxy, nn JOIN s1 sa ON sa.d = sxy.i"
-        " JOIN s1 sb ON sb.d = sxy.j)",
+        f"FROM pf, UNNEST(generate_series(1, {N_FEATS})) AS u(d))",
+        "pnn AS MATERIALIZED (SELECT CAST(count(DISTINCT doc_id) AS HUGEINT)"
+        " AS n FROM pfx)",
+        "ps1 AS MATERIALIZED (SELECT d, SUM(xq) AS s FROM pfx GROUP BY d)",
+        "psxy AS MATERIALIZED (SELECT a.d AS i, b.d AS j, SUM(a.xq * b.xq)"
+        " AS v FROM pfx a JOIN pfx b USING (doc_id) GROUP BY a.d, b.d)",
+        "pm AS MATERIALIZED (SELECT psxy.i, psxy.j,"
+        " pnn.n * psxy.v - sa.s * sb.s AS val"
+        " FROM psxy, pnn JOIN ps1 sa ON sa.d = psxy.i"
+        " JOIN ps1 sb ON sb.d = psxy.j)",
         f"v1_0(d, val) AS (SELECT u.d, CAST(CASE WHEN u.d = 1 THEN {SCALE}"
         f" ELSE 0 END AS HUGEINT)"
         f" FROM UNNEST(generate_series(1, {N_FEATS})) AS u(d))",
@@ -183,23 +186,23 @@ def project_oracle_sql() -> str:
     # v1: plain power iteration with max-abs renormalization
     for r in range(PROJ_ITERS):
         parts += [
-            f"w1_{r} AS MATERIALIZED (SELECT m.i AS d, SUM(m.val * v.val)"
-            f" AS val FROM m JOIN v1_{r} v ON v.d = m.j GROUP BY m.i)",
+            f"w1_{r} AS MATERIALIZED (SELECT pm.i AS d, SUM(pm.val * v.val)"
+            f" AS val FROM pm JOIN v1_{r} v ON v.d = pm.j GROUP BY pm.i)",
             f"x1_{r} AS (SELECT greatest(max(abs(val)), 1) AS mx"
             f" FROM w1_{r})",
             f"v1_{r + 1} AS MATERIALIZED (SELECT d,"
             f" (val * {SCALE}) // x1_{r}.mx AS val FROM w1_{r}, x1_{r})",
         ]
     parts += [
-        f"vv AS (SELECT SUM(val * val) AS v FROM v1_{PROJ_ITERS})",
+        f"pvv AS (SELECT SUM(val * val) AS v FROM v1_{PROJ_ITERS})",
         f"v2_0(d, val) AS (SELECT u.d, CAST({SCALE} // u.d AS HUGEINT)"
         f" FROM UNNEST(generate_series(1, {N_FEATS})) AS u(d))",
     ]
     # v2: rescale -> exact integer Gram-Schmidt against v1 -> rescale
     for r in range(PROJ_ITERS):
         parts += [
-            f"w2_{r} AS MATERIALIZED (SELECT m.i AS d, SUM(m.val * v.val)"
-            f" AS val FROM m JOIN v2_{r} v ON v.d = m.j GROUP BY m.i)",
+            f"w2_{r} AS MATERIALIZED (SELECT pm.i AS d, SUM(pm.val * v.val)"
+            f" AS val FROM pm JOIN v2_{r} v ON v.d = pm.j GROUP BY pm.i)",
             f"x2_{r} AS (SELECT greatest(max(abs(val)), 1) AS mx"
             f" FROM w2_{r})",
             f"r2_{r} AS MATERIALIZED (SELECT d,"
@@ -207,19 +210,30 @@ def project_oracle_sql() -> str:
             f"d2_{r} AS (SELECT SUM(r.val * v1.val) AS wv"
             f" FROM r2_{r} r JOIN v1_{PROJ_ITERS} v1 USING (d))",
             f"o2_{r} AS MATERIALIZED (SELECT r.d,"
-            f" r.val * vv.v - d2_{r}.wv * v1.val AS val"
+            f" r.val * pvv.v - d2_{r}.wv * v1.val AS val"
             f" FROM r2_{r} r JOIN v1_{PROJ_ITERS} v1 USING (d),"
-            f" vv, d2_{r})",
+            f" pvv, d2_{r})",
             f"y2_{r} AS (SELECT greatest(max(abs(val)), 1) AS mx"
             f" FROM o2_{r})",
             f"v2_{r + 1} AS MATERIALIZED (SELECT d,"
             f" (val * {SCALE}) // y2_{r}.mx AS val FROM o2_{r}, y2_{r})",
         ]
-    return _BASE_CTE + ",\n" + ",\n".join(parts) + f"""
-SELECT fx.doc_id,
-       CAST(SUM(fx.xq * a.val) AS BIGINT) AS p1,
-       CAST(SUM(fx.xq * b.val) AS BIGINT) AS p2
-FROM fx
-JOIN v1_{PROJ_ITERS} a ON a.d = fx.d
-JOIN v2_{PROJ_ITERS} b ON b.d = fx.d
-GROUP BY fx.doc_id"""
+    parts.append(
+        f"pproj AS MATERIALIZED (SELECT pfx.doc_id, "
+        f"CAST(SUM(pfx.xq * a.val) AS BIGINT) AS p1, "
+        f"CAST(SUM(pfx.xq * b.val) AS BIGINT) AS p2 "
+        f"FROM pfx "
+        f"JOIN v1_{PROJ_ITERS} a ON a.d = pfx.d "
+        f"JOIN v2_{PROJ_ITERS} b ON b.d = pfx.d "
+        f"GROUP BY pfx.doc_id)"
+    )
+    return parts
+
+
+def project_oracle_sql() -> str:
+    from .oracles import _BASE_CTE
+
+    return (
+        _BASE_CTE + ",\n" + ",\n".join(project_ctes())
+        + "\nSELECT doc_id, p1, p2 FROM pproj"
+    )

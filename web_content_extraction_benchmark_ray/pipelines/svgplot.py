@@ -115,6 +115,76 @@ def performance_box_svg(stats: list[dict], title: str, ylabel: str) -> str:
     return "\n".join(parts)
 
 
+SCATTER_COLORS = (BAR_COLOR, MEDIAN_COLOR)  # class 0 / class 1
+
+
+def scatter_pair_svg(panels: list[dict], w: int = 480, h: int = 240) -> str:
+    """Two-panel 2-D scatter — the analogue of the reference's 1x2
+    ``_plot_scatter_axis`` figures (complexity.py:236-253, 269-273,
+    295-299): points colored by a binary label, legend lower-right,
+    panel title on top, left/bottom spines only, no tick labels.
+
+    ``panels``: [{title, labels: [name0, name1], points: [(x, y, lab)]}]
+    (normally 2 entries).  Deterministic byte output."""
+    n = len(panels)
+    pw = w // max(n, 1)
+    ml, mr, mt, mb = 14, 10, 24, 14
+    parts = [
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{w}" height="{h}" '
+        f'viewBox="0 0 {w} {h}" font-family="sans-serif" font-size="10">',
+        f'<rect width="{w}" height="{h}" fill="white"/>',
+    ]
+    for idx, p in enumerate(panels):
+        x0, y0 = idx * pw + ml, mt
+        iw, ih = pw - ml - mr, h - mt - mb
+        pts = p["points"]
+        xs = [q[0] for q in pts] or [0.0]
+        ys = [q[1] for q in pts] or [0.0]
+        xlo, xhi = min(xs), max(xs)
+        ylo, yhi = min(ys), max(ys)
+        xspan = (xhi - xlo) or 1.0
+        yspan = (yhi - ylo) or 1.0
+
+        def sx(v, x0=x0, iw=iw, xlo=xlo, xspan=xspan):
+            return x0 + 4 + (v - xlo) / xspan * (iw - 8)
+
+        def sy(v, y0=y0, ih=ih, ylo=ylo, yspan=yspan):
+            return y0 + ih - 4 - (v - ylo) / yspan * (ih - 8)
+
+        parts.append(
+            f'<text x="{x0 + iw / 2:.0f}" y="{mt - 8}" '
+            f'text-anchor="middle" font-size="11">{p["title"]}</text>'
+        )
+        # left + bottom spines (reference hides top/right)
+        parts.append(
+            f'<line x1="{x0}" y1="{y0}" x2="{x0}" y2="{y0 + ih}" '
+            f'stroke="black" stroke-width="1"/>'
+        )
+        parts.append(
+            f'<line x1="{x0}" y1="{y0 + ih}" x2="{x0 + iw}" '
+            f'y2="{y0 + ih}" stroke="black" stroke-width="1"/>'
+        )
+        for x, y, lab in pts:
+            c = SCATTER_COLORS[int(lab) % len(SCATTER_COLORS)]
+            parts.append(
+                f'<circle cx="{_f(sx(x))}" cy="{_f(sy(y))}" r="2" '
+                f'fill="{c}" fill-opacity="0.75"/>'
+            )
+        # legend, lower right
+        for li, name in enumerate(p["labels"]):
+            ly = y0 + ih - 10 - (len(p["labels"]) - 1 - li) * 13
+            lx = x0 + iw - 64
+            parts.append(
+                f'<circle cx="{lx}" cy="{ly - 3}" r="3" '
+                f'fill="{SCATTER_COLORS[li % len(SCATTER_COLORS)]}"/>'
+            )
+            parts.append(
+                f'<text x="{lx + 7}" y="{ly}">{name}</text>'
+            )
+    parts.append("</svg>")
+    return "\n".join(parts)
+
+
 def score_histograms_svg(panels: list[dict], title: str,
                          bins: int = 25) -> str:
     """Small-multiples score-distribution grid — the analogue of the
