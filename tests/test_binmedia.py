@@ -361,3 +361,79 @@ def test_bloom_normalizes_odd_bit_counts(ray_session):
     for m in (1, 63, 100, 130):
         bloom = bloom_from_hashes(ds, "h", m)
         assert bloom_contains(bloom, hs, m).all(), m
+
+
+def test_png_roundtrip_all_filters():
+    """encode_png filters row r with type r % 5, so one payload covers
+    every unfilter path; the decoded raw stream must equal the lattice."""
+    import numpy as np
+
+    from web_content_extraction_benchmark_ray.functions.binmedia import (
+        PNG_H,
+        PNG_PIX_STEP,
+        PNG_W,
+        decode_png,
+        encode_png,
+        png_pixels,
+    )
+
+    for seed in (0, 7, 200):
+        payload = encode_png(seed)
+        w, h, ch, grid = png_pixels(payload)
+        assert (w, h, ch) == (PNG_W, PNG_H, 3)
+        n = w * h * ch
+        raw = ((seed + PNG_PIX_STEP * np.arange(n, dtype=np.int64)) % 256
+               ).astype(np.uint8)
+        assert (grid.reshape(-1) == raw).all()
+        d = decode_png(payload)
+        assert d["byte_sum"] == int(raw.astype(np.int64).sum())
+        assert d["wsum"] == int(
+            ((np.arange(n, dtype=np.int64) + 1) * raw).sum()
+        )
+
+
+def test_png_color_types_and_rejections():
+    from web_content_extraction_benchmark_ray.functions.binmedia import (
+        decode_png,
+        encode_png,
+    )
+
+    # grayscale and RGBA variants decode with the right channel count
+    for ct, ch in ((0, 1), (6, 4)):
+        d = decode_png(encode_png(42, width=20, height=10, color_type=ct))
+        assert (d["width"], d["height"], d["channels"]) == (20, 10, ch)
+    # CRC corruption, truncation, and non-PNG bytes all raise ValueError
+    import pytest
+
+    good = bytearray(encode_png(9))
+    good[40] ^= 0xFF
+    with pytest.raises(ValueError):
+        decode_png(bytes(good))
+    with pytest.raises(ValueError):
+        decode_png(encode_png(9)[:30])
+    with pytest.raises(ValueError):
+        decode_png(b"definitely not a png")
+
+
+def test_png_decode_stage_isolates_errors(ray_session):
+    import pyarrow as pa
+
+    from web_content_extraction_benchmark_ray.functions.binmedia import (
+        encode_png,
+    )
+    from web_content_extraction_benchmark_ray.stages.media import (
+        PngDecodeStage,
+    )
+
+    batch = pa.table(
+        {
+            "media_id": pa.array([1, 2], pa.int64()),
+            "payload": pa.array(
+                [b"garbage bytes", encode_png(seed=5)], pa.binary()
+            ),
+        }
+    )
+    out = PngDecodeStage()(batch)
+    rows = {r["media_id"]: r for r in out.to_pylist()}
+    assert rows[1]["error"] and rows[1]["width"] == 0
+    assert not rows[2]["error"] and rows[2]["width"] > 0

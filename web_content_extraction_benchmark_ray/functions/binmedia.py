@@ -1,10 +1,12 @@
 """Pure-Python binary media codecs — REAL decoders for the multimodal
 path, no third-party libraries.
 
-The sandbox ships no image/audio libs, but two standard formats are
-parseable with nothing beyond ``struct``/numpy: uncompressed 24-bit BMP
-(BITMAPFILEHEADER + BITMAPINFOHEADER, bottom-up rows padded to 4 bytes)
-and 16-bit PCM WAV (RIFF chunk walk).  ``decode_bmp``/``decode_wav`` are
+The sandbox ships no image/audio libs, but three standard formats are
+parseable with nothing beyond stdlib ``struct``/``zlib``/numpy:
+uncompressed 24-bit BMP (BITMAPFILEHEADER + BITMAPINFOHEADER, bottom-up
+rows padded to 4 bytes), 16-bit PCM WAV (RIFF chunk walk), and baseline
+8-bit PNG (chunk walk with CRC validation, zlib inflate, all five
+scanline unfilters).  ``decode_bmp``/``decode_wav``/``decode_png`` are
 genuine parsers: they validate magics, read geometry from the headers,
 and aggregate the payload samples — exercised in the pipeline on real
 encoded bytes, so the multimodal capability is proven end to end rather
@@ -100,28 +102,6 @@ def decode_bmp(payload: bytes) -> dict:
     }
 
 
-def _wrap_bmp(pixels: np.ndarray, top_down: bool = False) -> bytes:
-    """Pack an (h, w, 3) uint8 pixel-byte grid (file-row order) into a
-    24-bit BMP with the same header layout encode_bmp emits.
-    ``top_down=True`` writes a negative height so the file declares the
-    same row orientation the grid was read in."""
-    h, w = pixels.shape[0], pixels.shape[1]
-    row_bytes = w * 3
-    pad = (4 - row_bytes % 4) % 4
-    body = b"".join(
-        bytes(r.reshape(-1)) + b"\x00" * pad for r in pixels
-    )
-    data_off = 14 + 40
-    header = struct.pack(
-        "<2sIHHI", b"BM", data_off + len(body), 0, 0, data_off
-    )
-    dib = struct.pack(
-        "<IiiHHIIiiII", 40, w, -h if top_down else h, 1, 24, 0,
-        len(body), 2835, 2835, 0, 0,
-    )
-    return header + dib + body
-
-
 def resize_bmp_nn(payload: bytes, fx: int = 2, fy: int = 2) -> bytes:
     """REAL nearest-neighbor downscale: decode the 24-bit pixel grid,
     keep every ``fy``-th file row and ``fx``-th pixel column (indices 0,
@@ -184,6 +164,175 @@ def decode_wav(payload: bytes) -> dict:
         "sample_rate": int(rate),
         "n_samples": int(len(samples) // channels),
         "abs_sum": int(np.abs(samples.astype(np.int64)).sum()),
+    }
+
+
+# ------------------------------------------------------------------- PNG
+# Real PNG (not a fake): zlib IS in the standard library, so a full
+# baseline decoder — signature, chunk walk with CRC validation, IHDR
+# geometry, IDAT inflate, and all FIVE scanline unfilters (None / Sub /
+# Up / Average / Paeth) — needs nothing beyond stdlib + numpy.  The
+# encoder cycles the filter type per row (row % 5), so a single payload
+# exercises every unfilter path; raw (post-unfilter) byte k follows the
+# (seed + 29·k) % 256 lattice, which keeps the decoded aggregates
+# closed-form for the DuckDB oracle.  The weighted sum Σ(k+1)·byte[k]
+# is position-sensitive: a misplaced byte (wrong unfilter, wrong row
+# order) shifts it even when the plain sum cancels.
+PNG_W = 48
+PNG_H = 15  # multiple of 5 -> each filter type filters 3 rows
+PNG_PIX_STEP = 29
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> channels
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data)) + ctype + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa_, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa_ <= pb and pa_ <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(seed: int, width: int = PNG_W, height: int = PNG_H,
+               color_type: int = 2) -> bytes:
+    """Real 8-bit PNG; raw byte k = (seed + 29*k) % 256, row r filtered
+    with type r % 5 (so None/Sub/Up/Average/Paeth all appear)."""
+    import zlib
+
+    ch = _PNG_CHANNELS[color_type]
+    rb = width * ch  # bytes per scanline
+    raw = ((seed + PNG_PIX_STEP * np.arange(height * rb, dtype=np.int64))
+           % 256).astype(np.uint8).reshape(height, rb)
+    lines = []
+    prev = np.zeros(rb, dtype=np.int64)
+    for r in range(height):
+        cur = raw[r].astype(np.int64)
+        ft = r % 5
+        if ft == 0:
+            filt = cur
+        elif ft == 1:  # Sub
+            left = np.concatenate([np.zeros(ch, np.int64), cur[:-ch]])
+            filt = cur - left
+        elif ft == 2:  # Up
+            filt = cur - prev
+        elif ft == 3:  # Average
+            left = np.concatenate([np.zeros(ch, np.int64), cur[:-ch]])
+            filt = cur - (left + prev) // 2
+        else:  # Paeth
+            filt = np.empty(rb, dtype=np.int64)
+            for x in range(rb):
+                a = int(cur[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                filt[x] = cur[x] - _paeth(a, b, c)
+        lines.append(bytes([ft]) + bytes((filt % 256).astype(np.uint8)))
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    idat = zlib.compress(b"".join(lines), 6)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def png_pixels(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Full baseline decode -> (width, height, channels, raw byte grid
+    (h, w*ch) uint8).  Validates the signature, every chunk CRC, and the
+    IHDR invariants (8-bit, non-interlaced, known color type); inflates
+    the IDAT stream and undoes all five scanline filters."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, n = 8, len(payload)
+    ihdr, idat = None, []
+    while pos + 12 <= n:
+        (clen,) = struct.unpack_from(">I", payload, pos)
+        if pos + 12 + clen > n:
+            raise ValueError("truncated chunk")
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + clen]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + clen)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    width, height, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError("unsupported PNG variant")
+    if color_type not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported color type {color_type}")
+    ch = _PNG_CHANNELS[color_type]
+    rb = width * ch
+    stream = zlib.decompress(b"".join(idat))
+    if len(stream) != height * (rb + 1):
+        raise ValueError("IDAT stream length mismatch")
+    sl = np.frombuffer(stream, dtype=np.uint8).reshape(height, rb + 1)
+    out = np.empty((height, rb), dtype=np.uint8)
+    prev = np.zeros(rb, dtype=np.int64)
+    for r in range(height):
+        ft = int(sl[r, 0])
+        line = sl[r, 1:].astype(np.int64)
+        if ft == 0:
+            cur = line
+        elif ft == 1:  # Sub: per-lane prefix sum mod 256
+            cur = np.cumsum(line.reshape(-1, ch), axis=0).reshape(-1) % 256
+        elif ft == 2:  # Up
+            cur = (line + prev) % 256
+        elif ft == 3:  # Average (left-sequential)
+            cur = np.empty(rb, dtype=np.int64)
+            for x in range(rb):
+                left = int(cur[x - ch]) if x >= ch else 0
+                cur[x] = (line[x] + (left + int(prev[x])) // 2) % 256
+        elif ft == 4:  # Paeth (left-sequential)
+            cur = np.empty(rb, dtype=np.int64)
+            for x in range(rb):
+                a = int(cur[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                cur[x] = (line[x] + _paeth(a, b, c)) % 256
+        else:
+            raise ValueError(f"bad filter type {ft}")
+        out[r] = cur.astype(np.uint8)
+        prev = cur
+    return int(width), int(height), ch, out
+
+
+def decode_png(payload: bytes) -> dict:
+    """Parse geometry and aggregate the RAW (post-unfilter) bytes.
+    Returns {width, height, channels, bit_depth, byte_sum, wsum} where
+    wsum = Σ (k+1)·byte[k] over the row-major raw stream — position-
+    sensitive, so any unfilter/row-order defect shifts it."""
+    width, height, ch, grid = png_pixels(payload)
+    flat = grid.reshape(-1).astype(np.int64)
+    return {
+        "width": width,
+        "height": height,
+        "channels": ch,
+        "bit_depth": 8,
+        "byte_sum": int(flat.sum()),
+        "wsum": int(((np.arange(len(flat), dtype=np.int64) + 1) * flat)
+                    .sum()),
     }
 
 

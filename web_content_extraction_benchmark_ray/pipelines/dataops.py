@@ -2325,6 +2325,39 @@ def media_resize(sf_dir: str):
     return resize_media(ds).drop_columns(["error"])
 
 
+def _png_media_rows(batch: pa.Table) -> pa.Table:
+    """Every MEDIA_EVERY-th doc carries one REAL zlib-compressed PNG
+    (functions/binmedia.encode_png): raw byte k follows the
+    (seed + 29k) % 256 lattice and row r is filtered with type r % 5,
+    so one payload exercises every unfilter path and the decoded
+    aggregates stay closed-form for the oracle."""
+    from ..functions.binmedia import encode_png
+    from ..functions.hashing import hash60
+
+    mids, payloads = [], []
+    for i in batch.column("doc_id").to_pylist():
+        if i % MEDIA_EVERY == 0:
+            mids.append(i)
+            payloads.append(encode_png(hash60(f"png:{i}") % 256))
+    return pa.table(
+        {
+            "media_id": pa.array(mids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+
+
+def media_decode_png(sf_dir: str):
+    """REAL PNG decode end to end: encode (zlib deflate + per-row
+    filters + chunk CRCs) -> actor-pool decode (CRC walk, inflate, all
+    five unfilters) -> closed-form aggregates.  wsum is the position-
+    weighted byte sum, so a wrong unfilter or row order cannot cancel."""
+    from ..stages.media import decode_png_media
+
+    ds = _docs(sf_dir).map_batches(_png_media_rows, batch_format="pyarrow")
+    return decode_png_media(ds).drop_columns(["error"])
+
+
 def media_frames(sf_dir: str):
     """Frame-sampling over the binary media view: every WAV payload
     explodes into per-frame (frame_id, n_samples, abs_sum) rows for
@@ -2894,6 +2927,7 @@ def dataops_queries() -> dict:
         "hash_embed_knn": hash_embed_knn,
         "media_features": media_features,
         "media_decode": media_decode,
+        "media_decode_png": media_decode_png,
         "media_resize": media_resize,
         "media_frames": media_frames,
         "pdf_extract": pdf_extract,

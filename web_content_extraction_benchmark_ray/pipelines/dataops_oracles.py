@@ -842,6 +842,29 @@ SELECT 2 * doc_id + 1, 'wav', CAST({wav_bytes} AS BIGINT),
         FROM generate_series(0, {WAV_N_SAMPLES - 1}) g(k))
 FROM dm"""
 
+    # media_decode_png: the raw (post-unfilter) byte stream is the
+    # (seed + 29k) % 256 lattice, so both aggregates are generate_series
+    # sums; wsum = sum (k+1)*byte[k] is position-sensitive — a wrong
+    # unfilter or row order shifts it even when the plain sum cancels.
+    from ..functions.binmedia import PNG_H, PNG_PIX_STEP, PNG_W
+
+    png_n = PNG_W * PNG_H * 3
+    seed_p = _H60.format(
+        "'png:' || CAST(doc_id AS VARCHAR)") + " % 256"
+    sqls["media_decode_png"] = f"""WITH dm AS (
+  SELECT doc_id, {seed_p} AS sp
+  FROM documents WHERE doc_id % {MEDIA_EVERY} = 0
+)
+SELECT doc_id AS media_id,
+       CAST({PNG_W} AS BIGINT) AS width, CAST({PNG_H} AS BIGINT) AS height,
+       CAST(3 AS BIGINT) AS channels, CAST(8 AS BIGINT) AS bit_depth,
+       (SELECT CAST(sum((dm.sp + {PNG_PIX_STEP} * g.k) % 256) AS BIGINT)
+        FROM generate_series(0, {png_n - 1}) g(k)) AS byte_sum,
+       (SELECT CAST(sum((g.k + 1) * ((dm.sp + {PNG_PIX_STEP} * g.k) % 256))
+                    AS BIGINT)
+        FROM generate_series(0, {png_n - 1}) g(k)) AS wsum
+FROM dm"""
+
     # media_resize: NN 2x downscale keeps file rows 0,2,.. and pixel
     # columns 0,2,..; pixel byte k of the source is (seed + 17k) % 256,
     # so the kept bytes are the arithmetic lattice
