@@ -100,147 +100,77 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 # The driver's CORRECTNESS check verifies the FIRST 50 entries in dict
-# order. Rounds 1-3 sampled the same prefix, so 21 queries (13 of them
-# never verified by ANY round) never got a hard driver signal. Order the
-# dict so (a) never-r03-sampled entries come first, (b) queries whose
-# implementation changed this round come next, (c) two long-green
-# extraction canaries stay inside the window, and (d) thrice-green
-# untouched stateless ops rotate out (they remain pytest-covered).
+# order. Round-5 window (VERDICT r4 item 2): (a) the 19 queries no
+# driver round has ever sampled come first, (b) the five round-5
+# newcomers, (c) the two north-rule canaries, (d) queries whose code
+# paths changed after the r4 window ran (ensemble shared parse, rhp
+# vectorize, memo hardening, classify/project oracle refactor, binmedia
+# cleanup), and (e) r1/r2-only-verified entries rotating back in.
+# Everything outside the window stays pytest- and check_oracles-covered.
 _SAMPLE_FIRST = [
-    # never in any driver sample (rounds 1-3 where noted in VERDICT r03)
-    "decontaminate",
-    "pack_shards",
-    "pii_scrub",
+    # (a) never driver-sampled in any round (judge-verified r4 only)
+    "ann_recall",
+    "bpe_encode",
+    "bpe_merges",
+    "curate_corpus",
+    "decontaminate_fuzzy",
+    "decontaminate_fuzzy_survivors",
+    "dedup_exact_norm",
+    "dedup_incremental_minhash",
+    "distinct_sketch",
+    "dup_span_stats",
+    "events_paths",
+    "events_retention",
+    "hash_embed",
+    "hash_embed_knn",
+    "importance_resample",
+    "media_frames",
+    "pq_encode",
+    "shuffle_order",
+    "source_overlap",
+    # (b) new in round 5
+    "eval_score_histogram",
+    "scatter_clusters",
+    "scatter_classes",
+    "complexity_by_dataset",
+    "media_decode_png",
+    # (c) flagship + north-rule invariant canaries
+    "extract_bte",
+    "extract_spans_signature",
+    # (d) code paths changed after the r4 window ran
     "complexity_classify",
     "cluster_alignment",
     "feature_project",
-    "tsne_project",
-    "leaf_examples",
-    "leafmodel_train",
-    "leaf_seq_examples",
-    "leafmodel_seq2_train",
-    "sample_stratified",
-    "events_sliding",
-    # kmeans_assign/sample_split/kmeans_iterate/dataset_stats/
-    # events_window/events_sessionize/events_asof were verified green in
-    # r01/r02 and yield their slots to never-verified entries: each has
-    # in-window kin exercising its primitives (kmeans_iterate's assign
-    # pass == kmeans_assign; events_sliding/retention/funnel cover the
-    # window/user-bucket/scan machinery; sample_stratified covers the
-    # hash-split primitive)
-    # changed in round 4 (vocab partial-topk, unigram join path,
-    # LSH posting caps, sample-trained quantizer, pdf CRLF fix)
-    "vocab_topk",
-    "unigram_logprob",
-    "dedup_minhash_pairs",
-    # dedup_minhash_survivors yields its slot to a session-6 newcomer:
-    # its connected-components + anti-join machinery is exercised
-    # in-window by embedding_dup_survivors and
-    # dedup_fingerprint_survivors (same stages/dedup.py components code)
-    "embedding_dup_pairs",
-    # embedding_dup_survivors yields its slot to a session-6 newcomer:
-    # capped RHP banding is covered in-window by embedding_dup_pairs,
-    # connected components + anti-join by dedup_fingerprint_survivors
-    # knn_ivf_trained (r03-verified pass) yields its slot: the r4
-    # sample-cap change is inert at driver scale (corpus <= cap, so the
-    # sample IS the corpus) and its nprobe=all oracle was already green
-    # pdf_extract (r03-verified pass) yields its slot: the r4 CRLF fix is
-    # only observable on CRLF-separated streams, which exist in the
-    # pytest foreign fixtures (test_binmedia), not in the driver corpus
-    # new in round 4
-    "chunk_windows",
-    # dup_span_stats yields its slot to a session-6 newcomer: its dup-set
-    # build + dual-path machinery is exercised in-window by dup_span_scrub
-    # (same stages, plus removal on top)
-    "extract_cascade",
-    "extract_topnode",
-    "extract_plaintext",
-    # events_retention yields its slot to a session-7 newcomer: the
-    # window/user-bucket/combiner machinery is in-window via
-    # events_funnel and events_sliding
     "media_resize",
-    # media_frames yields its slot: the WAV codec is pytest-pinned with a
-    # closed-form lattice oracle, and media_resize keeps the binmedia
-    # decode lane inside the window
-    "source_mix",
-    "dedup_fingerprint_pairs",
-    "dedup_fingerprint_survivors",
-    "importance_weights",
-    "select_budget",
-    # dedup_exact_norm yields its slot to a session-6 newcomer: its
-    # groupby-min primitive is thrice-driver-verified via dedup_exact and
-    # the CCNet normalization map is pytest-pinned (test_dataops)
-    "dup_span_scrub",
-    "dedup_incremental",
-    # new in round-4 session 6 (never driver-verified)
-    "gopher_filter",
-    "tfidf_topterms",
-    "line_dedup",
-    # distinct_sketch yields its slot to a session-8 newcomer: its HLL
-    # register/rho math is in-window via distinct_by_source (the grouped
-    # form of the same sketch, same register fold)
-    "events_funnel",
-    "bm25_score",
-    "cooccur_topk",
-    "distinct_by_source",
-    "quality_tiers",
-    "bigram_logprob",
-    "extract_article",
-    # shuffle_order yields its slot to a session-8 newcomer: its seeded
-    # hash60 permutation + two-level bucket scan are in-window via
-    # pack_sequences, which packs in exactly that order
-    "pack_sequences",
-    # pq_encode yields its slot to a session-8 newcomer: codebook
-    # training (_pq_inputs/_pq_train, the capped hash-sample Lloyd) is
-    # in-window via pq_search, which shares both helpers and the int64
-    # subspace distance kernel
-    "pq_search",
-    "length_quantiles",
-    "score_correlation",
-    # new in round-4 session 8 (never driver-verified)
-    "semdedup",
-    "dup_cluster_sizes",
-    "bpe_pairs",
-    # dedup_incremental_minhash sits OUTSIDE the full window: it
-    # composes two in-window ops' machinery end to end (the Bloom
-    # screen + bucket-prefiltered confirm of dedup_incremental, the
-    # band/signature verify of dedup_minhash_pairs)
-    # changed late in round 4 (exact-mean hardening of every eval mean;
-    # events_props/eval_agg_micro/eval_quantiles — verified green in
-    # earlier rounds — yield their slots: exact_mean6 is exercised in
-    # the window by the grouped (by_dataset/macro) and joined
-    # (by_complexity) paths, and quantiles are selection-based, not
-    # summed)
-    "eval_agg_by_complexity",
-    "eval_agg_by_dataset",
-    # eval_agg_macro yields its slot to a session-6 newcomer: macro is a
-    # second grouped exact_mean6 over by_dataset's machinery, both
-    # in-window via eval_agg_by_dataset (grouped) and
-    # eval_agg_by_complexity (joined)
-    # flagship + north-rule invariant canaries
-    "extract_bte",
-    "extract_spans_signature",
+    "extract_ensemble",
+    "extract_ensemble_best",
+    "extract_ensemble_weighted",
+    "embedding_dup_pairs",
+    "decontaminate",
+    # (e) r1/r2-only-verified entries rotating back in
+    "kmeans_assign",
+    "kmeans_iterate",
+    "sample_split",
+    "dataset_stats",
+    "events_window",
+    "events_sessionize",
+    "events_asof",
+    "dedup_minhash_survivors",
+    "embedding_dup_survivors",
+    "eval_agg_macro",
+    "knn_ivf_trained",
+    "pdf_extract",
+    "eval_agg_micro",
+    "eval_quantiles",
+    "media_decode",
 ]
 
-# Round-4 session-9 newcomers (decontaminate_fuzzy + its survivors view,
-# source_overlap, bpe_encode, curate_corpus, importance_resample)
-# deliberately sit OUTSIDE the full window — evicting any
-# in-window entry would un-verify a first-timer.  Rotate them into the
-# round-5 window; until then each is oracle-checked at sf0.001/sf0.01
-# by scripts/check_oracles.py and pinned by a serial-mirror pytest, and
-# their primitives are in-window via kin (minhash banding+verify via
-# dedup_minhash_pairs/embedding_dup_pairs, the merge trainer via
-# bpe_pairs' counting plan, shingle hash60 via line_dedup/tfidf).
-
-# thrice-green stateless ops + the long-green extraction family sit after
-# the sample window this round (still pytest-covered every run)
 _SAMPLE_LAST = [
     "token_count",
     "text_quality",
     "lang_id",
     "doc_fingerprint",
     "media_features",
-    "media_decode",
 ]
 
 
