@@ -165,6 +165,21 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
         timed("eval_agg", lambda: _consume(q.eval_agg_by_dataset(sf_dir)))
         timed("complexity", lambda: _consume(q.complexity(sf_dir)))
         timed("html_features", lambda: _consume(q.html_features(sf_dir)))
+        timed("eval_score_histogram",
+              lambda: _consume(q.eval_score_histogram(sf_dir)))
+        try:
+            from web_content_extraction_benchmark_ray.pipelines import (
+                scatter as sc,
+            )
+
+            timed("scatter_clusters",
+                  lambda: _consume(sc.scatter_clusters(sf_dir)))
+            timed("scatter_classes",
+                  lambda: _consume(sc.scatter_classes(sf_dir)))
+            timed("complexity_by_dataset",
+                  lambda: _consume(sc.complexity_by_dataset(sf_dir)))
+        except ImportError:
+            pass
         try:
             from web_content_extraction_benchmark_ray.pipelines import dataops as d
 
@@ -210,6 +225,8 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
                   lambda: _consume(d.bigram_logprob(sf_dir)))
             timed("pdf_extract", lambda: _consume(d.pdf_extract(sf_dir)))
             timed("media_resize", lambda: _consume(d.media_resize(sf_dir)))
+            timed("media_decode_png",
+                  lambda: _consume(d.media_decode_png(sf_dir)))
             timed("media_frames", lambda: _consume(d.media_frames(sf_dir)))
             timed("chunk_windows",
                   lambda: _consume(d.chunk_windows(sf_dir)))

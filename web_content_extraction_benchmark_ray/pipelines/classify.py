@@ -102,10 +102,24 @@ def _median_complexity(sf_dir: str) -> float:
     return float(qdf["value"][0])
 
 
+_FX_MEMO: dict = {}
+
+
 def clf_examples(sf_dir: str):
     """Materialized Dataset (doc_id, xq list<int64>[16], y, split): the
     15 features + bias quantized, label = complexity >= global median,
-    deterministic content-hash split."""
+    deterministic content-hash split.  Memoized per (corpus fingerprint,
+    Ray session) — five consumers (classify, alignment, projection, both
+    scatter frames) start from this same join, which dominates their
+    cost; one process computes it once (the _aug_band_rows discipline)."""
+    from .dataops import _corpus_memo
+
+    return _corpus_memo(
+        sf_dir, _FX_MEMO, lambda: _clf_examples_build(sf_dir)
+    )
+
+
+def _clf_examples_build(sf_dir: str):
     from .complexity import FEATURE_TAGS, complexity_ds, features_pipeline
 
     med = _median_complexity(sf_dir)
@@ -142,7 +156,8 @@ def clf_examples(sf_dir: str):
             }
         )
 
-    return joined.map_batches(quantize, batch_format="pyarrow").materialize()
+    # no trailing materialize: _corpus_memo materializes the built dataset
+    return joined.map_batches(quantize, batch_format="pyarrow")
 
 
 def train_weights(train_ds, n_train: int, iters: int = CLF_ITERS) -> np.ndarray:
@@ -165,19 +180,35 @@ def train_weights(train_ds, n_train: int, iters: int = CLF_ITERS) -> np.ndarray:
     return w
 
 
+_W_MEMO: dict = {}
+
+
+def trained_weights(sf_dir: str) -> list[int]:
+    """Final integer GD weights, memoized per (corpus fingerprint, Ray
+    session): complexity_classify and the classes scatter frame share
+    the 20-iteration training instead of repeating it."""
+    from .dataops import _session_key
+
+    key = _session_key(sf_dir)
+    hit = _W_MEMO.get(key)
+    if hit is None:
+        _W_MEMO.clear()
+        fx = clf_examples(sf_dir)
+        # materialize the filtered split once: the count pass plus the
+        # 20 GD iterations would otherwise re-run the filter scan 21x
+        train_ds = fx.filter(expr="split == 'train'").materialize()
+        w = train_weights(train_ds, train_ds.count())
+        hit = _W_MEMO[key] = [int(v) for v in w]
+    return hit
+
+
 def complexity_classify(sf_dir: str):
     """Train on the 75% split, evaluate on both splits; output one row per
     split: (split, n, tp, fp, tn, fn, accuracy, f1, mcc)."""
-    import ray.data
     from ray.data.aggregate import Sum
 
     fx = clf_examples(sf_dir)
-    # materialize the filtered split once: the count pass plus the 20 GD
-    # iterations would otherwise re-run the filter scan 21 times
-    train_ds = fx.filter(expr="split == 'train'").materialize()
-    n_train = train_ds.count()
-    w = train_weights(train_ds, n_train)
-    w_list = [int(v) for v in w]
+    w_list = trained_weights(sf_dir)
 
     def confusion_partial(batch: pa.Table, w_list=w_list) -> pa.Table:
         xq = list_matrix(batch.column("xq"), np.int64)

@@ -126,12 +126,31 @@ def _scatter_matrix(fx) -> list[list[int]]:
     ]
 
 
+_PV_MEMO: dict = {}
+
+
+def proj_vectors(sf_dir: str) -> tuple[list[int], list[int]]:
+    """The two integer eigenvectors, memoized per (corpus fingerprint,
+    Ray session): feature_project and both scatter frames share the
+    scan + power iteration instead of repeating it."""
+    from .dataops import _session_key
+
+    key = _session_key(sf_dir)
+    hit = _PV_MEMO.get(key)
+    if hit is None:
+        _PV_MEMO.clear()
+        v1, v2 = _power_components(_scatter_matrix(clf_examples(sf_dir)))
+        hit = _PV_MEMO[key] = (
+            [int(x) for x in v1], [int(x) for x in v2]
+        )
+    return hit
+
+
 def feature_project(sf_dir: str):
     """2-D PCA projection of every page's quantized HTML feature vector.
     Output: (doc_id, p1, p2) with p_k = Σ_i xq_i · v_k[i] (int64)."""
     fx = clf_examples(sf_dir)
-    v1, v2 = _power_components(_scatter_matrix(fx))
-    v1l, v2l = [int(x) for x in v1], [int(x) for x in v2]
+    v1l, v2l = proj_vectors(sf_dir)
 
     def proj(batch: pa.Table, v1l=v1l, v2l=v2l) -> pa.Table:
         xq = list_matrix(batch.column("xq"), np.int64)

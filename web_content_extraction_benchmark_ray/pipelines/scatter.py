@@ -35,23 +35,17 @@ import pyarrow as pa
 
 from ..functions.arrownp import list_matrix, num_col
 from .classify import (
-    SCALE,
     THRESH,
     clf_examples,
     cluster_centroids,
     cluster_ctes,
     clf_weight_ctes,
     cos_assign,
-    train_weights,
+    trained_weights,
 )
-from .project import _power_components, _scatter_matrix, project_ctes
+from .project import proj_vectors, project_ctes
 
 BOX_QS = (0.05, 0.25, 0.5, 0.75, 0.95)
-
-
-def _proj_vectors(fx):
-    v1, v2 = _power_components(_scatter_matrix(fx))
-    return [int(x) for x in v1], [int(x) for x in v2]
 
 
 def scatter_clusters(sf_dir: str):
@@ -62,7 +56,7 @@ def scatter_clusters(sf_dir: str):
 
     fx = clf_examples(sf_dir)
     n_feats = len(FEATURE_TAGS) + 1
-    v1l, v2l = _proj_vectors(fx)
+    v1l, v2l = proj_vectors(sf_dir)
     cents = cluster_centroids(fx)
 
     # flip pass (tiny): same majority alignment as cluster_alignment
@@ -114,10 +108,8 @@ def scatter_classes(sf_dir: str):
     complexity.py:281-310): 2-D PCA coords + trained-classifier
     prediction + true binarized class."""
     fx = clf_examples(sf_dir)
-    v1l, v2l = _proj_vectors(fx)
-    train_ds = fx.filter(expr="split == 'train'").materialize()
-    w = train_weights(train_ds, train_ds.count())
-    w_list = [int(v) for v in w]
+    v1l, v2l = proj_vectors(sf_dir)
+    w_list = trained_weights(sf_dir)
 
     def emit(batch: pa.Table, v1l=v1l, v2l=v2l, w_list=w_list) -> pa.Table:
         xq = list_matrix(batch.column("xq"), np.int64)
