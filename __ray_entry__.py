@@ -162,7 +162,9 @@ _SAMPLE_FIRST = [
     "pdf_extract",
     "eval_agg_micro",
     "eval_quantiles",
-    "media_decode",
+    # media_decode (r1-r3 verified) yields its slot to the round-5 JPEG
+    # newcomer: the BMP/WAV parsers stay pytest- and sweep-covered
+    "media_decode_jpeg",
 ]
 
 _SAMPLE_LAST = [
@@ -171,6 +173,7 @@ _SAMPLE_LAST = [
     "lang_id",
     "doc_fingerprint",
     "media_features",
+    "media_decode",
 ]
 
 

@@ -227,6 +227,8 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
             timed("media_resize", lambda: _consume(d.media_resize(sf_dir)))
             timed("media_decode_png",
                   lambda: _consume(d.media_decode_png(sf_dir)))
+            timed("media_decode_jpeg",
+                  lambda: _consume(d.media_decode_jpeg(sf_dir)))
             timed("media_frames", lambda: _consume(d.media_frames(sf_dir)))
             timed("chunk_windows",
                   lambda: _consume(d.chunk_windows(sf_dir)))

@@ -437,3 +437,125 @@ def test_png_decode_stage_isolates_errors(ray_session):
     rows = {r["media_id"]: r for r in out.to_pylist()}
     assert rows[1]["error"] and rows[1]["width"] == 0
     assert not rows[2]["error"] and rows[2]["width"] > 0
+
+
+def test_jpeg_dconly_roundtrip_exact():
+    """DC-only blocks survive the lossy codec path exactly: block b
+    decodes to its constant (seed + 31b) % 256 for any correct IDCT."""
+    import numpy as np
+
+    from web_content_extraction_benchmark_ray.functions.binmedia import (
+        JPEG_BLOCK_STEP,
+        JPEG_H,
+        JPEG_W,
+        decode_jpeg,
+        encode_jpeg,
+        jpeg_pixels,
+    )
+
+    for seed in (0, 7, 129, 255):
+        w, h, grid = jpeg_pixels(encode_jpeg(seed))
+        assert (w, h) == (JPEG_W, JPEG_H)
+        bw = w // 8
+        for b in range(bw * (h // 8)):
+            c = (seed + JPEG_BLOCK_STEP * b) % 256
+            by, bx = divmod(b, bw)
+            assert (grid[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] == c).all()
+        d = decode_jpeg(encode_jpeg(seed))
+        exp = sum(
+            64 * ((seed + JPEG_BLOCK_STEP * b) % 256)
+            for b in range(bw * (h // 8))
+        )
+        assert d["byte_sum"] == exp
+        # the closed-form block position weight the oracle uses
+        exp_w = sum(
+            ((seed + JPEG_BLOCK_STEP * b) % 256)
+            * (32768 * (b // 8) + 512 * (b % 8) + 14624)
+            for b in range(bw * (h // 8))
+        )
+        assert d["wsum"] == exp_w
+        assert np.int64(d["wsum"]) > 0
+
+
+def test_jpeg_ac_paths_match_brute_idct():
+    """General AC decode (runs, ZRL, negative amplitudes, size-10
+    coefficients, a k=63 coefficient) against an independent brute-force
+    IDCT restatement."""
+    import numpy as np
+
+    from web_content_extraction_benchmark_ray.functions.binmedia import (
+        _ZIGZAG,
+        JPEG_BLOCK_STEP,
+        encode_jpeg,
+        jpeg_pixels,
+    )
+
+    def brute(dc_vals, ac):
+        m = np.zeros((8, 8))
+        for u in range(8):
+            cu = (1 / np.sqrt(2)) if u == 0 else 1.0
+            for x in range(8):
+                m[x, u] = 0.5 * cu * np.cos((2 * x + 1) * u * np.pi / 16)
+        out = []
+        for dc in dc_vals:
+            coef = np.zeros(64)
+            coef[_ZIGZAG[0]] = dc
+            for idx, v in ac.items():
+                coef[_ZIGZAG[idx]] = v
+            blk = m @ coef.reshape(8, 8) @ m.T
+            out.append(np.clip(np.floor(blk + 128.5), 0, 255).astype(np.uint8))
+        return out
+
+    seed = 11
+    for ac in ({1: 5}, {1: -3, 5: 7}, {2: 4, 20: -9, 40: 12}, {63: 3},
+               {17: -1000}):
+        w, h, grid = jpeg_pixels(encode_jpeg(seed, width=32, height=16, ac=ac))
+        bw = w // 8
+        dcs = [
+            8 * (((seed + JPEG_BLOCK_STEP * b) % 256) - 128)
+            for b in range(bw * (h // 8))
+        ]
+        ref = brute(dcs, ac)
+        for b in range(len(dcs)):
+            by, bx = divmod(b, bw)
+            assert (
+                grid[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] == ref[b]
+            ).all(), (ac, b)
+
+
+def test_jpeg_rejections():
+    import pytest
+
+    from web_content_extraction_benchmark_ray.functions.binmedia import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    with pytest.raises(ValueError):
+        decode_jpeg(b"not a jpeg")
+    with pytest.raises(ValueError):
+        decode_jpeg(encode_jpeg(1)[:40])
+
+
+def test_jpeg_decode_stage_isolates_errors(ray_session):
+    import pyarrow as pa
+
+    from web_content_extraction_benchmark_ray.functions.binmedia import (
+        encode_jpeg,
+    )
+    from web_content_extraction_benchmark_ray.stages.media import (
+        JpegDecodeStage,
+    )
+
+    batch = pa.table(
+        {
+            "media_id": pa.array([1, 2], pa.int64()),
+            "payload": pa.array(
+                [b"garbage", encode_jpeg(seed=5)], pa.binary()
+            ),
+        }
+    )
+    out = JpegDecodeStage()(batch)
+    rows = {r["media_id"]: r for r in out.to_pylist()}
+    assert rows[1]["error"] and rows[1]["width"] == 0
+    assert not rows[2]["error"] and rows[2]["width"] == 64

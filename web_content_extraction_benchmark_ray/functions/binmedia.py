@@ -336,6 +336,346 @@ def decode_png(payload: bytes) -> dict:
     }
 
 
+# ------------------------------------------------------------------ JPEG
+# Real baseline JPEG (ISO/IEC 10918-1), stdlib + numpy only: marker walk
+# (DQT/SOF0/DHT/SOS), byte-stuffed bit reader, canonical Huffman decode
+# of DC categories AND general AC run-length/size symbols, dequantize,
+# dezigzag, exact 2-D IDCT, level shift, clamp.  The encoder writes the
+# Annex-K standard Huffman tables and entropy-codes DC-ONLY blocks: an
+# 8x8 block whose pixels are a constant c has DC = 8·(c−128) and all AC
+# zero, and the IDCT of that spectrum is exactly c again — no float
+# rounding ambiguity — so a REAL lossy-codec bitstream round-trips
+# losslessly and the decoded aggregates stay closed-form for the DuckDB
+# oracle (block constants follow a (seed + a·b) % 256 lattice).
+JPEG_W = 64
+JPEG_H = 32
+JPEG_BLOCK_STEP = 31  # block-constant lattice step
+
+# Annex K.3.3.1/2: luminance DC + AC code lengths and symbol values
+_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = list(range(12))
+_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman: symbol -> (code, length)."""
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.buf.append(self.acc)
+                if self.acc == 0xFF:  # byte stuffing
+                    self.buf.append(0x00)
+                self.acc, self.n = 0, 0
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.acc = (self.acc << (8 - self.n)) | ((1 << (8 - self.n)) - 1)
+            self.buf.append(self.acc)
+            if self.acc == 0xFF:
+                self.buf.append(0x00)
+            self.acc, self.n = 0, 0
+        return bytes(self.buf)
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def _dht_body(tc_th: int, bits: list[int], vals: list[int]) -> bytes:
+    return bytes([tc_th] + bits + vals)
+
+
+def encode_jpeg(seed: int, width: int = JPEG_W, height: int = JPEG_H,
+                ac: dict[int, int] | None = None) -> bytes:
+    """Real baseline grayscale JPEG: 8x8 blocks, block b a constant
+    c_b = (seed + 31·b) % 256, quant table all ones, Annex-K Huffman
+    tables, DC diffs entropy-coded + per-block EOB.  Losslessly
+    round-trips (see module note) through a genuinely lossy codec path.
+
+    ``ac``: optional {zigzag_index (1..63): coefficient} injected into
+    every block — exercises the AC run-length/ZRL decode paths (used by
+    the tests against a brute-force IDCT reference)."""
+    if width % 8 or height % 8:
+        raise ValueError("dimensions must be multiples of 8")
+    bw, bh = width // 8, height // 8
+    dc_codes = _huff_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _huff_codes(_AC_BITS, _AC_VALS)
+    ac_items = sorted((ac or {}).items())
+    w = _BitWriter()
+    prev_dc = 0
+    for b in range(bw * bh):
+        c = (seed + JPEG_BLOCK_STEP * b) % 256
+        dc = 8 * (c - 128)
+        diff = dc - prev_dc
+        prev_dc = dc
+        mag = abs(diff)
+        size = mag.bit_length()
+        code, ln = dc_codes[size]
+        w.put(code, ln)
+        if size:
+            amp = diff if diff >= 0 else diff + (1 << size) - 1
+            w.put(amp, size)
+        k = 1
+        for idx, v in ac_items:
+            run = idx - k
+            while run > 15:  # ZRL
+                zc, zl = ac_codes[0xF0]
+                w.put(zc, zl)
+                run -= 16
+            size = abs(v).bit_length()
+            sc, sl = ac_codes[(run << 4) | size]
+            w.put(sc, sl)
+            amp = v if v >= 0 else v + (1 << size) - 1
+            w.put(amp, size)
+            k = idx + 1
+        if k < 64:
+            eob, eln = ac_codes[0x00]
+            w.put(eob, eln)
+    scan = w.flush()
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _seg(0xDB, bytes([0]) + bytes([1] * 64))  # DQT: table 0, all 1s
+    out += _seg(
+        0xC0,  # SOF0: 8-bit, 1 component, 1x1 sampling, quant table 0
+        struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]),
+    )
+    out += _seg(0xC4, _dht_body(0x00, _DC_BITS, _DC_VALS))
+    out += _seg(0xC4, _dht_body(0x10, _AC_BITS, _AC_VALS))
+    out += _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))  # SOS
+    out += scan
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    """Byte-stuffed entropy-segment bit reader (0xFF 0x00 -> 0xFF)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated entropy segment")
+            byte = self.data[self.pos]
+            self.pos += 1
+            if byte == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else None
+                if nxt == 0x00:
+                    self.pos += 1
+                else:
+                    raise ValueError("marker inside entropy segment")
+            self.acc, self.n = byte, 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_decode_tree(bits: list[int], vals: list[int]) -> dict:
+    """(length, code) -> symbol for sequential canonical decode."""
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[(ln, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _read_symbol(r: _BitReader, table: dict) -> int:
+    code, ln = 0, 0
+    while ln < 16:
+        code = (code << 1) | r.bit()
+        ln += 1
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    """JPEG EXTEND: map a `size`-bit amplitude to its signed value."""
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+_IDCT_M = None
+
+
+def _idct_matrix() -> np.ndarray:
+    global _IDCT_M
+    if _IDCT_M is None:
+        m = np.zeros((8, 8))
+        for u in range(8):
+            cu = (1 / np.sqrt(2)) if u == 0 else 1.0
+            for x in range(8):
+                m[x, u] = 0.5 * cu * np.cos((2 * x + 1) * u * np.pi / 16)
+        _IDCT_M = m
+    return _IDCT_M
+
+
+def jpeg_pixels(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Full baseline decode -> (width, height, pixel grid (h, w) uint8).
+    Grayscale (1-component) baseline sequential, no restart intervals."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos, n = 2, len(payload)
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[int, dict] = {}
+    width = height = 0
+    comp_q = comp_dc = comp_ac = 0
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError("bad marker alignment")
+        marker = payload[pos + 1]
+        (ln,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4:pos + 2 + ln]
+        if marker == 0xDB:  # DQT (possibly several tables)
+            bpos = 0
+            while bpos < len(body):
+                pq_tq = body[bpos]
+                if pq_tq >> 4:
+                    raise ValueError("16-bit quant tables unsupported")
+                qt[pq_tq & 15] = np.frombuffer(
+                    body, np.uint8, 64, bpos + 1
+                ).astype(np.int32)
+                bpos += 65
+        elif marker == 0xC0:  # SOF0 baseline
+            _prec, height, width, nc = struct.unpack_from(">BHHB", body, 0)
+            if nc != 1:
+                raise ValueError("only grayscale baseline supported")
+            comp_q = body[8]
+        elif marker in (0xC1, 0xC2, 0xC3):
+            raise ValueError("non-baseline SOF unsupported")
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            bpos = 0
+            while bpos < len(body):
+                tc_th = body[bpos]
+                bits = list(body[bpos + 1:bpos + 17])
+                nv = sum(bits)
+                vals = list(body[bpos + 17:bpos + 17 + nv])
+                huff[tc_th] = _huff_decode_tree(bits, vals)
+                bpos += 17 + nv
+        elif marker == 0xDD:
+            raise ValueError("restart intervals unsupported")
+        elif marker == 0xDA:  # SOS: entropy data follows
+            comp_dc = body[2] >> 4
+            comp_ac = body[2] & 15
+            pos += 2 + ln
+            break
+        pos += 2 + ln
+    else:
+        raise ValueError("missing SOS")
+    if not width or not height:
+        raise ValueError("missing SOF0")
+    if comp_q not in qt:
+        raise ValueError("missing quant table")
+    dc_tab = huff.get(0x00 | comp_dc)
+    ac_tab = huff.get(0x10 | comp_ac)
+    if dc_tab is None or ac_tab is None:
+        raise ValueError("missing Huffman table")
+    if width % 8 or height % 8:
+        raise ValueError("partial MCUs unsupported")
+    r = _BitReader(payload, pos)
+    q = qt[comp_q]
+    m = _idct_matrix()
+    bw, bh = width // 8, height // 8
+    out = np.empty((height, width), dtype=np.uint8)
+    prev_dc = 0
+    for b in range(bw * bh):
+        zz = np.zeros(64, dtype=np.int32)
+        size = _read_symbol(r, dc_tab)
+        diff = _extend(r.bits(size), size) if size else 0
+        prev_dc += diff
+        zz[0] = prev_dc
+        k = 1
+        while k < 64:
+            rs = _read_symbol(r, ac_tab)
+            run, size = rs >> 4, rs & 15
+            if size == 0:
+                if run == 15:  # ZRL: sixteen zeros
+                    k += 16
+                    continue
+                break  # EOB
+            k += run
+            if k > 63:
+                raise ValueError("AC run past block end")
+            zz[k] = _extend(r.bits(size), size)
+            k += 1
+        coef = np.zeros(64, dtype=np.int64)
+        coef[_ZIGZAG] = zz * q
+        block = m @ coef.reshape(8, 8).astype(np.float64) @ m.T
+        px = np.clip(np.floor(block + 128.0 + 0.5), 0, 255).astype(np.uint8)
+        by, bx = divmod(b, bw)
+        out[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = px
+    return int(width), int(height), out
+
+
+def decode_jpeg(payload: bytes) -> dict:
+    """Parse geometry and aggregate the decoded pixels.  Returns
+    {width, height, n_components, byte_sum, wsum}; wsum = Σ(k+1)·px[k]
+    row-major — position-sensitive, so a misplaced block cannot cancel."""
+    width, height, grid = jpeg_pixels(payload)
+    flat = grid.reshape(-1).astype(np.int64)
+    return {
+        "width": width,
+        "height": height,
+        "n_components": 1,
+        "byte_sum": int(flat.sum()),
+        "wsum": int(((np.arange(len(flat), dtype=np.int64) + 1) * flat)
+                    .sum()),
+    }
+
+
 FRAME_LEN = 100  # samples per analysis frame
 FRAME_STEP = 2  # keep every FRAME_STEP-th frame (the frame-sample)
 

@@ -2358,6 +2358,39 @@ def media_decode_png(sf_dir: str):
     return decode_png_media(ds).drop_columns(["error"])
 
 
+def _jpeg_media_rows(batch: pa.Table) -> pa.Table:
+    """Every MEDIA_EVERY-th doc carries one REAL baseline JPEG
+    (functions/binmedia.encode_jpeg): 8x8 blocks, block b a constant
+    (seed + 31b) % 256, Annex-K Huffman tables, DC-only spectra — the
+    construction that makes a lossy codec round-trip exactly, keeping
+    the decoded aggregates closed-form for the oracle."""
+    from ..functions.binmedia import encode_jpeg
+    from ..functions.hashing import hash60
+
+    mids, payloads = [], []
+    for i in batch.column("doc_id").to_pylist():
+        if i % MEDIA_EVERY == 0:
+            mids.append(i)
+            payloads.append(encode_jpeg(hash60(f"jpeg:{i}") % 256))
+    return pa.table(
+        {
+            "media_id": pa.array(mids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+
+
+def media_decode_jpeg(sf_dir: str):
+    """REAL JPEG decode end to end: Huffman entropy encode -> actor-pool
+    decode (marker walk, byte-stuffed bit reader, DC+AC Huffman,
+    dequant, dezigzag, exact IDCT) -> closed-form aggregates; wsum is
+    position-weighted, so a misplaced block cannot cancel."""
+    from ..stages.media import decode_jpeg_media
+
+    ds = _docs(sf_dir).map_batches(_jpeg_media_rows, batch_format="pyarrow")
+    return decode_jpeg_media(ds).drop_columns(["error"])
+
+
 def media_frames(sf_dir: str):
     """Frame-sampling over the binary media view: every WAV payload
     explodes into per-frame (frame_id, n_samples, abs_sum) rows for
@@ -2928,6 +2961,7 @@ def dataops_queries() -> dict:
         "media_features": media_features,
         "media_decode": media_decode,
         "media_decode_png": media_decode_png,
+        "media_decode_jpeg": media_decode_jpeg,
         "media_resize": media_resize,
         "media_frames": media_frames,
         "pdf_extract": pdf_extract,

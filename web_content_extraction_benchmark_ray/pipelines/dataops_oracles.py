@@ -865,6 +865,33 @@ SELECT doc_id AS media_id,
         FROM generate_series(0, {png_n - 1}) g(k)) AS wsum
 FROM dm"""
 
+    # media_decode_jpeg: DC-only 8x8 blocks round-trip exactly (block b
+    # decodes to its constant (seed + 31b) % 256), so byte_sum is a
+    # 32-term lattice sum and wsum uses the closed-form per-block
+    # position weight S_b = 32768*(b//8) + 512*(b%8) + 14624
+    # (= sum of (k+1) over block b's 64 row-major pixel indices in the
+    # 64x32 grid; the constants pin width=64, 8-block rows).
+    from ..functions.binmedia import JPEG_BLOCK_STEP, JPEG_H, JPEG_W
+
+    jpeg_nb = (JPEG_W // 8) * (JPEG_H // 8)
+    seed_j = _H60.format(
+        "'jpeg:' || CAST(doc_id AS VARCHAR)") + " % 256"
+    sqls["media_decode_jpeg"] = f"""WITH dm AS (
+  SELECT doc_id, {seed_j} AS sj
+  FROM documents WHERE doc_id % {MEDIA_EVERY} = 0
+)
+SELECT doc_id AS media_id,
+       CAST({JPEG_W} AS BIGINT) AS width, CAST({JPEG_H} AS BIGINT) AS height,
+       CAST(1 AS BIGINT) AS n_components,
+       (SELECT CAST(sum(64 * ((dm.sj + {JPEG_BLOCK_STEP} * g.b) % 256))
+                    AS BIGINT)
+        FROM generate_series(0, {jpeg_nb - 1}) g(b)) AS byte_sum,
+       (SELECT CAST(sum(((dm.sj + {JPEG_BLOCK_STEP} * g.b) % 256)
+                        * (32768 * (g.b // 8) + 512 * (g.b % 8) + 14624))
+                    AS BIGINT)
+        FROM generate_series(0, {jpeg_nb - 1}) g(b)) AS wsum
+FROM dm"""
+
     # media_resize: NN 2x downscale keeps file rows 0,2,.. and pixel
     # columns 0,2,..; pixel byte k of the source is (seed + 17k) % 256,
     # so the kept bytes are the arithmetic lattice

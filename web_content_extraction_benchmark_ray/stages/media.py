@@ -245,6 +245,65 @@ def decode_png_media(ds, concurrency=None,
     )
 
 
+class JpegDecodeStage:
+    """REAL baseline JPEG decode over (media_id, payload) rows: marker
+    walk, byte-stuffed Huffman entropy decode (DC categories + AC
+    run-length/ZRL symbols), dequantize, dezigzag, exact 2-D IDCT
+    (functions/binmedia.decode_jpeg).  Actor-pool stage with the media
+    batch-size discipline; per-item failures never fail the job."""
+
+    def __init__(self):
+        from ..functions.binmedia import decode_jpeg
+
+        self._decode = decode_jpeg
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {
+            "media_id": [], "width": [], "height": [],
+            "n_components": [], "byte_sum": [], "wsum": [], "error": [],
+        }
+        for mid, payload in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            w = h = nc = bs = ws = 0
+            err = ""
+            try:
+                d = self._decode(payload or b"")
+                w, h, nc = d["width"], d["height"], d["n_components"]
+                bs, ws = d["byte_sum"], d["wsum"]
+            except Exception as exc:  # never fail the job for one item
+                err = f"{type(exc).__name__}: {exc}"[:200]
+            out["media_id"].append(mid)
+            out["width"].append(w)
+            out["height"].append(h)
+            out["n_components"].append(nc)
+            out["byte_sum"].append(bs)
+            out["wsum"].append(ws)
+            out["error"].append(err)
+        return pa.table(
+            {
+                "media_id": pa.array(out["media_id"], pa.int64()),
+                "width": pa.array(out["width"], pa.int64()),
+                "height": pa.array(out["height"], pa.int64()),
+                "n_components": pa.array(out["n_components"], pa.int64()),
+                "byte_sum": pa.array(out["byte_sum"], pa.int64()),
+                "wsum": pa.array(out["wsum"], pa.int64()),
+                "error": pa.array(out["error"], pa.string()),
+            }
+        )
+
+
+def decode_jpeg_media(ds, concurrency=None,
+                      batch_size: int = MEDIA_BATCH_SIZE):
+    return ds.map_batches(
+        JpegDecodeStage,
+        concurrency=concurrency or _pool_bounds(),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+
+
 class MediaResizeStage:
     """REAL image transform over (media_id, payload) BMP rows: pure-
     numpy nearest-neighbor downscale (functions/binmedia.resize_bmp_nn)
