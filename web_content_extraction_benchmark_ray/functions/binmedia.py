@@ -521,15 +521,12 @@ class _BitReader:
 
 
 def _huff_decode_tree(bits: list[int], vals: list[int]) -> dict:
-    """(length, code) -> symbol for sequential canonical decode."""
-    out, code, k = {}, 0, 0
-    for ln in range(1, 17):
-        for _ in range(bits[ln - 1]):
-            out[(ln, code)] = vals[k]
-            code += 1
-            k += 1
-        code <<= 1
-    return out
+    """(length, code) -> symbol: the encode table's canonical
+    enumeration (_huff_codes), orientation inverted."""
+    return {
+        (ln, code): sym
+        for sym, (code, ln) in _huff_codes(bits, vals).items()
+    }
 
 
 def _read_symbol(r: _BitReader, table: dict) -> int:

@@ -51,29 +51,18 @@ BOX_QS = (0.05, 0.25, 0.5, 0.75, 0.95)
 def scatter_clusters(sf_dir: str):
     """Per-doc cluster scatter frame (reference visualize_clusters,
     complexity.py:256-277): 2-D PCA coords + ALIGNED k=2 cluster id +
-    binarized complexity class."""
+    binarized complexity class.  The flip comes from the verified
+    cluster_alignment query itself (one extra tiny-agg pass over the
+    memoized examples), so the figure's coloring can never drift from
+    the alignment rule."""
+    from .classify import cluster_alignment
     from .complexity import FEATURE_TAGS
 
     fx = clf_examples(sf_dir)
     n_feats = len(FEATURE_TAGS) + 1
     v1l, v2l = proj_vectors(sf_dir)
     cents = cluster_centroids(fx)
-
-    # flip pass (tiny): same majority alignment as cluster_alignment
-    def match_partial(batch: pa.Table) -> pa.Table:
-        xq = list_matrix(batch.column("xq"), np.int64)
-        y = num_col(batch.column("y"), np.int64)
-        cl = cos_assign(xq, cents, n_feats) if len(y) else np.array([], np.int64)
-        return pa.table(
-            {
-                "n": pa.array([len(y)], pa.int64()),
-                "match": pa.array([int((cl == y).sum())], pa.int64()),
-            }
-        )
-
-    parts = fx.map_batches(match_partial, batch_format="pyarrow").to_pandas()
-    n, match = int(parts["n"].sum()), int(parts["match"].sum())
-    flip = 1 if (n - match) > match else 0
+    flip = int(cluster_alignment(sf_dir).to_pandas()["flipped"][0])
 
     def emit(batch: pa.Table, v1l=v1l, v2l=v2l, flip=flip) -> pa.Table:
         xq = list_matrix(batch.column("xq"), np.int64)

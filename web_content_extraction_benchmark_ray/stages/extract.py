@@ -106,6 +106,11 @@ class ExtractStage:
             if isinstance(name, str) and name in SHARED_FORMS
         }
         self.shared = shared if len(shared) >= 2 or self.ensembles else {}
+        # parse once per doc whenever ANY consumer can use the shared
+        # root: >= 2 shared-form models, or an ensemble (whose members
+        # and page_text read the root even when no co-running model has
+        # a SHARED_FORMS entry — e.g. models=("bte", "ensemble"))
+        self.need_parse = bool(self.shared) or bool(self.ensembles)
         self.need_blocks = any(
             k == "blocks" for k, _ in self.shared.values()
         ) or any(_needs_blocks(m) for m in self.ensembles.values())
@@ -124,7 +129,7 @@ class ExtractStage:
         out_id, out_model, out_text, out_spans, out_err = [], [], [], [], []
         for doc_id, html, refs in zip(doc_ids, htmls, media):
             root = blocks = None
-            if self.shared:
+            if self.need_parse:
                 try:
                     root = parse(html)
                     if self.need_blocks:

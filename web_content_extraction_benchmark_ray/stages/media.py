@@ -112,6 +112,53 @@ def decode_media(ds, concurrency=None, batch_size: int = MEDIA_BATCH_SIZE):
     )
 
 
+def _per_item_rows(batch: pa.Table, fields: tuple[str, ...], item,
+                   always=None, with_fmt: bool = False) -> pa.Table:
+    """Shared per-item decode loop for the binary media stages:
+    ``item(fmt, payload) -> {field: int}`` with zero-fill defaults and
+    per-item error isolation (a failing payload never fails the job —
+    the extraction stage's error contract).  ``always(payload)`` fields
+    apply even when the item fails (e.g. n_bytes of the raw payload).
+    Output schema: media_id [, fmt], *fields (int64), error."""
+    out: dict[str, list] = {"media_id": [], "error": []}
+    if with_fmt:
+        out["fmt"] = []
+    for f in fields:
+        out[f] = []
+    fmts = (
+        batch.column("fmt").to_pylist()
+        if "fmt" in batch.column_names
+        else [None] * batch.num_rows
+    )
+    for mid, fmt, payload in zip(
+        batch.column("media_id").to_pylist(),
+        fmts,
+        batch.column("payload").to_pylist(),
+    ):
+        payload = payload or b""
+        vals = dict.fromkeys(fields, 0)
+        err = ""
+        try:
+            vals.update(item(fmt, payload))
+        except Exception as exc:  # never fail the job for one item
+            err = f"{type(exc).__name__}: {exc}"[:200]
+        if always is not None:
+            vals.update(always(payload))
+        out["media_id"].append(mid)
+        if with_fmt:
+            out["fmt"].append(fmt)
+        for f in fields:
+            out[f].append(int(vals[f]))
+        out["error"].append(err)
+    cols = {"media_id": pa.array(out["media_id"], pa.int64())}
+    if with_fmt:
+        cols["fmt"] = pa.array(out["fmt"], pa.string())
+    for f in fields:
+        cols[f] = pa.array(out[f], pa.int64())
+    cols["error"] = pa.array(out["error"], pa.string())
+    return pa.table(cols)
+
+
 class BinaryMediaDecodeStage:
     """REAL binary decode over (media_id, fmt, payload) rows: pure-Python
     BMP and WAV parsers (functions/binmedia.py) — header validation,
@@ -120,55 +167,26 @@ class BinaryMediaDecodeStage:
     dispatch state binds once per actor; small batch_size because the
     operative memory bound is batch x payload x concurrency."""
 
+    FIELDS = ("n_bytes", "width", "height", "n_samples", "sample_rate",
+              "sample_sum")
+
     def __init__(self):
         from ..functions.binmedia import decode_bmp, decode_wav
 
         self._dispatch = {"bmp": decode_bmp, "wav": decode_wav}
 
+    def _item(self, fmt, payload) -> dict:
+        d = self._dispatch[fmt](payload)
+        if fmt == "bmp":
+            return {"width": d["width"], "height": d["height"],
+                    "sample_sum": d["byte_sum"]}
+        return {"n_samples": d["n_samples"], "sample_rate": d["sample_rate"],
+                "sample_sum": d["abs_sum"]}
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out = {
-            "media_id": [], "fmt": [], "n_bytes": [], "width": [],
-            "height": [], "n_samples": [], "sample_rate": [],
-            "sample_sum": [], "error": [],
-        }
-        for mid, fmt, payload in zip(
-            batch.column("media_id").to_pylist(),
-            batch.column("fmt").to_pylist(),
-            batch.column("payload").to_pylist(),
-        ):
-            payload = payload or b""
-            w = h = ns = sr = ssum = 0
-            err = ""
-            try:
-                d = self._dispatch[fmt](payload)
-                if fmt == "bmp":
-                    w, h, ssum = d["width"], d["height"], d["byte_sum"]
-                else:
-                    ns, sr = d["n_samples"], d["sample_rate"]
-                    ssum = d["abs_sum"]
-            except Exception as exc:  # never fail the job for one item
-                err = f"{type(exc).__name__}: {exc}"[:200]
-            out["media_id"].append(mid)
-            out["fmt"].append(fmt)
-            out["n_bytes"].append(len(payload))
-            out["width"].append(w)
-            out["height"].append(h)
-            out["n_samples"].append(ns)
-            out["sample_rate"].append(sr)
-            out["sample_sum"].append(ssum)
-            out["error"].append(err)
-        return pa.table(
-            {
-                "media_id": pa.array(out["media_id"], pa.int64()),
-                "fmt": pa.array(out["fmt"], pa.string()),
-                "n_bytes": pa.array(out["n_bytes"], pa.int64()),
-                "width": pa.array(out["width"], pa.int64()),
-                "height": pa.array(out["height"], pa.int64()),
-                "n_samples": pa.array(out["n_samples"], pa.int64()),
-                "sample_rate": pa.array(out["sample_rate"], pa.int64()),
-                "sample_sum": pa.array(out["sample_sum"], pa.int64()),
-                "error": pa.array(out["error"], pa.string()),
-            }
+        return _per_item_rows(
+            batch, self.FIELDS, self._item,
+            always=lambda p: {"n_bytes": len(p)}, with_fmt=True,
         )
 
 
@@ -189,49 +207,17 @@ class PngDecodeStage:
     actual encoded bytes.  Actor-pool stage with the media batch-size
     discipline; per-item failures never fail the job (error column)."""
 
+    FIELDS = ("width", "height", "channels", "bit_depth", "byte_sum",
+              "wsum")
+
     def __init__(self):
         from ..functions.binmedia import decode_png
 
         self._decode = decode_png
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out = {
-            "media_id": [], "width": [], "height": [], "channels": [],
-            "bit_depth": [], "byte_sum": [], "wsum": [], "error": [],
-        }
-        for mid, payload in zip(
-            batch.column("media_id").to_pylist(),
-            batch.column("payload").to_pylist(),
-        ):
-            w = h = ch = bd = bs = ws = 0
-            err = ""
-            try:
-                d = self._decode(payload or b"")
-                w, h, ch, bd = (
-                    d["width"], d["height"], d["channels"], d["bit_depth"]
-                )
-                bs, ws = d["byte_sum"], d["wsum"]
-            except Exception as exc:  # never fail the job for one item
-                err = f"{type(exc).__name__}: {exc}"[:200]
-            out["media_id"].append(mid)
-            out["width"].append(w)
-            out["height"].append(h)
-            out["channels"].append(ch)
-            out["bit_depth"].append(bd)
-            out["byte_sum"].append(bs)
-            out["wsum"].append(ws)
-            out["error"].append(err)
-        return pa.table(
-            {
-                "media_id": pa.array(out["media_id"], pa.int64()),
-                "width": pa.array(out["width"], pa.int64()),
-                "height": pa.array(out["height"], pa.int64()),
-                "channels": pa.array(out["channels"], pa.int64()),
-                "bit_depth": pa.array(out["bit_depth"], pa.int64()),
-                "byte_sum": pa.array(out["byte_sum"], pa.int64()),
-                "wsum": pa.array(out["wsum"], pa.int64()),
-                "error": pa.array(out["error"], pa.string()),
-            }
+        return _per_item_rows(
+            batch, self.FIELDS, lambda _fmt, p: self._decode(p)
         )
 
 
@@ -252,45 +238,16 @@ class JpegDecodeStage:
     (functions/binmedia.decode_jpeg).  Actor-pool stage with the media
     batch-size discipline; per-item failures never fail the job."""
 
+    FIELDS = ("width", "height", "n_components", "byte_sum", "wsum")
+
     def __init__(self):
         from ..functions.binmedia import decode_jpeg
 
         self._decode = decode_jpeg
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out = {
-            "media_id": [], "width": [], "height": [],
-            "n_components": [], "byte_sum": [], "wsum": [], "error": [],
-        }
-        for mid, payload in zip(
-            batch.column("media_id").to_pylist(),
-            batch.column("payload").to_pylist(),
-        ):
-            w = h = nc = bs = ws = 0
-            err = ""
-            try:
-                d = self._decode(payload or b"")
-                w, h, nc = d["width"], d["height"], d["n_components"]
-                bs, ws = d["byte_sum"], d["wsum"]
-            except Exception as exc:  # never fail the job for one item
-                err = f"{type(exc).__name__}: {exc}"[:200]
-            out["media_id"].append(mid)
-            out["width"].append(w)
-            out["height"].append(h)
-            out["n_components"].append(nc)
-            out["byte_sum"].append(bs)
-            out["wsum"].append(ws)
-            out["error"].append(err)
-        return pa.table(
-            {
-                "media_id": pa.array(out["media_id"], pa.int64()),
-                "width": pa.array(out["width"], pa.int64()),
-                "height": pa.array(out["height"], pa.int64()),
-                "n_components": pa.array(out["n_components"], pa.int64()),
-                "byte_sum": pa.array(out["byte_sum"], pa.int64()),
-                "wsum": pa.array(out["wsum"], pa.int64()),
-                "error": pa.array(out["error"], pa.string()),
-            }
+        return _per_item_rows(
+            batch, self.FIELDS, lambda _fmt, p: self._decode(p)
         )
 
 
@@ -313,6 +270,8 @@ class MediaResizeStage:
     with the media batch-size discipline (batch x payload x concurrency
     is the memory bound); per-item errors never fail the job."""
 
+    FIELDS = ("n_bytes", "width", "height", "byte_sum")
+
     def __init__(self, fx: int = 2, fy: int = 2):
         from ..functions.binmedia import decode_bmp, resize_bmp_nn
 
@@ -320,41 +279,14 @@ class MediaResizeStage:
         self._decode = decode_bmp
         self.fx, self.fy = fx, fy
 
+    def _item(self, _fmt, payload) -> dict:
+        resized = self._resize(payload, self.fx, self.fy)
+        d = self._decode(resized)
+        return {"n_bytes": len(resized), "width": d["width"],
+                "height": d["height"], "byte_sum": d["byte_sum"]}
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out = {
-            "media_id": [], "n_bytes": [], "width": [], "height": [],
-            "byte_sum": [], "error": [],
-        }
-        for mid, payload in zip(
-            batch.column("media_id").to_pylist(),
-            batch.column("payload").to_pylist(),
-        ):
-            nb = w = h = s = 0
-            err = ""
-            try:
-                resized = self._resize(payload or b"", self.fx, self.fy)
-                d = self._decode(resized)
-                nb, w, h, s = (
-                    len(resized), d["width"], d["height"], d["byte_sum"]
-                )
-            except Exception as exc:  # never fail the job for one item
-                err = f"{type(exc).__name__}: {exc}"[:200]
-            out["media_id"].append(mid)
-            out["n_bytes"].append(nb)
-            out["width"].append(w)
-            out["height"].append(h)
-            out["byte_sum"].append(s)
-            out["error"].append(err)
-        return pa.table(
-            {
-                "media_id": pa.array(out["media_id"], pa.int64()),
-                "n_bytes": pa.array(out["n_bytes"], pa.int64()),
-                "width": pa.array(out["width"], pa.int64()),
-                "height": pa.array(out["height"], pa.int64()),
-                "byte_sum": pa.array(out["byte_sum"], pa.int64()),
-                "error": pa.array(out["error"], pa.string()),
-            }
-        )
+        return _per_item_rows(batch, self.FIELDS, self._item)
 
 
 def resize_media(ds, concurrency=None,
