@@ -559,3 +559,88 @@ def test_jpeg_decode_stage_isolates_errors(ray_session):
     rows = {r["media_id"]: r for r in out.to_pylist()}
     assert rows[1]["error"] and rows[1]["width"] == 0
     assert not rows[2]["error"] and rows[2]["width"] == 64
+
+
+def test_png_property_arbitrary_content_roundtrips():
+    """PNG is lossless: ANY byte content survives the filter pipeline
+    (all five types across the rows) — hypothesis over random grids,
+    geometries and color types."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from web_content_extraction_benchmark_ray.functions.binmedia import (
+        encode_png,
+        png_pixels,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.integers(0, 2**32 - 1),
+        st.sampled_from([(1, 5), (3, 7), (8, 8), (16, 5), (5, 16)]),
+        st.sampled_from([0, 2, 4, 6]),
+    )
+    def check(rng_seed, wh, color_type):
+        w, h = wh
+        ch = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+        rng = np.random.default_rng(rng_seed)
+        raw = rng.integers(0, 256, size=h * w * ch, dtype=np.int64).astype(
+            np.uint8
+        )
+        payload = encode_png(0, width=w, height=h, color_type=color_type,
+                             raw=raw)
+        dw, dh, dch, grid = png_pixels(payload)
+        assert (dw, dh, dch) == (w, h, ch)
+        assert (grid.reshape(-1) == raw).all()
+
+    check()
+
+
+def test_jpeg_property_random_spectra_match_brute_idct():
+    """Hypothesis over random AC coefficient sets (random positions incl.
+    long zero runs, random signs/magnitudes up to size-10) and random
+    geometries: the Huffman+IDCT decode equals the brute restatement."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from web_content_extraction_benchmark_ray.functions.binmedia import (
+        _ZIGZAG,
+        JPEG_BLOCK_STEP,
+        encode_jpeg,
+        jpeg_pixels,
+    )
+
+    m = np.zeros((8, 8))
+    for u in range(8):
+        cu = (1 / np.sqrt(2)) if u == 0 else 1.0
+        for x in range(8):
+            m[x, u] = 0.5 * cu * np.cos((2 * x + 1) * u * np.pi / 16)
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.integers(0, 255),
+        st.dictionaries(
+            st.integers(1, 63),
+            st.integers(-1000, 1000).filter(lambda v: v != 0),
+            max_size=6,
+        ),
+        st.sampled_from([(8, 8), (16, 8), (32, 16)]),
+    )
+    def check(seed, ac, wh):
+        w, h = wh
+        _, _, grid = jpeg_pixels(encode_jpeg(seed, width=w, height=h, ac=ac))
+        bw = w // 8
+        for b in range(bw * (h // 8)):
+            coef = np.zeros(64)
+            coef[_ZIGZAG[0]] = 8 * (((seed + JPEG_BLOCK_STEP * b) % 256)
+                                    - 128)
+            for idx, v in ac.items():
+                coef[_ZIGZAG[idx]] = v
+            blk = m @ coef.reshape(8, 8) @ m.T
+            ref = np.clip(np.floor(blk + 128.5), 0, 255).astype(np.uint8)
+            by, bx = divmod(b, bw)
+            assert (grid[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8]
+                    == ref).all()
+
+    check()

@@ -205,15 +205,19 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 
 def encode_png(seed: int, width: int = PNG_W, height: int = PNG_H,
-               color_type: int = 2) -> bytes:
-    """Real 8-bit PNG; raw byte k = (seed + 29*k) % 256, row r filtered
-    with type r % 5 (so None/Sub/Up/Average/Paeth all appear)."""
+               color_type: int = 2, raw: np.ndarray | None = None) -> bytes:
+    """Real 8-bit PNG; raw byte k = (seed + 29*k) % 256 (or the caller's
+    ``raw`` bytes — PNG is lossless, any content round-trips), row r
+    filtered with type r % 5 (so None/Sub/Up/Average/Paeth all appear)."""
     import zlib
 
     ch = _PNG_CHANNELS[color_type]
     rb = width * ch  # bytes per scanline
-    raw = ((seed + PNG_PIX_STEP * np.arange(height * rb, dtype=np.int64))
-           % 256).astype(np.uint8).reshape(height, rb)
+    if raw is None:
+        raw = ((seed + PNG_PIX_STEP
+                * np.arange(height * rb, dtype=np.int64))
+               % 256).astype(np.uint8)
+    raw = np.asarray(raw, dtype=np.uint8).reshape(height, rb)
     lines = []
     prev = np.zeros(rb, dtype=np.int64)
     for r in range(height):
