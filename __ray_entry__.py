@@ -96,6 +96,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["leafmodel_train"] = leafmodel_train
     out["leaf_seq_examples"] = leaf_seq_examples
     out["leafmodel_seq2_train"] = leafmodel_seq2_train
+    from web_content_extraction_benchmark_ray.pipelines.graphops import (
+        graph_queries,
+    )
+
+    out.update(graph_queries())
     return _sampled_first(out)
 
 
@@ -134,6 +139,8 @@ _SAMPLE_FIRST = [
     "scatter_classes",
     "complexity_by_dataset",
     "media_decode_png",
+    "link_pagerank",
+    "link_triangles",
     # (c) flagship + north-rule invariant canaries
     "extract_bte",
     "extract_spans_signature",
@@ -160,8 +167,8 @@ _SAMPLE_FIRST = [
     "eval_agg_macro",
     "knn_ivf_trained",
     "pdf_extract",
-    "eval_agg_micro",
-    "eval_quantiles",
+    # eval_agg_micro / eval_quantiles (r1-r3 verified) yield their
+    # slots to the two round-5 graph newcomers; both stay sweep-covered
     # media_decode (r1-r3 verified) yields its slot to the round-5 JPEG
     # newcomer: the BMP/WAV parsers stay pytest- and sweep-covered
     "media_decode_jpeg",
@@ -267,4 +274,9 @@ def oracle_sql() -> dict[str, str]:
     out["leafmodel_train"] = leafmodel_train_sql()
     out["leaf_seq_examples"] = leaf_seq_examples_sql()
     out["leafmodel_seq2_train"] = leafmodel_seq2_train_sql()
+    from web_content_extraction_benchmark_ray.pipelines.graphops import (
+        graph_oracle_sql,
+    )
+
+    out.update(graph_oracle_sql())
     return out

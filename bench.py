@@ -311,6 +311,15 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
                   lambda: _consume(ev.events_paths(sf_dir)))
         except ImportError:
             pass
+        try:
+            from web_content_extraction_benchmark_ray.pipelines import graphops as gr
+
+            timed("link_pagerank",
+                  lambda: _consume(gr.link_pagerank(sf_dir)))
+            timed("link_triangles",
+                  lambda: _consume(gr.link_triangles(sf_dir)))
+        except ImportError:
+            pass
 
     extract_sec = timings["extract_multi"]
     docs_per_sec = round(n_docs / extract_sec, 2) if extract_sec else 0.0
