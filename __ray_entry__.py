@@ -141,6 +141,7 @@ _SAMPLE_FIRST = [
     "media_decode_png",
     "link_pagerank",
     "link_triangles",
+    "cdc_chunks",
     # (c) flagship + north-rule invariant canaries
     "extract_bte",
     "extract_spans_signature",
@@ -165,10 +166,10 @@ _SAMPLE_FIRST = [
     "dedup_minhash_survivors",
     "embedding_dup_survivors",
     "eval_agg_macro",
-    "knn_ivf_trained",
     "pdf_extract",
-    # eval_agg_micro / eval_quantiles (r1-r3 verified) yield their
-    # slots to the two round-5 graph newcomers; both stay sweep-covered
+    # eval_agg_micro / eval_quantiles / knn_ivf_trained (r1-r3 verified)
+    # yield their slots to the round-5 graph/CDC newcomers; all three
+    # stay sweep-covered
     # media_decode (r1-r3 verified) yields its slot to the round-5 JPEG
     # newcomer: the BMP/WAV parsers stay pytest- and sweep-covered
     "media_decode_jpeg",

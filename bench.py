@@ -232,6 +232,7 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
             timed("media_frames", lambda: _consume(d.media_frames(sf_dir)))
             timed("chunk_windows",
                   lambda: _consume(d.chunk_windows(sf_dir)))
+            timed("cdc_chunks", lambda: _consume(d.cdc_chunks(sf_dir)))
             timed("dup_span_stats",
                   lambda: _consume(d.dup_span_stats(sf_dir)))
             timed("dup_span_scrub",

@@ -2929,6 +2929,83 @@ def chunk_windows(sf_dir: str, w: int = CHUNK_W, s: int = CHUNK_S):
     return _docs(sf_dir).map_batches(chunk, batch_format="pyarrow")
 
 
+# Content-defined chunking (CDC): rolling-hash cut points make chunk
+# boundaries a function of CONTENT, not position, so an insertion early
+# in a document shifts only the chunk it lands in — the segmentation
+# that storage dedup (LBFS/Venti lineage) and chunk-level LLM-data dedup
+# rely on.  The hash is a W-char polynomial with fixed per-lag weights
+# (A^i mod M), so the DuckDB twin is a 16-term lag() expression — no
+# modpow in SQL, and int64 never overflows (codepoint < 2^21, weight
+# < 2^20, 16 terms < 2^45).  No min/max chunk clamp: a clamp makes the
+# cut decision depend on the previous cut (stateful, not
+# window-expressible); the raw-cut form is the verifiable core.
+CDC_W = 16  # rolling window width (chars)
+CDC_A = 31  # weight base
+CDC_M = 1_048_573  # weight modulus (prime < 2^20)
+CDC_D = 64  # cut divisor -> expected chunk ~64 chars
+CDC_WEIGHTS = tuple((CDC_A ** i) % CDC_M for i in range(CDC_W))
+
+
+def cdc_chunks(sf_dir: str):
+    """Explode each document into content-defined chunks: cut after
+    char ``pos`` when ``sum_i code[pos-i]*A^i mod M`` is divisible by
+    ``CDC_D`` (pos >= W-1); the document tail always closes the last
+    chunk.  Output one row per chunk: (doc_id, chunk_id, start_off,
+    end_off, chunk_len, chunk_h60) — offsets in characters, ``chunk_h60``
+    the shared md5-prefix hash of the chunk text (functions/hashing).
+
+    At 100 TB this is a stateless map (no shuffle); each doc's hash
+    sweep is one vectorized sliding-window matmul over its codepoints.
+    """
+    from ..functions.hashing import hash60
+
+    wrev = np.array(CDC_WEIGHTS[::-1], dtype=np.int64)
+
+    def chunk(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out = {k: [] for k in (
+            "doc_id", "chunk_id", "start_off", "end_off", "chunk_h60"
+        )}
+        for i, t in zip(ids, texts):
+            n = len(t)
+            if n == 0:
+                continue
+            if n >= CDC_W:
+                codes = np.frombuffer(
+                    t.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                win = np.lib.stride_tricks.sliding_window_view(codes, CDC_W)
+                h = (win @ wrev) % CDC_M
+                cuts = (np.flatnonzero(h % CDC_D == 0) + CDC_W).tolist()
+            else:
+                cuts = []
+            if not cuts or cuts[-1] != n:
+                cuts.append(n)
+            prev = 0
+            for k, c in enumerate(cuts):
+                out["doc_id"].append(i)
+                out["chunk_id"].append(k)
+                out["start_off"].append(prev)
+                out["end_off"].append(c)
+                out["chunk_h60"].append(hash60(t[prev:c]))
+                prev = c
+        end = np.asarray(out["end_off"], dtype=np.int64)
+        start = np.asarray(out["start_off"], dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], pa.int64()),
+                "chunk_id": pa.array(out["chunk_id"], pa.int64()),
+                "start_off": pa.array(start, pa.int64()),
+                "end_off": pa.array(end, pa.int64()),
+                "chunk_len": pa.array(end - start, pa.int64()),
+                "chunk_h60": pa.array(out["chunk_h60"], pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(chunk, batch_format="pyarrow")
+
+
 def dataops_queries() -> dict:
     return {
         "dedup_exact": dedup_exact,
@@ -2974,6 +3051,7 @@ def dataops_queries() -> dict:
         "importance_weights": importance_weights,
         "importance_resample": importance_resample,
         "chunk_windows": chunk_windows,
+        "cdc_chunks": cdc_chunks,
         "dup_span_stats": dup_span_stats,
         "dup_span_scrub": dup_span_scrub,
     }

@@ -1109,6 +1109,48 @@ FROM t,
      UNNEST(generate_series(
        1, CAST(ceil(n * 1.0 / {CHUNK_S}) AS BIGINT))) AS u(i)"""
 
+    from .dataops import CDC_D, CDC_M, CDC_W, CDC_WEIGHTS
+
+    # cdc_chunks: the rolling polynomial hash is a fixed 16-term lag()
+    # expression (weights embedded from the same CDC_WEIGHTS tuple the
+    # engine uses); cut after pos when hash % CDC_D = 0 and pos >= W-1;
+    # the doc tail closes the last chunk (UNION dedupes a coinciding
+    # final cut).  chunk_h60 re-hashes the chunk substring with the
+    # shared md5-prefix twin.
+    hh = " + ".join(
+        f"lag(code, {i}, 0) OVER w * {wgt}" if i else f"code * {wgt}"
+        for i, wgt in enumerate(CDC_WEIGHTS)
+    )
+    sqls["cdc_chunks"] = f"""WITH chars AS (
+  SELECT d.doc_id, g.i AS pos, unicode(substr(d.text, g.i + 1, 1)) AS code
+  FROM documents d,
+       UNNEST(generate_series(0, length(d.text) - 1)) AS g(i)
+),
+h AS (
+  SELECT doc_id, pos, ({hh}) % {CDC_M} AS hh
+  FROM chars WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+b AS (
+  SELECT doc_id, pos + 1 AS cut FROM h
+  WHERE pos >= {CDC_W - 1} AND hh % {CDC_D} = 0
+  UNION
+  SELECT doc_id, length(text) AS cut FROM documents WHERE length(text) > 0
+),
+c AS (
+  SELECT doc_id, cut AS end_off,
+         coalesce(lag(cut) OVER (PARTITION BY doc_id ORDER BY cut), 0)
+           AS start_off,
+         row_number() OVER (PARTITION BY doc_id ORDER BY cut) - 1
+           AS chunk_id
+  FROM b
+)
+SELECT c.doc_id, c.chunk_id, c.start_off, c.end_off,
+       c.end_off - c.start_off AS chunk_len,
+       ('0x' || substr(md5(substr(d.text, c.start_off + 1,
+                                  c.end_off - c.start_off)), 1, 15))::BIGINT
+         AS chunk_h60
+FROM c JOIN documents d ON d.doc_id = c.doc_id"""
+
     from .dataops import SPAN_W
 
     # dup_span_stats: stride-1 SPAN_W-token windows over the augmented
