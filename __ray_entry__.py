@@ -142,6 +142,7 @@ _SAMPLE_FIRST = [
     "link_pagerank",
     "link_triangles",
     "cdc_chunks",
+    "events_watermark",
     # (c) flagship + north-rule invariant canaries
     "extract_bte",
     "extract_spans_signature",
@@ -158,7 +159,8 @@ _SAMPLE_FIRST = [
     # (e) r1/r2-only-verified entries rotating back in
     "kmeans_assign",
     "kmeans_iterate",
-    "sample_split",
+    # sample_split (r1-r3 verified) yields its slot to the round-5
+    # events_watermark newcomer; it stays sweep-covered
     "dataset_stats",
     "events_window",
     "events_sessionize",

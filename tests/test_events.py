@@ -236,3 +236,67 @@ def test_events_paths_matches_serial(ray_session):
     assert got == expect
     assert len(df) == PATH_K
     assert all(p.count(">") <= PATH_PREFIX_LEN - 1 for p in df["path"])
+
+@given(events_strategy)
+@settings(max_examples=10, deadline=None)
+def test_watermark_matches_bruteforce(ray_session, tmp_path_factory, rows):
+    """Distributed bucket-prefix scan must equal the serial arrival
+    replay, including across bucket boundaries (bucket width forced to
+    4 events so every example spans many buckets)."""
+    from collections import Counter
+    from unittest import mock
+
+    from web_content_extraction_benchmark_ray.pipelines import events
+
+    sf = _write_sf(tmp_path_factory.mktemp("ev"), rows)
+    with mock.patch.object(events, "EID_RANGE_MIN", 4):
+        df = events.events_watermark(sf).to_pandas()
+    got = {
+        int(r.window_start_s): (int(r.n_ontime), int(r.n_late))
+        for r in df.itertuples()
+    }
+    ontime, late = Counter(), Counter()
+    wm = None  # max event time seen strictly before this arrival
+    for _, s, _, _ in rows:  # arrival order IS event_id order
+        w = (s // WINDOW_S) * WINDOW_S
+        if wm is not None and s < wm - events.WM_DELAY_S:
+            late[w] += 1
+        else:
+            ontime[w] += 1
+        wm = s if wm is None else max(wm, s)
+    expect = {
+        w: (ontime.get(w, 0), late.get(w, 0))
+        for w in set(ontime) | set(late)
+    }
+    assert got == expect
+
+
+def test_watermark_lateness_is_strict(ray_session, tmp_path, monkeypatch):
+    """An event AT the watermark is on time; one second below is late;
+    the boundary must survive a bucket split between the max-setter and
+    the probes."""
+    from web_content_extraction_benchmark_ray.pipelines import events
+
+    monkeypatch.setattr(events, "EID_RANGE_MIN", 2)
+    d = events.WM_DELAY_S
+    hi = 10 * WINDOW_S
+    rows = [
+        (1, hi, "view", 1.0),        # sets the watermark to hi - d
+        (1, hi - d, "view", 1.0),    # exactly at the watermark: on time
+        (1, hi - d - 1, "view", 1.0),  # strictly below: late
+        (1, hi, "view", 1.0),        # at max again: on time
+    ]
+    sf = _write_sf(tmp_path, rows)
+    df = events.events_watermark(sf).to_pandas()
+    got = {
+        int(r.window_start_s): (int(r.n_ontime), int(r.n_late))
+        for r in df.itertuples()
+    }
+    w_hi = (hi // WINDOW_S) * WINDOW_S
+    w_at = ((hi - d) // WINDOW_S) * WINDOW_S
+    w_below = ((hi - d - 1) // WINDOW_S) * WINDOW_S
+    expect = {w_hi: (2, 0)}
+    for w, on, la in ((w_at, 1, 0), (w_below, 0, 1)):
+        o, l = expect.get(w, (0, 0))
+        expect[w] = (o + on, l + la)
+    assert got == expect

@@ -7,8 +7,9 @@ partitioning assumption documented and a DuckDB oracle.
 The reference is strictly batch with no windowing (SURVEY.md §2.9); these
 operators extend the engine to the event/stream tables a training-data
 platform also processes.  All are BATCH implementations of the streaming
-semantics (processing-time completeness assumed: no watermarks / late
-data — the input table is closed).
+semantics over a closed input table; ``events_watermark`` restates the
+watermark/late-data split itself (arrival order = ``event_id``), the
+others assume processing-time completeness.
 
 Partitioning assumptions:
 - window aggregate: none (commutative partial aggregation per batch; the
@@ -215,6 +216,106 @@ def events_sliding(sf_dir: str):
         _window_reduce, batch_format="pyarrow"
     )
     return agg.map_batches(_window_finish, batch_format="pyarrow")
+
+
+# ------------------------------------------------- watermark / late data
+WM_DELAY_S = 900  # allowed lateness behind the max-seen event time
+EID_RANGE_MIN = 2048  # minimum events per arrival-scan bucket
+
+
+def _eid_range(sf_dir: str) -> int:
+    """Arrival-bucket width scaled to the table (parquet metadata only):
+    ~16 buckets per core keeps the driver's prefix table tiny at any
+    event count while every bucket still holds >= EID_RANGE_MIN rows."""
+    import pyarrow.parquet as pq
+
+    n = pq.ParquetFile(
+        os.path.join(sf_dir, "events.parquet")
+    ).metadata.num_rows
+    cpus = (
+        int(ray.cluster_resources().get("CPU", 4))
+        if ray.is_initialized()
+        else 4
+    )
+    return max(EID_RANGE_MIN, -(-n // (16 * cpus)))
+
+
+def events_watermark(sf_dir: str):
+    """Streaming watermark/late-data semantics restated over the closed
+    table (the batch twin of the gap noted in this module's header):
+    events ARRIVE in ``event_id`` order; after each arrival the
+    watermark is (max event time seen so far) - ``WM_DELAY_S``; an event
+    is LATE iff its event time is strictly below the watermark at its
+    arrival.  Output per tumbling hour window: (window_start_s,
+    n_ontime, n_late) — the on-time/late split a watermarked windowed
+    aggregate emits.
+
+    Two-level scan (the ``pack_shards`` discipline with max instead of
+    sum): arrival buckets (event_id // range) reduce to a per-bucket
+    max event time over 16-byte index rows; the driver prefix-maxes the
+    tiny bucket table (one row per bucket — ~16/core by construction);
+    each bucket then scans only its own events (sorted by event_id)
+    against its incoming prefix via ``np.maximum.accumulate``.  No
+    cross-bucket traffic, no raw-event shuffle; the window counts
+    finish with the vecagg bucketed-Sum shape."""
+    from ..stages.vecagg import bucketed_groupby
+
+    rng = _eid_range(sf_dir)
+
+    def rows(batch: pa.Table) -> pa.Table:
+        eid = np.asarray(batch.column("event_id").to_pylist(), np.int64)
+        return pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "s": pa.array(_epoch_s(batch.column("ts")), pa.int64()),
+                "bucket": pa.array(eid // rng, pa.int64()),
+            }
+        )
+
+    # 24-byte index rows, read twice (bucket maxima + in-bucket scan)
+    idx = _events(sf_dir, columns=["event_id", "ts"]).map_batches(
+        rows, batch_format="pyarrow"
+    ).materialize()
+
+    bmax = sorted(
+        (r["bucket"], r["max(s)"])
+        for r in idx.groupby("bucket").max("s").take_all()
+    )
+    pre: dict[int, int] = {}
+    run = -(1 << 62)  # before any arrival nothing is late
+    for b, m in bmax:
+        pre[b] = run
+        run = max(run, int(m))
+
+    def scan(group: pa.Table) -> pa.Table:
+        eid = np.asarray(group.column("event_id").to_pylist(), np.int64)
+        s = np.asarray(group.column("s").to_pylist(), np.int64)
+        order = np.argsort(eid)
+        s = s[order]
+        incoming = pre[int(group.column("bucket")[0].as_py())]
+        # prefix max SEEDED with the incoming cross-bucket watermark —
+        # accumulating s alone would forget it after the first event
+        wm_prev = np.maximum.accumulate(
+            np.concatenate(([incoming], s[:-1]))
+        )
+        late = s < wm_prev - WM_DELAY_S
+        win = (s // WINDOW_S) * WINDOW_S
+        uw, winv = np.unique(win, return_inverse=True)
+        n_late = np.zeros(len(uw), np.int64)
+        np.add.at(n_late, winv, late.astype(np.int64))
+        n_all = np.bincount(winv, minlength=len(uw)).astype(np.int64)
+        return pa.table(
+            {
+                "window_start_s": pa.array(uw, pa.int64()),
+                "n_ontime": pa.array(n_all - n_late, pa.int64()),
+                "n_late": pa.array(n_late, pa.int64()),
+            }
+        )
+
+    parts = idx.groupby("bucket").map_groups(scan, batch_format="pyarrow")
+    return bucketed_groupby(
+        parts, "window_start_s", ["n_ontime", "n_late"], ["sum", "sum"]
+    )
 
 
 # --------------------------------------------------------- sessionization
@@ -588,6 +689,7 @@ def events_queries() -> dict:
         "events_retention": events_retention,
         "events_funnel": events_funnel,
         "events_paths": events_paths,
+        "events_watermark": events_watermark,
     }
 
 
@@ -730,4 +832,23 @@ p AS (
 )
 SELECT path, CAST(count(*) AS BIGINT) AS n
 FROM p GROUP BY path ORDER BY n DESC, path LIMIT {PATH_K}"""
+
+    # events_watermark: running max over arrival (event_id) order is the
+    # watermark; strict < below (watermark - delay) marks an event late.
+    sqls["events_watermark"] = f"""
+WITH o AS (SELECT event_id, epoch_us(ts) // 1000000 AS s FROM events),
+w AS (
+  SELECT s, max(s) OVER (ORDER BY event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS prev_max
+  FROM o
+)
+SELECT (s // {WINDOW_S}) * {WINDOW_S} AS window_start_s,
+       CAST(count(*) FILTER (WHERE prev_max IS NULL
+                             OR s >= prev_max - {WM_DELAY_S}) AS BIGINT)
+         AS n_ontime,
+       CAST(count(*) FILTER (WHERE prev_max IS NOT NULL
+                             AND s < prev_max - {WM_DELAY_S}) AS BIGINT)
+         AS n_late
+FROM w GROUP BY 1"""
     return sqls
