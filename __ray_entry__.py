@@ -143,6 +143,7 @@ _SAMPLE_FIRST = [
     "link_triangles",
     "cdc_chunks",
     "events_watermark",
+    "events_rolling",
     # (c) flagship + north-rule invariant canaries
     "extract_bte",
     "extract_spans_signature",
@@ -167,7 +168,8 @@ _SAMPLE_FIRST = [
     "events_asof",
     "dedup_minhash_survivors",
     "embedding_dup_survivors",
-    "eval_agg_macro",
+    # eval_agg_macro (r1-r3 verified) yields its slot to the round-5
+    # events_rolling newcomer; it stays sweep-covered
     "pdf_extract",
     # eval_agg_micro / eval_quantiles / knn_ivf_trained (r1-r3 verified)
     # yield their slots to the round-5 graph/CDC newcomers; all three

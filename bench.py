@@ -312,6 +312,8 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
                   lambda: _consume(ev.events_paths(sf_dir)))
             timed("events_watermark",
                   lambda: _consume(ev.events_watermark(sf_dir)))
+            timed("events_rolling",
+                  lambda: _consume(ev.events_rolling(sf_dir)))
         except ImportError:
             pass
         try:

@@ -300,3 +300,34 @@ def test_watermark_lateness_is_strict(ray_session, tmp_path, monkeypatch):
         o, l = expect.get(w, (0, 0))
         expect[w] = (o + on, l + la)
     assert got == expect
+
+@given(events_strategy)
+@settings(max_examples=10, deadline=None)
+def test_rolling_matches_bruteforce(ray_session, tmp_path_factory, rows):
+    """Every event's trailing RANGE frame (same user, [s-3600, s], tie
+    peers included) must equal the quadratic recompute in exact
+    micro-units."""
+    import math
+
+    from web_content_extraction_benchmark_ray.pipelines.events import (
+        ROLL_RANGE_S,
+        events_rolling,
+    )
+
+    sf = _write_sf(tmp_path_factory.mktemp("ev"), rows)
+    df = events_rolling(sf).to_pandas()
+    got = {
+        int(r.event_id): (int(r.n_window), int(r.roll_sum6),
+                          int(r.roll_mean6))
+        for r in df.itertuples()
+    }
+    assert len(got) == len(rows)
+    v6 = [math.floor(v * 1e6 + 0.5) for _, _, _, v in rows]
+    for i, (u, s, _, _) in enumerate(rows):
+        frame = [
+            j for j, (u2, s2, _, _) in enumerate(rows)
+            if u2 == u and s - ROLL_RANGE_S <= s2 <= s
+        ]
+        n = len(frame)
+        rs = sum(v6[j] for j in frame)
+        assert got[i] == (n, rs, rs // n), (i, rows)

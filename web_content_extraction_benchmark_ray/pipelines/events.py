@@ -318,6 +318,69 @@ def events_watermark(sf_dir: str):
     )
 
 
+# -------------------------------------------------- rolling window frame
+ROLL_RANGE_S = 3600  # trailing RANGE frame width (inclusive), seconds
+
+
+def events_rolling(sf_dir: str, user_buckets: int | None = None):
+    """Per-event trailing RANGE-frame aggregate — the window-FRAME
+    operator shape (every row gets its own window) that the tumbling /
+    sliding aggregates (one row per window) do not cover: for each
+    event, the count / sum / mean of ``value`` over the SAME USER's
+    events in ``[s - ROLL_RANGE_S, s]`` (SQL ``RANGE BETWEEN 3600
+    PRECEDING AND CURRENT ROW`` — tie rows at equal ``s`` are peers and
+    share one frame).  Output per event: (event_id, n_window,
+    roll_sum6, roll_mean6) in exact int64 micro-units
+    (``_quantize_micro`` discipline; mean is floor(sum/n), floor-safe
+    on both sides).
+
+    Partitioning: the sessionize user-bucket co-group (all events of a
+    user meet in one group; raw rows cross the shuffle ONCE).  Per
+    group the scan is fully vectorized: sort by (user, s), fuse
+    (user_rank, shifted_s) into one monotone int64 key with a per-user
+    span wide enough that a frame can never reach the previous user,
+    then two ``np.searchsorted`` calls + one prefix-sum difference give
+    every row's frame — no per-user Python loop, so a bucket with a
+    million users costs the same three array passes."""
+
+    def roll(group: pa.Table) -> pa.Table:
+        users = np.asarray(group.column("user_id").to_pylist(), np.int64)
+        ids = np.asarray(group.column("event_id").to_pylist(), np.int64)
+        secs = _epoch_s(group.column("ts"))
+        v6 = _quantize_micro(group.column("value"))
+        order = np.lexsort((ids, secs, users))
+        users, ids, secs, v6 = (
+            users[order], ids[order], secs[order], v6[order]
+        )
+        ds = secs - secs.min()
+        span = int(ds.max()) + ROLL_RANGE_S + 2
+        # users are the primary sort key, so unique-inverse is
+        # nondecreasing and c is monotone under (user asc, s asc)
+        _, uidx = np.unique(users, return_inverse=True)
+        c = uidx.astype(np.int64) * span + ds
+        lo = np.searchsorted(c, c - ROLL_RANGE_S, side="left")
+        hi = np.searchsorted(c, c, side="right")
+        pref = np.concatenate(([0], np.cumsum(v6)))
+        rs = pref[hi] - pref[lo]
+        n = hi - lo
+        return pa.table(
+            {
+                "event_id": pa.array(ids, pa.int64()),
+                "n_window": pa.array(n.astype(np.int64), pa.int64()),
+                "roll_sum6": pa.array(rs, pa.int64()),
+                "roll_mean6": pa.array(rs // n, pa.int64()),
+            }
+        )
+
+    ds = _events(sf_dir, columns=["event_id", "ts", "user_id", "value"])
+    ds = ds.map_batches(
+        _add_user_bucket,
+        fn_kwargs={"num_buckets": user_buckets or derived_user_buckets()},
+        batch_format="pyarrow",
+    )
+    return ds.groupby("bucket").map_groups(roll, batch_format="pyarrow")
+
+
 # --------------------------------------------------------- sessionization
 def derived_user_buckets(n_cpus: int | None = None) -> int:
     """User-bucket count scaled to the session's cores.  A fixed constant
@@ -690,6 +753,7 @@ def events_queries() -> dict:
         "events_funnel": events_funnel,
         "events_paths": events_paths,
         "events_watermark": events_watermark,
+        "events_rolling": events_rolling,
     }
 
 
@@ -851,4 +915,29 @@ SELECT (s // {WINDOW_S}) * {WINDOW_S} AS window_start_s,
                              AND s < prev_max - {WM_DELAY_S}) AS BIGINT)
          AS n_late
 FROM w GROUP BY 1"""
+
+    # events_rolling: the RANGE frame is inclusive at both ends and tie
+    # rows share one frame (peers) — exactly searchsorted(left)/(right).
+    # floor(rs/n) (not //, which truncates) matches numpy floor division
+    # for negative sums; rs < 2^53 keeps the double division exact.
+    sqls["events_rolling"] = f"""
+WITH o AS (
+  SELECT event_id, user_id, epoch_us(ts) // 1000000 AS s,
+         CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS v6
+  FROM events
+),
+w AS (
+  SELECT event_id,
+         sum(v6) OVER (PARTITION BY user_id ORDER BY s
+                       RANGE BETWEEN {ROLL_RANGE_S} PRECEDING
+                       AND CURRENT ROW) AS rs,
+         count(*) OVER (PARTITION BY user_id ORDER BY s
+                        RANGE BETWEEN {ROLL_RANGE_S} PRECEDING
+                        AND CURRENT ROW) AS n
+  FROM o
+)
+SELECT event_id, CAST(n AS BIGINT) AS n_window,
+       CAST(rs AS BIGINT) AS roll_sum6,
+       CAST(floor(rs * 1.0 / n) AS BIGINT) AS roll_mean6
+FROM w"""
     return sqls
