@@ -144,6 +144,7 @@ _SAMPLE_FIRST = [
     "cdc_chunks",
     "events_watermark",
     "events_rolling",
+    "topk_per_source",
     # (c) flagship + north-rule invariant canaries
     "extract_bte",
     "extract_spans_signature",
@@ -160,9 +161,9 @@ _SAMPLE_FIRST = [
     # (e) r1/r2-only-verified entries rotating back in
     "kmeans_assign",
     "kmeans_iterate",
-    # sample_split (r1-r3 verified) yields its slot to the round-5
-    # events_watermark newcomer; it stays sweep-covered
-    "dataset_stats",
+    # sample_split / dataset_stats (r1-r3 / r2 verified) yield their
+    # slots to the round-5 events_watermark / topk_per_source
+    # newcomers; both stay sweep-covered
     "events_window",
     "events_sessionize",
     "events_asof",

@@ -276,6 +276,8 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
             timed("source_mix", lambda: _consume(cu.source_mix(sf_dir)))
             timed("quality_tiers",
                   lambda: _consume(cu.quality_tiers(sf_dir)))
+            timed("topk_per_source",
+                  lambda: _consume(cu.topk_per_source(sf_dir)))
             timed("shuffle_order",
                   lambda: _consume(cu.shuffle_order(sf_dir)))
             timed("pack_sequences",

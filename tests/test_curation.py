@@ -429,3 +429,45 @@ def test_curate_corpus_empty_neardup_copy_matches_oracle(
     # the empty near-dup copy of doc 0 exists, counts 0 tokens, dropped
     empty = got.set_index("doc_id").loc[1_000_000]
     assert empty["n_tokens"] == 0 and empty["keep"] == 0
+
+
+def test_topk_per_source_matches_serial(ray_session):
+    """Distributed partial-topk + merge must equal a single-process rank
+    over the real table: per source, quality desc / doc_id asc, first k,
+    1-based rank."""
+    import pyarrow.parquet as pq
+
+    from web_content_extraction_benchmark_ray.functions.textstats import (
+        quality_features,
+    )
+    from web_content_extraction_benchmark_ray.pipelines.curation import (
+        TOPK_SRC_K,
+        topk_per_source,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    df = topk_per_source(sf).to_pandas()
+    t = pq.read_table(
+        f"{sf}/documents.parquet", columns=["doc_id", "text", "source"]
+    ).to_pandas()
+    rows = []
+    for r in t.itertuples():
+        qf = quality_features(r.text)
+        rows.append((r.source, -int(round(qf["quality"] * 1e6)),
+                     int(r.doc_id), qf["n_ws"]))
+    rows.sort()
+    expect, seen = [], {}
+    for src, negq, did, ntok in rows:
+        rnk = seen.get(src, 0) + 1
+        seen[src] = rnk
+        if rnk <= TOPK_SRC_K:
+            expect.append((src, rnk, did, -negq, ntok))
+    got = sorted(
+        (r.source, int(r.rnk), int(r.doc_id), int(r.quality_mu),
+         int(r.n_tokens))
+        for r in df.itertuples()
+    )
+    assert got == sorted(expect)
+    # the cap binds: every source contributes exactly k rows
+    n_src = t["source"].nunique()
+    assert len(got) == n_src * TOPK_SRC_K

@@ -527,6 +527,94 @@ def quality_tiers(sf_dir: str, k: int = TIER_K):
     return idx.groupby("bucket").map_groups(assign, batch_format="pyarrow")
 
 
+# ------------------------------------------------------------ topk_per_source
+TOPK_SRC_K = 10  # docs kept per source (20 sources x ~25 docs at test scale: binds)
+
+
+def topk_per_source(sf_dir: str, k: int = TOPK_SRC_K):
+    """Per-GROUP top-k (SQL ``row_number() OVER (PARTITION BY source
+    ORDER BY quality DESC, doc_id) <= k``) — the partitioned-rank
+    operator shape next to the global ranks (``quality_tiers``) and the
+    global top-k (``vocab_topk``): for each source, the ``k``
+    highest-quality docs with their 1-based in-source rank.  Output:
+    (source, rnk, doc_id, quality_mu, n_tokens).
+
+    Shape: a map-side PARTIAL top-k per source inside each batch (one
+    lexsort over (source, q desc, id) + a vectorized per-run rank mask
+    — at most ``k`` 40-byte index rows per source leave any block, text
+    never shuffles), then one per-source merge re-ranks
+    O(k × n_blocks) surviving rows.  Final group sizes are bounded by
+    construction, so the small-discrete-key groupby skew gotcha cannot
+    produce a heavy partition."""
+    import os
+
+    from ..functions.textstats import quality_features
+
+    def _partial_topk(
+        srcs: np.ndarray, ids: np.ndarray, q: np.ndarray,
+        tok: np.ndarray, k: int
+    ) -> tuple:
+        """Top-k rows per source run + each row's 1-based in-run rank,
+        fully vectorized: lexsort, run starts via != shift, rank =
+        position - run start."""
+        order = np.lexsort((ids, -q, srcs))
+        srcs, ids, q, tok = srcs[order], ids[order], q[order], tok[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], srcs[1:] != srcs[:-1]))
+        )
+        run_id = np.cumsum(
+            np.concatenate(([True], srcs[1:] != srcs[:-1]))
+        ) - 1
+        rnk = np.arange(len(srcs), dtype=np.int64) - starts[run_id] + 1
+        m = rnk <= k
+        return srcs[m], ids[m], q[m], tok[m], rnk[m]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids, q_mu, ntok = [], [], []
+        for t in batch.column("text").to_pylist():
+            qf = quality_features(t)
+            q_mu.append(int(round(qf["quality"] * 1e6)))
+            ntok.append(qf["n_ws"])
+        srcs = np.asarray(batch.column("source").to_pylist(), dtype=object)
+        ids = np.asarray(
+            [int(i) for i in batch.column("doc_id").to_pylist()], np.int64
+        )
+        s, i, q, tk, _ = _partial_topk(
+            srcs, ids, np.asarray(q_mu, np.int64),
+            np.asarray(ntok, np.int64), k
+        )
+        return pa.table(
+            {
+                "source": pa.array(s.tolist(), pa.string()),
+                "doc_id": pa.array(i, pa.int64()),
+                "quality_mu": pa.array(q, pa.int64()),
+                "n_tokens": pa.array(tk, pa.int64()),
+            }
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        srcs = np.asarray(group.column("source").to_pylist(), dtype=object)
+        ids = np.asarray(group.column("doc_id").to_pylist(), np.int64)
+        q = np.asarray(group.column("quality_mu").to_pylist(), np.int64)
+        tok = np.asarray(group.column("n_tokens").to_pylist(), np.int64)
+        s, i, qq, tk, rnk = _partial_topk(srcs, ids, q, tok, k)
+        return pa.table(
+            {
+                "source": pa.array(s.tolist(), pa.string()),
+                "rnk": pa.array(rnk, pa.int64()),
+                "doc_id": pa.array(i, pa.int64()),
+                "quality_mu": pa.array(qq, pa.int64()),
+                "n_tokens": pa.array(tk, pa.int64()),
+            }
+        )
+
+    idx = read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "source"],
+    ).map_batches(partial, batch_format="pyarrow")
+    return idx.groupby("source").map_groups(merge, batch_format="pyarrow")
+
+
 # -------------------------------------------------------------- shuffle_order
 SHUFFLE_SEED = "shuf1"  # seed string baked into the hash (epoch selector)
 SHUFFLE_SEQ_DOCS = 64  # docs per shuffled output shard (test scale)
@@ -843,6 +931,7 @@ def curation_queries() -> dict:
         "select_budget": select_budget,
         "source_mix": source_mix,
         "quality_tiers": quality_tiers,
+        "topk_per_source": topk_per_source,
         "shuffle_order": shuffle_order,
         "pack_sequences": pack_sequences,
         "pii_scrub": pii_scrub,
@@ -959,6 +1048,27 @@ SELECT doc_id, n_tokens, q_mu AS quality_mu,
        CAST(ntile({TIER_K}) OVER (ORDER BY q_mu DESC, doc_id) AS BIGINT)
          AS tier
 FROM c"""
+
+    # topk_per_source: the same quality window PARTITIONED BY source,
+    # row_number <= k — the partitioned-rank twin of quality_tiers.
+    sqls["topk_per_source"] = f"""WITH t AS (
+  SELECT doc_id, text, source,
+         regexp_split_to_array(trim(text), '\\s+') AS l
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, CAST(len(l) AS BIGINT) AS n_tokens, {q_mu} AS q_mu
+  FROM t
+),
+r AS (
+  SELECT source, doc_id, q_mu, n_tokens,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY q_mu DESC, doc_id) AS rnk
+  FROM c
+)
+SELECT source, CAST(rnk AS BIGINT) AS rnk, doc_id, q_mu AS quality_mu,
+       n_tokens
+FROM r WHERE rnk <= {TOPK_SRC_K}"""
 
     # shuffle_order: the permutation is ROW_NUMBER over the md5-derived
     # hash — the same _H60 expression every dedup oracle embeds.
