@@ -144,6 +144,7 @@ _SAMPLE_FIRST = [
     "cdc_chunks",
     "events_watermark",
     "events_rolling",
+    "events_range_join",
     "topk_per_source",
     # (c) flagship + north-rule invariant canaries
     "extract_bte",
@@ -159,11 +160,11 @@ _SAMPLE_FIRST = [
     "embedding_dup_pairs",
     "decontaminate",
     # (e) r1/r2-only-verified entries rotating back in
-    "kmeans_assign",
     "kmeans_iterate",
-    # sample_split / dataset_stats (r1-r3 / r2 verified) yield their
-    # slots to the round-5 events_watermark / topk_per_source
-    # newcomers; both stay sweep-covered
+    # sample_split / dataset_stats / kmeans_assign (r1-r3 / r2 / r1-r3
+    # verified) yield their slots to the round-5 events_watermark /
+    # topk_per_source / events_range_join newcomers; all stay
+    # sweep-covered (kmeans_iterate keeps the k-means family in-window)
     "events_window",
     "events_sessionize",
     "events_asof",

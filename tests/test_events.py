@@ -331,3 +331,28 @@ def test_rolling_matches_bruteforce(ray_session, tmp_path_factory, rows):
         n = len(frame)
         rs = sum(v6[j] for j in frame)
         assert got[i] == (n, rs, rs // n), (i, rows)
+
+@given(events_strategy)
+@settings(max_examples=10, deadline=None)
+def test_range_join_matches_bruteforce(ray_session, tmp_path_factory, rows):
+    """Every probe event must see exactly the same-user incident windows
+    (error event opens [s, s+INCIDENT_S]) the quadratic join finds."""
+    from web_content_extraction_benchmark_ray.pipelines.events import (
+        ASOF_TYPE,
+        INCIDENT_S,
+        events_range_join,
+    )
+
+    sf = _write_sf(tmp_path_factory.mktemp("ev"), rows)
+    df = events_range_join(sf).to_pandas()
+    got = {
+        int(r.event_id): (int(r.n_covering), int(r.first_incident_s))
+        for r in df.itertuples()
+    }
+    assert len(got) == len(rows)
+    for i, (u, s, _, _) in enumerate(rows):
+        cov = [
+            s2 for (u2, s2, t2, _) in rows
+            if u2 == u and t2 == ASOF_TYPE and s2 <= s <= s2 + INCIDENT_S
+        ]
+        assert got[i] == (len(cov), min(cov) if cov else -1), (i, rows)

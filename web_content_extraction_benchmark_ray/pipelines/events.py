@@ -381,6 +381,73 @@ def events_rolling(sf_dir: str, user_buckets: int | None = None):
     return ds.groupby("bucket").map_groups(roll, batch_format="pyarrow")
 
 
+# ------------------------------------------------------------- range join
+INCIDENT_S = 900  # each 'error' event opens a [s, s+INCIDENT_S] window
+
+
+def events_range_join(sf_dir: str, user_buckets: int | None = None):
+    """RANGE JOIN — the inequality-predicate join shape that completes
+    the custom-operator triple next to ``events_asof`` (point lookup
+    backward) and ``events_rolling`` (self frame): every event LEFT
+    JOINs the same user's incident windows (each ``error`` event opens
+    ``[s, s + INCIDENT_S]``) on ``i.s <= e.s <= i.s + INCIDENT_S``,
+    aggregated per probe row.  Output per event: (event_id, n_covering,
+    first_incident_s) with -1 when no window covers it.
+
+    A distributed range join needs both sides co-located on the equi
+    part of the predicate (user) — the same user-bucket co-group as
+    asof/sessionize; the band part then resolves IN-GROUP with zero
+    extra shuffle.  Per group it is the ``events_rolling`` fused-key
+    scan probing a FILTERED build side: two np.searchsorted calls of
+    every event's key against the error-subset keys bound each probe's
+    covering-window run, so the join never materializes pairs (the
+    per-probe aggregate is a run-length + run-head decode), and a
+    pathological million-window user costs two binary-search passes,
+    not an O(events × windows) explode."""
+
+    def join(group: pa.Table) -> pa.Table:
+        users = np.asarray(group.column("user_id").to_pylist(), np.int64)
+        ids = np.asarray(group.column("event_id").to_pylist(), np.int64)
+        secs = _epoch_s(group.column("ts"))
+        types = np.asarray(
+            group.column("event_type").to_pylist(), dtype=object
+        )
+        order = np.lexsort((ids, secs, users))
+        users, ids, secs, types = (
+            users[order], ids[order], secs[order], types[order]
+        )
+        smin = secs.min()
+        ds = secs - smin
+        span = int(ds.max()) + INCIDENT_S + 2
+        _, uidx = np.unique(users, return_inverse=True)
+        c = uidx.astype(np.int64) * span + ds
+        ce = c[types == ASOF_TYPE]
+        lo = np.searchsorted(ce, c - INCIDENT_S, side="left")
+        hi = np.searchsorted(ce, c, side="right")
+        n = (hi - lo).astype(np.int64)
+        first = np.full(len(c), -1, dtype=np.int64)
+        cov = n > 0
+        # run head decodes to the earliest covering window's start
+        first[cov] = ce[lo[cov]] % span + smin
+        return pa.table(
+            {
+                "event_id": pa.array(ids, pa.int64()),
+                "n_covering": pa.array(n, pa.int64()),
+                "first_incident_s": pa.array(first, pa.int64()),
+            }
+        )
+
+    ds = _events(
+        sf_dir, columns=["event_id", "ts", "user_id", "event_type"]
+    )
+    ds = ds.map_batches(
+        _add_user_bucket,
+        fn_kwargs={"num_buckets": user_buckets or derived_user_buckets()},
+        batch_format="pyarrow",
+    )
+    return ds.groupby("bucket").map_groups(join, batch_format="pyarrow")
+
+
 # --------------------------------------------------------- sessionization
 def derived_user_buckets(n_cpus: int | None = None) -> int:
     """User-bucket count scaled to the session's cores.  A fixed constant
@@ -754,6 +821,7 @@ def events_queries() -> dict:
         "events_paths": events_paths,
         "events_watermark": events_watermark,
         "events_rolling": events_rolling,
+        "events_range_join": events_range_join,
     }
 
 
@@ -940,4 +1008,20 @@ SELECT event_id, CAST(n AS BIGINT) AS n_window,
        CAST(rs AS BIGINT) AS roll_sum6,
        CAST(floor(rs * 1.0 / n) AS BIGINT) AS roll_mean6
 FROM w"""
+
+    # events_range_join: a REAL inequality join in the oracle (DuckDB
+    # IEJoin) — the engine side never materializes the pairs.
+    sqls["events_range_join"] = f"""
+WITH o AS (
+  SELECT event_id, user_id, epoch_us(ts) // 1000000 AS s, event_type
+  FROM events
+),
+i AS (SELECT user_id, s FROM o WHERE event_type = '{ASOF_TYPE}')
+SELECT o.event_id,
+       CAST(count(i.s) AS BIGINT) AS n_covering,
+       CAST(coalesce(min(i.s), -1) AS BIGINT) AS first_incident_s
+FROM o LEFT JOIN i
+  ON o.user_id = i.user_id
+ AND i.s <= o.s AND o.s <= i.s + {INCIDENT_S}
+GROUP BY o.event_id"""
     return sqls
