@@ -101,6 +101,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
 
     out.update(graph_queries())
+    from web_content_extraction_benchmark_ray.pipelines.relational import (
+        relational_queries,
+    )
+
+    out.update(relational_queries())
     return _sampled_first(out)
 
 
@@ -146,6 +151,8 @@ _SAMPLE_FIRST = [
     "events_rolling",
     "events_range_join",
     "topk_per_source",
+    "join_revenue",
+    "docs_rollup",
     # (c) flagship + north-rule invariant canaries
     "extract_bte",
     "extract_spans_signature",
@@ -165,8 +172,9 @@ _SAMPLE_FIRST = [
     # verified) yield their slots to the round-5 events_watermark /
     # topk_per_source / events_range_join newcomers; all stay
     # sweep-covered (kmeans_iterate keeps the k-means family in-window)
-    "events_window",
-    "events_sessionize",
+    # events_window / events_sessionize (r1-r3 verified) yield their
+    # slots to the round-5 join_revenue / docs_rollup newcomers; the
+    # event family stays in-window via the three r5 event newcomers
     "events_asof",
     "dedup_minhash_survivors",
     "embedding_dup_survivors",
@@ -286,4 +294,9 @@ def oracle_sql() -> dict[str, str]:
     )
 
     out.update(graph_oracle_sql())
+    from web_content_extraction_benchmark_ray.pipelines.relational import (
+        relational_oracle_sql,
+    )
+
+    out.update(relational_oracle_sql())
     return out

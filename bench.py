@@ -321,6 +321,15 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
         except ImportError:
             pass
         try:
+            from web_content_extraction_benchmark_ray.pipelines import relational as rel
+
+            timed("join_revenue",
+                  lambda: _consume(rel.join_revenue(sf_dir)))
+            timed("docs_rollup",
+                  lambda: len(rel.docs_rollup(sf_dir)))
+        except ImportError:
+            pass
+        try:
             from web_content_extraction_benchmark_ray.pipelines import graphops as gr
 
             timed("link_pagerank",
