@@ -153,6 +153,7 @@ _SAMPLE_FIRST = [
     "topk_per_source",
     "join_revenue",
     "docs_rollup",
+    "events_lag",
     # (c) flagship + north-rule invariant canaries
     "extract_bte",
     "extract_spans_signature",
@@ -177,7 +178,8 @@ _SAMPLE_FIRST = [
     # event family stays in-window via the three r5 event newcomers
     "events_asof",
     "dedup_minhash_survivors",
-    "embedding_dup_survivors",
+    # embedding_dup_survivors (r3 verified) yields its slot to the
+    # round-5 events_lag newcomer; embedding_dup_pairs stays in (d)
     # eval_agg_macro (r1-r3 verified) yields its slot to the round-5
     # events_rolling newcomer; it stays sweep-covered
     "pdf_extract",

@@ -356,3 +356,30 @@ def test_range_join_matches_bruteforce(ray_session, tmp_path_factory, rows):
             if u2 == u and t2 == ASOF_TYPE and s2 <= s <= s2 + INCIDENT_S
         ]
         assert got[i] == (len(cov), min(cov) if cov else -1), (i, rows)
+
+@given(events_strategy)
+@settings(max_examples=10, deadline=None)
+def test_lag_matches_bruteforce(ray_session, tmp_path_factory, rows):
+    """Inter-arrival gaps must equal the serial per-user (s, event_id)
+    ordering, including tie rows at equal seconds."""
+    from web_content_extraction_benchmark_ray.pipelines.events import (
+        events_lag,
+    )
+
+    sf = _write_sf(tmp_path_factory.mktemp("ev"), rows)
+    df = events_lag(sf).to_pandas()
+    got = {
+        int(r.event_id): (int(r.gap_prev_s), int(r.gap_next_s))
+        for r in df.itertuples()
+    }
+    per_user: dict = {}
+    for eid, (u, s, _, _) in enumerate(rows):
+        per_user.setdefault(u, []).append((s, eid))
+    expect = {}
+    for evs in per_user.values():
+        evs.sort()
+        for i, (s, eid) in enumerate(evs):
+            gp = s - evs[i - 1][0] if i > 0 else -1
+            gn = evs[i + 1][0] - s if i + 1 < len(evs) else -1
+            expect[eid] = (gp, gn)
+    assert got == expect

@@ -381,6 +381,46 @@ def events_rolling(sf_dir: str, user_buckets: int | None = None):
     return ds.groupby("bucket").map_groups(roll, batch_format="pyarrow")
 
 
+# ---------------------------------------------------------------- lag/lead
+def events_lag(sf_dir: str, user_buckets: int | None = None):
+    """LAG/LEAD window shape: per event, seconds since the same user's
+    PREVIOUS event and until the NEXT one (order: s, then event_id; -1
+    at the partition edges) — inter-arrival gaps, the feature stream
+    behind session-gap tuning and burst detection.
+
+    Same user-bucket co-group as sessionize; per group one lexsort and
+    two shifted diffs (boundary mask where the user changes) — O(n log n)
+    in the group, no per-user loop."""
+
+    def gaps(group: pa.Table) -> pa.Table:
+        users = np.asarray(group.column("user_id").to_pylist(), np.int64)
+        ids = np.asarray(group.column("event_id").to_pylist(), np.int64)
+        secs = _epoch_s(group.column("ts"))
+        order = np.lexsort((ids, secs, users))
+        users, ids, secs = users[order], ids[order], secs[order]
+        same_prev = np.concatenate(([False], users[1:] == users[:-1]))
+        gp = np.full(len(ids), -1, dtype=np.int64)
+        gp[same_prev] = (secs[1:] - secs[:-1])[same_prev[1:]]
+        gn = np.full(len(ids), -1, dtype=np.int64)
+        same_next = np.concatenate((users[1:] == users[:-1], [False]))
+        gn[same_next] = (secs[1:] - secs[:-1])[same_next[:-1]]
+        return pa.table(
+            {
+                "event_id": pa.array(ids, pa.int64()),
+                "gap_prev_s": pa.array(gp, pa.int64()),
+                "gap_next_s": pa.array(gn, pa.int64()),
+            }
+        )
+
+    ds = _events(sf_dir, columns=["event_id", "ts", "user_id"])
+    ds = ds.map_batches(
+        _add_user_bucket,
+        fn_kwargs={"num_buckets": user_buckets or derived_user_buckets()},
+        batch_format="pyarrow",
+    )
+    return ds.groupby("bucket").map_groups(gaps, batch_format="pyarrow")
+
+
 # ------------------------------------------------------------- range join
 INCIDENT_S = 900  # each 'error' event opens a [s, s+INCIDENT_S] window
 
@@ -822,6 +862,7 @@ def events_queries() -> dict:
         "events_watermark": events_watermark,
         "events_rolling": events_rolling,
         "events_range_join": events_range_join,
+        "events_lag": events_lag,
     }
 
 
@@ -1024,4 +1065,21 @@ FROM o LEFT JOIN i
   ON o.user_id = i.user_id
  AND i.s <= o.s AND o.s <= i.s + {INCIDENT_S}
 GROUP BY o.event_id"""
+
+    # events_lag: LAG/LEAD with the deterministic (s, event_id) order.
+    sqls["events_lag"] = """
+WITH o AS (
+  SELECT event_id, user_id, epoch_us(ts) // 1000000 AS s FROM events
+),
+w AS (
+  SELECT event_id,
+         s - lag(s) OVER (PARTITION BY user_id
+                          ORDER BY s, event_id) AS gp,
+         lead(s) OVER (PARTITION BY user_id
+                       ORDER BY s, event_id) - s AS gn
+  FROM o
+)
+SELECT event_id, CAST(coalesce(gp, -1) AS BIGINT) AS gap_prev_s,
+       CAST(coalesce(gn, -1) AS BIGINT) AS gap_next_s
+FROM w"""
     return sqls
