@@ -152,6 +152,7 @@ _SAMPLE_FIRST = [
     "events_range_join",
     "topk_per_source",
     "join_revenue",
+    "revenue_by_region",
     "docs_rollup",
     "events_lag",
     # (c) flagship + north-rule invariant canaries
@@ -177,9 +178,11 @@ _SAMPLE_FIRST = [
     # slots to the round-5 join_revenue / docs_rollup newcomers; the
     # event family stays in-window via the three r5 event newcomers
     "events_asof",
-    "dedup_minhash_survivors",
-    # embedding_dup_survivors (r3 verified) yields its slot to the
-    # round-5 events_lag newcomer; embedding_dup_pairs stays in (d)
+    # dedup_minhash_survivors / embedding_dup_survivors (r1-r3 / r3
+    # verified) yield their slots to the round-5 revenue_by_region /
+    # events_lag newcomers; the minhash path stays in (a) via
+    # dedup_incremental_minhash, the embedding path in (d) via
+    # embedding_dup_pairs
     # eval_agg_macro (r1-r3 verified) yields its slot to the round-5
     # events_rolling newcomer; it stays sweep-covered
     "pdf_extract",

@@ -329,6 +329,8 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
                   lambda: _consume(rel.join_revenue(sf_dir)))
             timed("docs_rollup",
                   lambda: len(rel.docs_rollup(sf_dir)))
+            timed("revenue_by_region",
+                  lambda: _consume(rel.revenue_by_region(sf_dir)))
         except ImportError:
             pass
         try:

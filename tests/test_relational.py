@@ -117,3 +117,48 @@ def test_docs_rollup_levels_consistent(ray_session):
     assert len(grand) == 1
     assert int(grand["n_docs"].iloc[0]) == len(docs)
     assert int(grand["sum_chars"].iloc[0]) == int(docs["n_chars"].sum())
+
+
+def test_revenue_by_region_matches_serial(ray_session):
+    """The snowflake (co-group band + broadcast dims) must equal the
+    single-process pandas 4-way merge."""
+    from web_content_extraction_benchmark_ray.pipelines.relational import (
+        revenue_by_region,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    df = revenue_by_region(sf).to_pandas()
+    li = pq.read_table(
+        f"{sf}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    ).to_pandas()
+    li["rev6"] = np.floor(
+        li["l_extendedprice"] * (1 - li["l_discount"]) * 1e6 + 0.5
+    ).astype("int64")
+    o = pq.read_table(
+        f"{sf}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).to_pandas()
+    c = pq.read_table(
+        f"{sf}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    n = pq.read_table(
+        f"{sf}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    ).to_pandas()
+    r = pq.read_table(f"{sf}/region.parquet").to_pandas()
+    j = (
+        li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(c, left_on="o_custkey", right_on="c_custkey")
+        .merge(n, left_on="c_nationkey", right_on="n_nationkey")
+        .merge(r, left_on="n_regionkey", right_on="r_regionkey")
+    )
+    want = (
+        j.groupby("r_name")
+        .agg(n_lines=("rev6", "size"), revenue6=("rev6", "sum"))
+        .reset_index()
+        .sort_values("r_name")
+        .reset_index(drop=True)
+    )
+    got = df.sort_values("region").reset_index(drop=True)
+    assert got["region"].tolist() == want["r_name"].tolist()
+    assert got["n_lines"].astype("int64").tolist() == want["n_lines"].astype("int64").tolist()
+    assert got["revenue6"].astype("int64").tolist() == want["revenue6"].astype("int64").tolist()

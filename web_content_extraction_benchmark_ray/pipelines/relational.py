@@ -77,6 +77,19 @@ def join_revenue(sf_dir: str, num_buckets: int | None = None):
     ``key % B`` bucket; orderkeys are unique on the orders side (the
     build), so the in-group probe is one searchsorted per bucket."""
     nb = num_buckets or derived_join_buckets()
+    return _orders_join_agg(
+        sf_dir, nb, "o_orderpriority",
+        lambda batch: batch.column("o_orderpriority").to_pylist(),
+        ["o_orderkey", "o_orderpriority"],
+    )
+
+
+def _orders_join_agg(sf_dir: str, nb: int, label_name: str,
+                     label_of, o_columns):
+    """The co-group join core shared by ``join_revenue`` and
+    ``revenue_by_region``: lineitem revenue rows join orders rows
+    labelled by ``label_of(batch)`` (a per-order string), aggregated to
+    (label_name, n_lines, revenue6)."""
 
     def li_rows(batch: pa.Table) -> pa.Table:
         k = np.asarray(batch.column("l_orderkey").to_pylist(), np.int64)
@@ -109,7 +122,7 @@ def join_revenue(sf_dir: str, num_buckets: int | None = None):
                 "bucket": pa.array(k % nb, pa.int64()),
                 "orderkey": pa.array(k, pa.int64()),
                 "side": pa.array(z + 1, pa.int64()),
-                "prio": batch.column("o_orderpriority"),
+                "prio": pa.array(label_of(batch), pa.string()),
                 "rev6": pa.array(z, pa.int64()),
                 "n": pa.array(z, pa.int64()),
             }
@@ -120,7 +133,7 @@ def join_revenue(sf_dir: str, num_buckets: int | None = None):
         ["l_orderkey", "l_extendedprice", "l_discount"],
     ).map_batches(li_rows, batch_format="pyarrow")
     orders = _read(
-        sf_dir, "orders", ["o_orderkey", "o_orderpriority"]
+        sf_dir, "orders", o_columns
     ).map_batches(o_rows, batch_format="pyarrow")
 
     def joined(group: pa.Table) -> pa.Table:
@@ -163,8 +176,90 @@ def join_revenue(sf_dir: str, num_buckets: int | None = None):
         joined, batch_format="pyarrow"
     )
     return bucketed_groupby(
-        parts, "o_orderpriority", ["n_lines", "revenue6"], ["sum", "sum"]
+        parts, "o_orderpriority", ["n_lines", "revenue6"], ["sum", "sum"],
+        out_names=["n_lines", "revenue6"],
+    ).map_batches(
+        lambda b: b.rename_columns(
+            [label_name, "n_lines", "revenue6"]
+        ),
+        batch_format="pyarrow",
     )
+
+
+# ---------------------------------------------------------- revenue_by_region
+_DIM_MEMO: dict = {}
+
+
+def _custkey_region(sf_dir: str):
+    """Broadcast side of the snowflake: custkey -> region name through
+    customer -> nation -> region.  Dimension tables are the canonical
+    broadcast small side (region/nation are fixed-size; customer is the
+    largest dim — if it ever outgrew broadcast, custkey would co-group
+    exactly like orderkey).  Returns (sorted custkeys, region names),
+    memoized per customer file."""
+    import pyarrow.parquet as pq
+
+    from . import file_key
+
+    key = file_key(os.path.join(sf_dir, "customer.parquet"))
+    got = _DIM_MEMO.get(key)
+    if got is not None:
+        return got
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"],
+    )
+    nat = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_regionkey"],
+    )
+    reg = pq.read_table(
+        os.path.join(sf_dir, "region.parquet"),
+        columns=["r_regionkey", "r_name"],
+    )
+    rk = np.asarray(reg.column("r_regionkey").to_pylist(), np.int64)
+    rname = np.asarray(reg.column("r_name").to_pylist(), dtype=object)
+    rname = rname[np.argsort(rk)]  # index by regionkey (dense 0..R-1)
+    nk = np.asarray(nat.column("n_nationkey").to_pylist(), np.int64)
+    nreg = np.asarray(nat.column("n_regionkey").to_pylist(), np.int64)
+    n_of = np.zeros(nk.max() + 1, np.int64)
+    n_of[nk] = nreg
+    ck = np.asarray(cust.column("c_custkey").to_pylist(), np.int64)
+    cn = np.asarray(cust.column("c_nationkey").to_pylist(), np.int64)
+    order = np.argsort(ck)
+    out = (ck[order], rname[n_of[cn[order]]])
+    _DIM_MEMO.clear()
+    _DIM_MEMO[key] = out
+    return out
+
+
+def revenue_by_region(sf_dir: str, num_buckets: int | None = None):
+    """TPC-H Q5-flavoured snowflake: revenue per REGION — lineitem ⋈
+    orders resolves with the big×big co-group (``join_revenue``'s
+    core); orders → customer → nation → region resolves with ONE
+    broadcast lookup applied per orders batch (``ray.put`` once, fetch
+    once per worker process).  The two join strategies compose in one
+    pipeline: the band that must shuffle shuffles once, the dimensions
+    never do.  Output: (region, n_lines, revenue6)."""
+    nb = num_buckets or derived_join_buckets()
+    ref = ray.put(_custkey_region(sf_dir))
+
+    def label_of(batch: pa.Table, ref=ref):
+        key = ref.hex()
+        got = _BCAST_CACHE.get(key)
+        if got is None:
+            got = _BCAST_CACHE[key] = ray.get(ref)
+        ck_sorted, region = got
+        ck = np.asarray(batch.column("o_custkey").to_pylist(), np.int64)
+        idx = np.searchsorted(ck_sorted, ck)
+        return region[idx].tolist()
+
+    return _orders_join_agg(
+        sf_dir, nb, "region", label_of, ["o_orderkey", "o_custkey"]
+    )
+
+
+_BCAST_CACHE: dict = {}
 
 
 # --------------------------------------------------------------- docs_rollup
@@ -238,6 +333,7 @@ def docs_rollup(sf_dir: str):
 def relational_queries() -> dict:
     return {
         "join_revenue": join_revenue,
+        "revenue_by_region": revenue_by_region,
         "docs_rollup": docs_rollup,
     }
 
@@ -257,6 +353,23 @@ SELECT o.o_orderpriority,
        CAST(sum(li.rev6) AS BIGINT) AS revenue6
 FROM li JOIN orders o ON li.l_orderkey = o.o_orderkey
 GROUP BY o.o_orderpriority"""
+
+    sqls["revenue_by_region"] = """
+WITH li AS (
+  SELECT l_orderkey,
+         CAST(floor(l_extendedprice * (1 - l_discount) * 1e6 + 0.5)
+              AS BIGINT) AS rev6
+  FROM lineitem
+)
+SELECT r.r_name AS region,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(li.rev6) AS BIGINT) AS revenue6
+FROM li
+JOIN orders o ON li.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name"""
 
     sqls["docs_rollup"] = f"""
 SELECT CASE WHEN grouping(source) = 1 THEN '{ROLLUP_ALL}' ELSE source END
