@@ -14,10 +14,13 @@ others assume processing-time completeness.
 Partitioning assumptions:
 - window aggregate: none (commutative partial aggregation per batch; the
   final reduce moves one row per (window, type) per block).
-- sessionization / as-of: all events of one ``user_id`` must meet in one
-  group — the groupby key is ``user_id % USER_BUCKETS`` (two-level
-  grouping, same discipline as the reassembly shuffle); per-user work is
-  a sorted linear scan.
+- sessionization / as-of / rolling frame / range join / lag: all events
+  of one ``user_id`` must meet in one group — the groupby key is
+  ``user_id % USER_BUCKETS`` (two-level grouping, same discipline as
+  the reassembly shuffle); per-user work is a sorted linear scan or a
+  fused-key searchsorted pass.
+- watermark: arrival buckets (``event_id // range``) plus a tiny driver
+  prefix-max over per-bucket maxima — no raw-event shuffle at all.
 """
 from __future__ import annotations
 
