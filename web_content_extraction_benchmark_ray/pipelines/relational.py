@@ -188,6 +188,7 @@ def _orders_join_agg(sf_dir: str, nb: int, label_name: str,
 
 # ---------------------------------------------------------- revenue_by_region
 _DIM_MEMO: dict = {}
+_BCAST_CACHE: dict = {}  # per-worker-process ray.get cache (one fetch each)
 
 
 def _custkey_region(sf_dir: str):
@@ -257,9 +258,6 @@ def revenue_by_region(sf_dir: str, num_buckets: int | None = None):
     return _orders_join_agg(
         sf_dir, nb, "region", label_of, ["o_orderkey", "o_custkey"]
     )
-
-
-_BCAST_CACHE: dict = {}
 
 
 # --------------------------------------------------------------- docs_rollup
