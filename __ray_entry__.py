@@ -155,6 +155,7 @@ _SAMPLE_FIRST = [
     "revenue_by_region",
     "docs_rollup",
     "events_lag",
+    "events_window_incremental",
     # (c) flagship + north-rule invariant canaries
     "extract_bte",
     "extract_spans_signature",
@@ -183,9 +184,9 @@ _SAMPLE_FIRST = [
     # events_lag newcomers; the minhash path stays in (a) via
     # dedup_incremental_minhash, the embedding path in (d) via
     # embedding_dup_pairs
-    # eval_agg_macro (r1-r3 verified) yields its slot to the round-5
-    # events_rolling newcomer; it stays sweep-covered
-    "pdf_extract",
+    # eval_agg_macro / pdf_extract (r1-r3 verified) yield their slots
+    # to the round-5 events_rolling / events_window_incremental
+    # newcomers; both stay sweep-covered
     # eval_agg_micro / eval_quantiles / knn_ivf_trained (r1-r3 verified)
     # yield their slots to the round-5 graph/CDC newcomers; all three
     # stay sweep-covered

@@ -320,6 +320,8 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
                   lambda: _consume(ev.events_range_join(sf_dir)))
             timed("events_lag",
                   lambda: _consume(ev.events_lag(sf_dir)))
+            timed("events_window_incremental",
+                  lambda: _consume(ev.events_window_incremental(sf_dir)))
         except ImportError:
             pass
         try:

@@ -383,3 +383,32 @@ def test_lag_matches_bruteforce(ray_session, tmp_path_factory, rows):
             gn = evs[i + 1][0] - s if i + 1 < len(evs) else -1
             expect[eid] = (gp, gn)
     assert got == expect
+
+@given(events_strategy)
+@settings(max_examples=8, deadline=None)
+def test_window_incremental_equals_batch(
+    ray_session, tmp_path_factory, rows
+):
+    """The micro-batch state fold must reproduce events_window exactly
+    on arbitrary streams, for chunk counts that divide, exceed, and
+    straddle the input size."""
+    from web_content_extraction_benchmark_ray.pipelines.events import (
+        events_window,
+        events_window_incremental,
+    )
+
+    sf = _write_sf(tmp_path_factory.mktemp("ev"), rows)
+    want = (
+        events_window(sf)
+        .to_pandas()
+        .sort_values(["window_start_s", "event_type"])
+        .reset_index(drop=True)
+    )
+    for k in (1, 3, len(rows) + 2):
+        got = (
+            events_window_incremental(sf, n_chunks=k)
+            .to_pandas()
+            .sort_values(["window_start_s", "event_type"])
+            .reset_index(drop=True)
+        )
+        assert got.equals(want), (k, rows)

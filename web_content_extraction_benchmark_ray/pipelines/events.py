@@ -185,6 +185,92 @@ def events_window(sf_dir: str):
     return agg.map_batches(_window_finish, batch_format="pyarrow")
 
 
+# ----------------------------------------------- incremental window state
+N_ARRIVAL_CHUNKS = 8  # micro-batch replay slices (event_id ranges)
+
+
+def _rebucket(batch: pa.Table) -> pa.Table:
+    """Re-attach the cross-block-stable reduce bucket to carried state
+    rows (the same (window + hash(type)) % B key _window_partials
+    assigns), so the next micro-batch fold co-locates state with the
+    incoming partials."""
+    from ..functions.hashing import hash60
+
+    win = np.asarray(batch.column("window_start_s").to_pylist(), np.int64)
+    et = batch.column("event_type").to_pylist()
+    b = (win + np.array([hash60(t) for t in et], np.int64)) % N_AGG_BUCKETS
+    # column order must match _window_partials' exactly (union schema)
+    return pa.table(
+        {
+            "bucket": pa.array(b, pa.int64()),
+            "window_start_s": pa.array(win, pa.int64()),
+            "event_type": pa.array(et, pa.string()),
+            "n_part": batch.column("n_part"),
+            "sum_part": batch.column("sum_part"),
+        }
+    )
+
+
+def events_window_incremental(sf_dir: str,
+                              n_chunks: int = N_ARRIVAL_CHUNKS):
+    """STREAMING-STATE twin of ``events_window``: the closed table is
+    replayed as ``n_chunks`` arrival micro-batches (``event_id``
+    ranges); each micro-batch folds its combiner partials into a
+    running (window, type) -> (n, sum6) STATE that lives in the cluster
+    as a keyed Dataset (union + the same bucketed vectorized reduce —
+    never a driver-side dict, so state size is bounded by the cluster,
+    not the driver).  After the final fold the state IS the batch
+    answer: the oracle is ``events_window``'s own SQL, so the driver's
+    hash equality PROVES incremental fold == batch aggregate — the
+    correctness contract a streaming engine owes its batch twin.
+
+    Cost note: the replay scans the closed table once per chunk (the
+    simulation stands in for a real arrival stream); each fold's
+    shuffle moves only combiner rows + the current state, both bounded
+    by the (window, type) key space."""
+
+    def partials_of(lo: int, hi: int):
+        def partials(batch: pa.Table) -> pa.Table:
+            eid = np.asarray(
+                batch.column("event_id").to_pylist(), np.int64
+            )
+            m = (eid >= lo) & (eid < hi)
+            win = (
+                (_epoch_s(batch.column("ts"))[m] // WINDOW_S) * WINDOW_S
+            )
+            etype = np.asarray(
+                batch.column("event_type").to_pylist(), dtype=object
+            )[m]
+            vq = _quantize_micro(batch.column("value"))[m]
+            return _window_partials(win, etype, vq)
+
+        return partials
+
+    import pyarrow.parquet as pq
+
+    n = pq.ParquetFile(
+        os.path.join(sf_dir, "events.parquet")
+    ).metadata.num_rows
+    chunk = max(1, -(-n // n_chunks))
+
+    state = None
+    for c in range(n_chunks):
+        part = _events(
+            sf_dir, columns=["event_id", "ts", "event_type", "value"]
+        ).map_batches(
+            partials_of(c * chunk, (c + 1) * chunk),
+            batch_format="pyarrow",
+        )
+        fold = part if state is None else state.union(part)
+        state = (
+            fold.groupby("bucket")
+            .map_groups(_window_reduce, batch_format="pyarrow")
+            .map_batches(_rebucket, batch_format="pyarrow")
+            .materialize()  # cut the lineage chain between micro-batches
+        )
+    return state.map_batches(_window_finish, batch_format="pyarrow")
+
+
 SLIDE_S = 900  # sliding step; WINDOW_S / SLIDE_S = 4 overlapping windows
 
 
@@ -866,6 +952,7 @@ def events_queries() -> dict:
         "events_rolling": events_rolling,
         "events_range_join": events_range_join,
         "events_lag": events_lag,
+        "events_window_incremental": events_window_incremental,
     }
 
 
@@ -886,6 +973,10 @@ SELECT ((epoch_us(ts) // 1000000) // {WINDOW_S}) * {WINDOW_S} AS window_start_s,
 FROM (SELECT ts, event_type,
              CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vq
       FROM events) GROUP BY 1, 2"""
+
+    # events_window_incremental: the SAME batch SQL — hash equality
+    # proves the micro-batch state fold reproduces the batch aggregate.
+    sqls["events_window_incremental"] = sqls["events_window"]
     sqls["events_sliding"] = f"""
 WITH e AS (
   SELECT epoch_us(ts) // 1000000 AS t, event_type,
