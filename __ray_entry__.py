@@ -156,6 +156,7 @@ _SAMPLE_FIRST = [
     "docs_rollup",
     "events_lag",
     "events_window_incremental",
+    "parts_stale",
     # (c) flagship + north-rule invariant canaries
     "extract_bte",
     "extract_spans_signature",
@@ -170,7 +171,8 @@ _SAMPLE_FIRST = [
     "embedding_dup_pairs",
     "decontaminate",
     # (e) r1/r2-only-verified entries rotating back in
-    "kmeans_iterate",
+    # kmeans_iterate (r2-r4 verified) yields its slot to the round-5
+    # parts_stale newcomer; it stays sweep-covered
     # sample_split / dataset_stats / kmeans_assign (r1-r3 / r2 / r1-r3
     # verified) yield their slots to the round-5 events_watermark /
     # topk_per_source / events_range_join newcomers; all stay

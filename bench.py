@@ -333,6 +333,8 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
                   lambda: len(rel.docs_rollup(sf_dir)))
             timed("revenue_by_region",
                   lambda: _consume(rel.revenue_by_region(sf_dir)))
+            timed("parts_stale",
+                  lambda: _consume(rel.parts_stale(sf_dir)))
         except ImportError:
             pass
         try:

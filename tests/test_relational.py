@@ -162,3 +162,59 @@ def test_revenue_by_region_matches_serial(ray_session):
     assert got["region"].tolist() == want["r_name"].tolist()
     assert got["n_lines"].astype("int64").tolist() == want["n_lines"].astype("int64").tolist()
     assert got["revenue6"].astype("int64").tolist() == want["revenue6"].astype("int64").tolist()
+
+
+def test_parts_stale_matches_serial(ray_session):
+    """The distributed anti join must equal the serial NOT EXISTS, and
+    the filter must genuinely bind in both directions (some parts stale,
+    most live)."""
+    from web_content_extraction_benchmark_ray.pipelines.relational import (
+        _STALE_US,
+        parts_stale,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        int(r) for r in parts_stale(sf).to_pandas()["p_partkey"]
+    )
+    li = pq.read_table(
+        f"{sf}/lineitem.parquet", columns=["l_partkey", "l_shipdate"]
+    ).to_pandas()
+    live = set(
+        li.loc[li["l_shipdate"].astype("int64") >= _STALE_US, "l_partkey"]
+        .astype("int64")
+    )
+    parts = pq.read_table(
+        f"{sf}/part.parquet", columns=["p_partkey"]
+    ).to_pandas()["p_partkey"].astype("int64")
+    want = sorted(int(p) for p in parts if p not in live)
+    assert got == want
+    assert 0 < len(got) < len(parts)
+
+
+def test_parts_stale_handles_empty_build_side(ray_session, tmp_path):
+    """A bucket with NO live lineitem rows must emit every part key in
+    it (the anti join's vacuous-truth branch)."""
+    from web_content_extraction_benchmark_ray.pipelines.relational import (
+        _STALE_US,
+        parts_stale,
+    )
+
+    old = int(_STALE_US) - 86400 * 1_000_000  # strictly before the cutoff
+    pq.write_table(
+        pa.table(
+            {
+                "l_partkey": pa.array([1, 2], pa.int64()),
+                "l_shipdate": pa.array([old, old]).cast(pa.timestamp("us")),
+            }
+        ),
+        tmp_path / "lineitem.parquet",
+    )
+    pq.write_table(
+        pa.table({"p_partkey": pa.array([1, 2, 3], pa.int64())}),
+        tmp_path / "part.parquet",
+    )
+    got = sorted(
+        int(r) for r in parts_stale(str(tmp_path)).to_pandas()["p_partkey"]
+    )
+    assert got == [1, 2, 3]

@@ -260,6 +260,78 @@ def revenue_by_region(sf_dir: str, num_buckets: int | None = None):
     )
 
 
+# --------------------------------------------------------------- parts_stale
+STALE_CUTOFF = "2001-06-01"  # shipments on/after this date count as live
+_STALE_US = (
+    (np.datetime64(STALE_CUTOFF) - np.datetime64("1970-01-01"))
+    .astype("timedelta64[us]")
+    .astype(np.int64)
+)
+
+
+def parts_stale(sf_dir: str, num_buckets: int | None = None):
+    """Distributed ANTI JOIN — the NOT EXISTS shape: parts with NO
+    lineitem shipped on/after ``STALE_CUTOFF`` (most parts DO have one,
+    so the filter genuinely prunes).  Output: (p_partkey,).
+
+    Same co-partition discipline as ``join_revenue``: the lineitem side
+    reduces to DISTINCT live partkeys per batch (combiner — the anti
+    probe needs existence only, so at most one row per key per block
+    shuffles), part keys meet them in the ``key % B`` bucket, and each
+    group emits its unmatched part keys via one sorted-membership
+    searchsorted."""
+    nb = num_buckets or derived_join_buckets()
+
+    def live_rows(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch.column("l_partkey").to_pylist(), np.int64)
+        ship = np.asarray(
+            pa.compute.cast(
+                batch.column("l_shipdate"), pa.int64()
+            ).to_pylist(),
+            np.int64,
+        )
+        uk = np.unique(k[ship >= _STALE_US])
+        return pa.table(
+            {
+                "bucket": pa.array(uk % nb, pa.int64()),
+                "key": pa.array(uk, pa.int64()),
+                "side": pa.array(np.zeros(len(uk), np.int64), pa.int64()),
+            }
+        )
+
+    def part_rows(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch.column("p_partkey").to_pylist(), np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(k % nb, pa.int64()),
+                "key": pa.array(k, pa.int64()),
+                "side": pa.array(np.ones(len(k), np.int64), pa.int64()),
+            }
+        )
+
+    live = _read(sf_dir, "lineitem", ["l_partkey", "l_shipdate"]).map_batches(
+        live_rows, batch_format="pyarrow"
+    )
+    parts = _read(sf_dir, "part", ["p_partkey"]).map_batches(
+        part_rows, batch_format="pyarrow"
+    )
+
+    def anti(group: pa.Table) -> pa.Table:
+        side = np.asarray(group.column("side").to_pylist(), np.int64)
+        keys = np.asarray(group.column("key").to_pylist(), np.int64)
+        pk = keys[side == 1]
+        lk = np.unique(keys[side == 0])
+        if len(lk):
+            idx = np.searchsorted(lk, pk)
+            idx[idx == len(lk)] = len(lk) - 1
+            pk = pk[lk[idx] != pk]
+        return pa.table({"p_partkey": pa.array(np.sort(pk), pa.int64())})
+
+    return live.union(parts).groupby("bucket").map_groups(
+        anti, batch_format="pyarrow"
+    )
+
+
 # --------------------------------------------------------------- docs_rollup
 def docs_rollup(sf_dir: str):
     """GROUP BY ROLLUP(source, lang) over documents: (source, lang,
@@ -333,6 +405,7 @@ def relational_queries() -> dict:
         "join_revenue": join_revenue,
         "revenue_by_region": revenue_by_region,
         "docs_rollup": docs_rollup,
+        "parts_stale": parts_stale,
     }
 
 
@@ -378,4 +451,13 @@ SELECT CASE WHEN grouping(source) = 1 THEN '{ROLLUP_ALL}' ELSE source END
        CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM documents
 GROUP BY ROLLUP(source, lang)"""
+
+    sqls["parts_stale"] = f"""
+SELECT p.p_partkey
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_partkey = p.p_partkey
+    AND l.l_shipdate >= TIMESTAMP '{STALE_CUTOFF}'
+)"""
     return sqls
