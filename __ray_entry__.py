@@ -157,6 +157,7 @@ _SAMPLE_FIRST = [
     "events_lag",
     "events_window_incremental",
     "parts_stale",
+    "link_components",
     # (c) flagship + north-rule invariant canaries
     "extract_bte",
     "extract_spans_signature",
@@ -180,7 +181,9 @@ _SAMPLE_FIRST = [
     # events_window / events_sessionize (r1-r3 verified) yield their
     # slots to the round-5 join_revenue / docs_rollup newcomers; the
     # event family stays in-window via the three r5 event newcomers
-    "events_asof",
+    # events_asof (r1-r3 verified) yields its slot to the round-5
+    # link_components newcomer; the r5 events_range_join in-window
+    # covers the as-of/range join family
     # dedup_minhash_survivors / embedding_dup_survivors (r1-r3 / r3
     # verified) yield their slots to the round-5 revenue_by_region /
     # events_lag newcomers; the minhash path stays in (a) via

@@ -344,6 +344,8 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
                   lambda: _consume(gr.link_pagerank(sf_dir)))
             timed("link_triangles",
                   lambda: _consume(gr.link_triangles(sf_dir)))
+            timed("link_components",
+                  lambda: _consume(gr.link_components(sf_dir)))
         except ImportError:
             pass
 

@@ -99,3 +99,40 @@ def test_brute_edges_tiny_graphs_are_well_formed():
         dst = _edge_dsts(np.arange(n, dtype=np.int64), n)
         assert ((dst >= 0) & (dst < n)).all()
         assert (dst != np.arange(n)[:, None]).all()
+
+
+def test_link_components_equals_brute_force(ray_session):
+    """Distributed request/exchange propagation must equal the serial
+    K-round undirected min-label recurrence, and after K rounds each
+    label must be the true min doc_id within K undirected hops."""
+    import pyarrow.parquet as pq
+
+    from web_content_extraction_benchmark_ray.pipelines.graphops import (
+        CC_ITERS,
+        link_components,
+    )
+
+    got = {
+        int(r["node"]): int(r["label"])
+        for r in link_components(SF).take_all()
+    }
+    n = pq.ParquetFile(f"{SF}/documents.parquet").metadata.num_rows
+    nbrs: dict[int, set[int]] = {v: set() for v in range(n)}
+    for s, d in _brute_edges(n):
+        nbrs[s].add(d)
+        nbrs[d].add(s)
+    lab = {v: v for v in range(n)}
+    for _ in range(CC_ITERS):
+        lab = {
+            v: min([lab[v]] + [lab[u] for u in nbrs[v]]) for v in lab
+        }
+    assert got == lab
+    # BFS cross-check: label(v) == min node within CC_ITERS hops
+    for v in (0, 1, n // 2, n - 1):
+        frontier, seen = {v}, {v}
+        for _ in range(CC_ITERS):
+            frontier = {
+                u for f in frontier for u in nbrs[f] if u not in seen
+            }
+            seen |= frontier
+        assert got[v] == min(seen)

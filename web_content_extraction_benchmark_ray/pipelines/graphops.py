@@ -243,11 +243,100 @@ def link_triangles(sf_dir: str):
     return parts.repartition(1).map_batches(total, batch_format="pyarrow")
 
 
+# ------------------------------------------------------------- components
+CC_ITERS = 5  # fixed min-label propagation rounds (unrolled in the oracle)
+_CC_BUCKETS = 256
+
+
+def link_components(sf_dir: str, iters: int = CC_ITERS):
+    """Weakly-connected-component label propagation — ``iters`` rounds
+    of ``label'(v) = min(label(v), min over UNDIRECTED neighbors u of
+    label(u))``, labels initialised to the node id.  After round k,
+    ``label(v)`` is the minimum doc_id within k undirected hops; a
+    fixed round count keeps the operator oracle-exact (full CC =
+    iterate to fixpoint, same rounds).  Output per doc: (node, label).
+
+    The symmetric exchange needs NO stored edge table and NO per-round
+    join build: out-targets are derivable from the node id, so each
+    label row emits its own label row (kind 0) plus one REQUEST row per
+    out-edge carrying its label (kind 1, keyed by the target).  One
+    co-group on the key then delivers both directions at once — the
+    target keeps the incoming label, the requester gets the target's
+    label back — and a bucketed min-reduce folds the messages.  Two
+    light shuffles per round over 32-byte index rows, the Pregel
+    scatter-gather shape of ``link_pagerank`` with min instead of
+    sum."""
+    n = _n_docs(sf_dir)
+
+    def init(batch: pa.Table) -> pa.Table:
+        nodes = np.asarray(batch.column("doc_id").to_pylist(), np.int64)
+        return pa.table(
+            {
+                "node": pa.array(nodes, pa.int64()),
+                "label": pa.array(nodes, pa.int64()),
+            }
+        )
+
+    def requests(batch: pa.Table) -> pa.Table:
+        nodes = np.asarray(batch.column("node").to_pylist(), np.int64)
+        lab = np.asarray(batch.column("label").to_pylist(), np.int64)
+        dst = _edge_dsts(nodes, n)
+        k = np.concatenate([nodes, dst.reshape(-1)])
+        kind = np.concatenate(
+            [np.zeros(len(nodes), np.int64),
+             np.ones(dst.size, np.int64)]
+        )
+        a = np.concatenate([lab, np.repeat(lab, OUT_DEG)])
+        b = np.concatenate([nodes, np.repeat(nodes, OUT_DEG)])
+        return pa.table(
+            {
+                "bucket": pa.array(k % _CC_BUCKETS, pa.int64()),
+                "k": pa.array(k, pa.int64()),
+                "kind": pa.array(kind, pa.int64()),
+                "a": pa.array(a, pa.int64()),  # sender's label
+                "b": pa.array(b, pa.int64()),  # sender's node id
+            }
+        )
+
+    def exchange(group: pa.Table) -> pa.Table:
+        k = np.asarray(group.column("k").to_pylist(), np.int64)
+        kind = np.asarray(group.column("kind").to_pylist(), np.int64)
+        a = np.asarray(group.column("a").to_pylist(), np.int64)
+        b = np.asarray(group.column("b").to_pylist(), np.int64)
+        m0 = kind == 0
+        k0, lab0 = k[m0], a[m0]
+        o = np.argsort(k0)  # one label row per node, so k0 is unique
+        k0, lab0 = k0[o], lab0[o]
+        k1, a1, b1 = k[~m0], a[~m0], b[~m0]
+        lt = lab0[np.searchsorted(k0, k1)]  # target's current label
+        # (target keeps sender's label) + (sender gets target's label
+        # back) + (every node keeps its own label)
+        node = np.concatenate([k1, b1, k0])
+        lab = np.concatenate([a1, lt, lab0])
+        return pa.table(
+            {
+                "node": pa.array(node, pa.int64()),
+                "lab": pa.array(lab, pa.int64()),
+            }
+        )
+
+    labels = _doc_ids(sf_dir).map_batches(init, batch_format="pyarrow")
+    for _ in range(iters):
+        msgs = labels.map_batches(
+            requests, batch_format="pyarrow"
+        ).groupby("bucket").map_groups(exchange, batch_format="pyarrow")
+        labels = bucketed_groupby(
+            msgs, "node", ["lab"], ["min"], out_names=["label"]
+        )
+    return labels
+
+
 # ------------------------------------------------------------------ queries
 def graph_queries() -> dict:
     return {
         "link_pagerank": link_pagerank,
         "link_triangles": link_triangles,
+        "link_components": link_components,
     }
 
 
@@ -303,4 +392,30 @@ SELECT CAST(count(*) AS BIGINT) AS n_triangles
 FROM ue a
 JOIN ue b ON b.u = a.u AND b.v > a.v
 JOIN ue c ON c.u = a.v AND c.v = b.v"""
+
+    # link_components: CC_ITERS unrolled rounds of undirected min-label
+    # propagation (the pagerank CTE chain with min over both edge
+    # orientations instead of damped sums).
+    parts = [
+        f"WITH nn AS (SELECT count(*) AS n FROM documents),{_edges_sql()},",
+        "ue AS (SELECT src AS a, dst AS b FROM e"
+        " UNION ALL SELECT dst, src FROM e),",
+        "l0 AS (SELECT doc_id AS node, doc_id AS label FROM documents)",
+    ]
+    for k in range(1, CC_ITERS + 1):
+        parts.append(
+            f""",
+m{k} AS (
+  SELECT ue.b AS node, min(l{k - 1}.label) AS ml
+  FROM ue JOIN l{k - 1} ON l{k - 1}.node = ue.a GROUP BY ue.b
+),
+l{k} AS (
+  SELECT l.node,
+         CAST(least(l.label, coalesce(m{k}.ml, l.label)) AS BIGINT)
+           AS label
+  FROM l{k - 1} l LEFT JOIN m{k} ON m{k}.node = l.node
+)"""
+        )
+    parts.append(f"\nSELECT node, label FROM l{CC_ITERS}")
+    sqls["link_components"] = "".join(parts)
     return sqls
