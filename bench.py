@@ -348,6 +348,13 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
                   lambda: _consume(gr.link_components(sf_dir)))
         except ImportError:
             pass
+        try:
+            from web_content_extraction_benchmark_ray.pipelines import analytics as an
+
+            timed("vocab_cms",
+                  lambda: _consume(an.vocab_cms(sf_dir)))
+        except ImportError:
+            pass
 
     extract_sec = timings["extract_multi"]
     docs_per_sec = round(n_docs / extract_sec, 2) if extract_sec else 0.0

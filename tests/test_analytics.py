@@ -191,3 +191,45 @@ def test_bpe_encode_matches_serial_replace(ray_session):
         assert row["n_base"] == n_base
         assert row["n_sym"] == len(s) - s.count(" ")
         assert row["enc_hash"] == hash60(s)
+
+
+def test_vocab_cms_matches_bruteforce_and_bounds(ray_session):
+    """The distributed sketch must equal the serial cell computation,
+    and the point-estimate property must hold: min over rows >= true
+    count for every word."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from web_content_extraction_benchmark_ray.functions.hashing import (
+        hash60,
+    )
+    from web_content_extraction_benchmark_ray.functions.text import (
+        tokenize_ws,
+    )
+    from web_content_extraction_benchmark_ray.pipelines.analytics import (
+        CMS_D,
+        CMS_W,
+        vocab_cms,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (int(r["row_id"]), int(r["col"])): int(r["count"])
+        for r in vocab_cms(sf).take_all()
+    }
+    texts = pq.read_table(
+        f"{sf}/documents.parquet", columns=["text"]
+    ).column("text").to_pylist()
+    wc = Counter(t for x in texts for t in tokenize_ws(x))
+    cells: Counter = Counter()
+    for w, n in wc.items():
+        for j in range(CMS_D):
+            cells[(j, hash60(f"cms{j}:{w}") % CMS_W)] += n
+    assert got == dict(cells)
+    # estimate(w) = min_j cell(j, h_j(w)) is never below the true count
+    for w, n in wc.items():
+        est = min(
+            got[(j, hash60(f"cms{j}:{w}") % CMS_W)] for j in range(CMS_D)
+        )
+        assert est >= n

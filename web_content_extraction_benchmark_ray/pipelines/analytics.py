@@ -156,6 +156,78 @@ def _counted_topk(sf_dir: str, expand_counts, key_name: str, k: int):
     return totals.sort(["n", key_name], descending=[True, False]).limit(k)
 
 
+# ------------------------------------------------------------- vocab_cms
+CMS_D = 4  # count-min sketch rows (independent hash functions)
+CMS_W = 256  # counters per row
+
+
+def vocab_cms(sf_dir: str):
+    """Count-min sketch of the token-frequency stream (Cormode &
+    Muthukrishnan 2005) — the mergeable heavy-hitter sketch a streaming
+    pipeline keeps where the exact wordcount (``vocab_topk``) would
+    need the full vocabulary.  The OUTPUT IS THE SKETCH ITSELF: one row
+    per non-zero counter cell (row_id, col, count) with
+    ``count(j, c) = Σ occurrences of tokens t with hash_j(t) % W = c``
+    — exact integer sums, so unlike most sketches the whole table is
+    hash-verifiable against SQL, and mergeability is what the
+    distributed reduce itself exercises (cells sum across blocks).
+
+    Scale shape: the vocab_topk combiner counts distinct words per
+    batch, then scatters each word's count into its CMS_D cells —
+    at most D x W = 4 x 256 rows leave ANY block regardless of
+    vocabulary size; the reduce is one bucketed vectorized Sum over a
+    fixed-size key space.  Estimation (min over rows) is a driver-side
+    O(D) lookup per query word on the final 4 x 256 table."""
+    from ..functions.text import tokenize_ws
+    from ..stages.vecagg import bucketed_groupby
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for text in batch.column("text").to_pylist():
+            for tok in tokenize_ws(text):
+                counts[tok] = counts.get(tok, 0) + 1
+        words = list(counts.keys())
+        n = np.asarray(list(counts.values()), np.int64)
+        cells: dict[int, int] = {}
+        for j in range(CMS_D):
+            cols = np.array(
+                [hash60(f"cms{j}:{w}") % CMS_W for w in words], np.int64
+            )
+            key = j * CMS_W + cols
+            uk, inv = np.unique(key, return_inverse=True)
+            s = np.zeros(len(uk), np.int64)
+            np.add.at(s, inv, n)
+            for k, v in zip(uk.tolist(), s.tolist()):
+                cells[k] = cells.get(k, 0) + v
+        return pa.table(
+            {
+                "cell": pa.array(list(cells.keys()), pa.int64()),
+                "n": pa.array(list(cells.values()), pa.int64()),
+            }
+        )
+
+    ds = read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+    parts = coalesce_small(ds.map_batches(partial, batch_format="pyarrow"))
+    totals = bucketed_groupby(parts, "cell", ["n"], ["sum"])
+
+    def split(batch: pa.Table) -> pa.Table:
+        cell = np.asarray(batch.column("cell").to_pylist(), np.int64)
+        return pa.table(
+            {
+                "row_id": pa.array(cell // CMS_W, pa.int64()),
+                "col": pa.array(cell % CMS_W, pa.int64()),
+                "count": pa.array(
+                    np.asarray(batch.column("n").to_pylist(), np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return totals.map_batches(split, batch_format="pyarrow")
+
+
 BPE_TOPK = 20
 
 
@@ -601,6 +673,7 @@ def analytics_queries() -> dict:
     return {
         "eval_agg_by_complexity": eval_agg_by_complexity,
         "vocab_topk": vocab_topk,
+        "vocab_cms": vocab_cms,
         "kmeans_assign": kmeans_assign,
         "kmeans_iterate": kmeans_iterate,
         "bpe_pairs": bpe_pairs,
@@ -657,6 +730,23 @@ WITH w AS (
 )
 SELECT tok AS word, count(*) AS n FROM w
 GROUP BY tok ORDER BY n DESC, tok LIMIT {VOCAB_K}"""
+
+    # vocab_cms: every non-zero sketch cell as exact integer sums over
+    # the same token stream, hash_j = md5-hash60("cms<j>:" || tok) % W.
+    cms_h = _H60.format("'cms' || CAST(g.j AS VARCHAR) || ':' || w.tok")
+    sqls["vocab_cms"] = f"""
+WITH w AS (
+  SELECT u.tok FROM (
+    SELECT regexp_split_to_array(trim(text), '\\s+') AS l FROM documents
+  ) t, UNNEST(l) AS u(tok)
+),
+cells AS (
+  SELECT CAST(g.j AS BIGINT) AS row_id,
+         CAST({cms_h} % {CMS_W} AS BIGINT) AS col
+  FROM w, UNNEST(generate_series(0, {CMS_D - 1})) AS g(j)
+)
+SELECT row_id, col, CAST(count(*) AS BIGINT) AS count
+FROM cells GROUP BY 1, 2"""
 
     sqls["bpe_pairs"] = f"""
 WITH w AS (
